@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings every entry point (Verify, Bench,
+  * tests) must share for deterministic, oracle-comparable output.
+  *
+  * Scale notes: shuffle partitions default to the local core count
+  * (local[32] here); on a real cluster this is superseded by AQE
+  * coalescing (`spark.sql.adaptive.*` left on). Session time zone is
+  * pinned UTC for parity with the reference, which pins UTC end to end
+  * (reference: connectors/sources/mariadb/trading.json:52, fly.toml:13).
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark only reads
+      // as long under this flag; Tables.events converts to micros.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

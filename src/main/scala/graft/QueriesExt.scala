@@ -1,0 +1,228 @@
+package graft
+
+import graft.functions.{TextAnalysis, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star extension queries: text analysis, dedup, similarity
+  * search, multimodal — over the `documents` / `embeddings` tables.
+  * Oracle SQL is generated from the same dictionaries/constants as the
+  * Spark plans so the two can never drift.
+  */
+object QueriesExt {
+  import Queries.Q
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ---------------------------------------------------------------- text analysis
+
+  val txTokenCount: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+  val txTokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DuckDB expression for the whole-word stopword-hit score of `lang`. */
+  private def duckLangScore(lang: String): String =
+    TextAnalysis.stopwords.toMap.apply(lang)
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))")
+      .mkString("(", " + ", ")")
+
+  val txLangId: Q = (s, d) =>
+    docs(s, d).select(col("doc_id") +:
+      TextAnalysis.stopwords.map { case (l, _) =>
+        TextAnalysis.langScore(col("text"), l).as(s"s_$l") } :+
+      TextAnalysis.langId(col("text")).as("lang"): _*)
+      .orderBy("doc_id")
+  val txLangIdSql: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val scoreCols = langs.map(l => s"${duckLangScore(l)} AS s_$l").mkString(",\n  ")
+    val mx = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val cases = langs.init.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id,
+       |  $scoreCols
+       |FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"CAST(s_$l AS BIGINT) AS s_$l").mkString(", ")},
+       |  CASE WHEN $mx = 0 THEN 'und'
+       |    $cases
+       |    ELSE '${langs.last}' END AS lang
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  val txQuality: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  val txQualitySql: String = {
+    val se = duckLangScore("en")
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(LENGTH(text) AS DOUBLE) AS nc,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nt,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS np,
+       |  CAST($se AS DOUBLE) AS se
+       |FROM documents)
+       |SELECT doc_id,
+       |  least(nc / 500.0, 1.0) * 0.3
+       |  + (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 10.0
+       |          THEN 1.0 ELSE 0.5 END) * 0.2
+       |  + (CASE WHEN np / greatest(nc, 1.0) <= 0.2 THEN 1.0
+       |          ELSE 1.0 - np / greatest(nc, 1.0) END) * 0.2
+       |  + least(se / greatest(nt, 1.0) * 4.0, 1.0) * 0.3 AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  val txFingerprint: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp64"))
+      .orderBy("doc_id")
+  val txFingerprintSql =
+    """SELECT doc_id, substr(md5(text), 1, 16) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  val ddExactKeep: Q = (s, d) =>
+    Dedup.exactDedup(docs(s, d), "text", "doc_id")
+      .select(col("doc_id")).orderBy("doc_id")
+  val ddExactKeepSql =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val ddExactGroups: Q = (s, d) =>
+    Dedup.exactDupGroups(docs(s, d), "text", "doc_id").orderBy("content_hash")
+  val ddExactGroupsSql =
+    """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  val JaccardThreshold = 0.5
+  val ddNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+      shingleLen = 24, stride = 3, threshold = JaccardThreshold)
+      .orderBy("id_a", "id_b")
+  val ddNgramJaccardSql =
+    s"""WITH ex AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1, 3),
+       |      i -> substr(text, CAST(i AS INT), 24))) AS sh
+       |  FROM documents),
+       |d AS (SELECT DISTINCT doc_id, sh FROM ex WHERE length(sh) = 24),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+       |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM d a JOIN d b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash-LSH near-dup (rows-only oracle: approximate by design). */
+  val ddMinhashLsh: Q = (s, d) =>
+    Dedup.minhashLshPairs(docs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+
+  /** SimHash near-dup (rows-only oracle: approximate by design). */
+  val ddSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(docs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- similarity
+
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+  private def duckNormSq(a: String) =
+    s"list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)"
+
+  val simCosineTopk: Q = (s, d) =>
+    Similarity.bruteForceTopK(emb(s, d), emb(s, d), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  val simCosineTopkSql =
+    s"""WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${duckDot("a.embedding", "b.embedding")} AS dotp,
+       |    ${duckNormSq("a.embedding")} AS na,
+       |    ${duckNormSq("b.embedding")} AS nb
+       |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+       |c AS (SELECT query_id, neighbor_id,
+       |    CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0
+       |         ELSE dotp / (sqrt(na) * sqrt(nb)) END AS cosine
+       |  FROM p),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM c)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val NearDupCosine = 0.45
+  val simCosineNeardup: Q = (s, d) => {
+    val v = emb(s, d).select(col("vec_id"), col("embedding"),
+      VectorFunctions.normSq(col("embedding")).as("nsq"))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nsq").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nsq").as("nb"))
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineFromParts(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+      .orderBy("id_a", "id_b")
+  }
+  val simCosineNeardupSql =
+    s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${duckDot("a.embedding", "b.embedding")} AS dotp,
+       |    ${duckNormSq("a.embedding")} AS na,
+       |    ${duckNormSq("b.embedding")} AS nb
+       |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+       |c AS (SELECT id_a, id_b,
+       |    CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0
+       |         ELSE dotp / (sqrt(na) * sqrt(nb)) END AS cosine
+       |  FROM p)
+       |SELECT id_a, id_b, cosine FROM c WHERE cosine >= $NearDupCosine
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH-bucketed ANN (rows-only oracle; recall gated in ScalaTest). */
+  val simAnnLsh: Q = (s, d) =>
+    Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+
+  // ---------------------------------------------------------------- multimodal
+
+  private def mediaFrom(docsDf: DataFrame): DataFrame =
+    docsDf.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+        (col("n_chars") % 50 + 1).cast("int").as("n_frames"),
+        lit("video/mp4").as("mime")).as("meta"))
+
+  val mmPayloadStats: Q = (s, d) =>
+    Multimodal.payloadStats(mediaFrom(docs(s, d))).orderBy("media_id")
+  val mmPayloadStatsSql =
+    """SELECT doc_id AS media_id, 'video' AS kind,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val mmFrameSample: Q = (s, d) =>
+    Multimodal.sampleFrames(mediaFrom(docs(s, d)), stride = 10)
+      .orderBy("media_id", "frame_idx")
+  val mmFrameSampleSql =
+    """SELECT media_id, CAST(f AS INT) AS frame_idx
+      |FROM (SELECT doc_id AS media_id,
+      |        unnest(range(0, CAST(n_chars % 50 AS INT) + 1, 10)) AS f
+      |      FROM documents)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** Feature extraction through the stub codec (rows-only oracle:
+    * mapPartitions, not SQL-expressible).
+    */
+  val mmFeatures: Q = (s, d) =>
+    Multimodal.extractFeatures(mediaFrom(docs(s, d)), nFeatures = 16)
+      .select(col("media_id"), col("features")).orderBy("media_id")
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star extensions; not present in the reference —
+  * the reference's text surface stops at NUL-stripping,
+  * migrate_v3.py:273-278).
+  *
+  * All are per-row `Column` expressions (codegen'd, embarrassingly
+  * parallel — no shuffle), so they scale linearly with input size.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (number of \S+ runs). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+")).cast("long")
+
+  /** BPE-ish subword count: word-ish chunks, numbers, and single
+    * punctuation marks, the shape of a GPT-2-style pre-tokenizer regex.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Stopword dictionaries for the n-gram/stopword language-ID heuristic.
+    * Deterministic, dependency-free; real pipelines swap in fastText — the
+    * Spark plumbing (per-row scoring + argmax) is identical.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "por"))
+
+  /** Count of whole-word occurrences of `w` in lowercased text. */
+  def wordHits(text: Column, w: String): Column =
+    regexp_count(lower(text), lit("\\b" + w + "\\b")).cast("long")
+
+  /** Per-language stopword-hit score: total whole-word stopword
+    * occurrences for that language's dictionary.
+    */
+  def langScore(text: Column, lang: String): Column =
+    stopwords.toMap.apply(lang).map(wordHits(text, _)).reduce(_ + _)
+
+  /** Language-ID: argmax of the per-language scores; 'und' (undetermined)
+    * when no stopword hits at all. Ties break by dictionary order
+    * (en, de, fr, es) for determinism.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.map { case (l, _) => (l, langScore(text, l)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    when(best._2 === 0L, lit("und")).otherwise(best._1)
+  }
+
+  /** Punctuation-character count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Uppercase-letter count. */
+  def upperCount(text: Column): Column =
+    regexp_count(text, lit("[A-Z]")).cast("long")
+
+  /** Document quality score in [0,1] — length, punctuation-ratio,
+    * stopword-ratio and mean-word-length signals, the classic cheap
+    * pre-filter for LLM training corpora. Pure double arithmetic
+    * (deterministic bit-for-bit on any engine).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val stopRatio = langScore(text, "en").cast("double") / greatest(nTokens, lit(1.0))
+    val meanWordLen = nChars / greatest(nTokens, lit(1.0))
+    val lengthSignal = least(nChars / lit(500.0), lit(1.0))
+    val wordLenSignal =
+      when(meanWordLen >= 3.0 && meanWordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val punctSignal = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(1.0) - punctRatio)
+    val stopSignal = least(stopRatio * lit(4.0), lit(1.0))
+    (lengthSignal * lit(0.3) + wordLenSignal * lit(0.2) +
+      punctSignal * lit(0.2) + stopSignal * lit(0.3))
+  }
+
+  /** Document fingerprint: first 16 hex chars of md5 — a stable 64-bit
+    * content fingerprint usable as an exact-dedup key.
+    */
+  def fingerprint(text: Column): Column = substring(md5(text.cast("binary")), 1, 16)
+
+  /** Character shingles (n-grams) with stride, as an array column:
+    * positions 1, 1+stride, ... each yielding substr(text, i, n). Stride
+    * trades shingle density for cost; stride=1 is classic w-shingling.
+    */
+  def charShingles(text: Column, n: Int, stride: Int = 1): Column = {
+    val maxStart = length(text) - lit(n - 1)
+    filter(
+      transform(sequence(lit(1), greatest(maxStart, lit(1)), lit(stride)),
+        i => text.substr(i, lit(n))),
+      s => length(s) === n)
+  }
+
+  /** Distinct word n-grams as an array column. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val maxStart = size(words) - lit(n - 1)
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(maxStart, lit(1))),
+        i => when(i <= maxStart, concat_ws(" ", slice(words, i, lit(n))))),
+      s => s.isNotNull))
+  }
+}

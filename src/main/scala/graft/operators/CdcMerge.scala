@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert/delete materialization — the Spark form of the
+  * reference's sink semantics: Kafka log compaction + JDBC
+  * `insert.mode=upsert` + `delete.enabled=true` means the sink table is
+  * the latest-state-per-PK projection of the change stream (reference:
+  * connectors/sinks/postgres/trading.json:13-15,
+  * connectors/sources/mariadb/trading.json:61-62).
+  */
+object CdcMerge {
+
+  /** W1: latest-event-per-key. Ordering is (ts_ms, seq) — the reference
+    * guarantees per-key order with 1-partition topics; under replay, ties
+    * on ts_ms need the monotonic sequence column (stream offset) to stay
+    * deterministic (SURVEY §7.4.2).
+    *
+    * Scale note: one shuffle on pkCols; the window and any downstream
+    * groupBy/join on the same keys reuse that partitioning.
+    */
+  def latestPerKey(changes: DataFrame, pkCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def latestPerKey(changes: DataFrame, pkCols: Seq[String]): DataFrame =
+    latestPerKey(changes, pkCols, Seq(col("__source_ts_ms"), col("__seq")))
+
+  /** Apply a batch of (unwrapped) change events to the current
+    * materialized state: collapse to latest per key (W1), drop keys whose
+    * latest op is delete (T3), upsert the rest.
+    *
+    * `current` and `changes` must share the row schema; `changes`
+    * additionally carries `__op` and the ordering columns.
+    *
+    * Scale note: both sides shuffle on pkCols once (the anti-join and the
+    * union reuse it); with the bucketed table store (ParquetUpsertTable)
+    * only buckets present in the batch are rewritten.
+    */
+  def applyChanges(current: DataFrame, changes: DataFrame, pkCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val rowCols = current.columns.toSeq
+    val latest = latestPerKey(changes, pkCols, orderCols)
+    val survivors = latest.filter(col("__op") =!= Envelope.OpDelete)
+      .select(rowCols.map(col): _*)
+    val untouched = current.join(latest.select(pkCols.map(col): _*), pkCols, "left_anti")
+    untouched.unionByName(survivors)
+  }
+
+  /** Changelog statistics per op — insert/update/delete/read counts and
+    * affected-key cardinality (monitoring surface of T1/T3).
+    */
+  def changelogStats(changes: DataFrame, pkCols: Seq[String]): DataFrame =
+    changes.groupBy(col("__op"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        countDistinct(pkCols.head, pkCols.tail: _*).cast("long").as("n_keys"))
+      .orderBy(col("__op"))
+}

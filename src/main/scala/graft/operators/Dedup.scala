@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.functions.TextAnalysis._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension — the reference's only dedup notion is duplicate-PK
+  * detection, tests/drift_analysis.py:150-157).
+  *
+  * Scale design: every variant is shuffle-bounded by the *candidate*
+  * set, never all-pairs. Exact dedup is one hash-groupBy; MinHash-LSH
+  * shuffles (docs × bands) rows and joins only within LSH buckets;
+  * SimHash joins only within band-equal groups. Nothing collects to the
+  * driver.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical content
+    * (fingerprint = md5). One groupBy shuffle, map-side combined.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact duplicate groups: content hash → surviving id, duplicate count. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).cast("long").as("keep_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+
+  /** MinHash signature as an array<long> column: minhash_i = min over
+    * shingles of an affine transform of xxhash64(shingle). Computed
+    * per-row over the shingle array — no explode, no shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    // custom expression: one pass over the shingles computes all
+    // signature positions (the transform-per-hash HOF formulation
+    // re-walks the array numHashes times with per-element lambdas)
+    graft.plans.GraftFunctions.minhashSig(shingles, numHashes, seed)
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle → minhash(numHashes) → band hashes (bands × rowsPerBand) →
+    * bucket-join within (band, bandHash) → estimated Jaccard from
+    * signature agreement. Returns pairs (id_a < id_b) with est_jaccard ≥
+    * threshold.
+    *
+    * Scale: the bucket join's key space grows with corpus size so bucket
+    * sizes stay small; skewed buckets (boilerplate docs) are the known
+    * hotspot — cap per-bucket fan-out upstream by salting or dropping
+    * over-large buckets if needed.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(
+        array_distinct(charShingles(col(textCol), shingleLen)), numHashes).as("sig"))
+
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string")))))).as(Seq("band", "band_hash")))
+
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, lit(1)).otherwise(lit(null)))
+          , v => v.isNotNull)).cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit) near-dup: docs whose token-level simhash differs in
+    * ≤ maxHammingDistance bits. Banding on 4×16-bit chunks bounds the
+    * join (a pair within Hamming distance 3 shares ≥1 exact chunk).
+    */
+  def simhash(tokens: Column): Column = graft.plans.GraftFunctions.simhash64(tokens)
+
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHammingDistance: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
+    val chunked = sig.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHammingDistance)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share at
+    * least one shingle (inverted-index blocking — all-pairs is never
+    * materialized; non-near-dup pairs sharing common shingles are pruned
+    * by the similarity threshold after an exact set comparison).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 24, stride: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(charShingles(col(textCol), shingleLen, stride)).as("shingles"))
+    val inv = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val cand = inv.as("x").join(inv.as("y"), Seq("sh"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by
+    * hyperplane-LSH signature so only same-bucket pairs are compared.
+    */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

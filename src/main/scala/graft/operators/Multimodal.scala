@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star extension): image/audio/video
+  * payloads travel as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract / resize / frame-sample run as partition-wise
+  * batch transforms.
+  *
+  * The actual media codecs are NOT in this container, so the decoder is a
+  * clearly-marked deterministic STUB (`StubCodec`) — the Spark-side
+  * contract (schema, partitioning, batch shape, null handling) is real
+  * and tested, and a production build swaps `StubCodec` for a JNI/FFmpeg
+  * binding without touching the plan shape.
+  *
+  * Scale notes: payload rows are large — partition sizing must target
+  * `spark.sql.files.maxPartitionBytes`-scale partitions, and decode is
+  * mapPartitions (one codec init per partition, not per row), the Scala
+  * analog of Python's `mapInPandas` batch shape.
+  */
+object Multimodal {
+
+  /** Canonical media-row schema: id + kind + payload + sparse metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("mime", StringType))), nullable = true)))
+
+  /** ??? STUB codec ??? — deterministic fake in place of the real
+    * image/audio decoder (libs not present in this container). Derives
+    * "pixels"/"samples" from the payload bytes so tests are stable.
+    */
+  object StubCodec {
+    /** "Decode" a payload into nFeatures float features. Real impl:
+      * decode → resize → normalize → CNN/AST features.
+      */
+    private def splitmix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    def decodeFeatures(payload: Array[Byte], nFeatures: Int): Array[Float] = {
+      if (payload == null) return null
+      val out = new Array[Float](nFeatures)
+      var h = 1125899906842597L // deterministic fold of the bytes
+      var i = 0
+      while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+      var j = 0
+      while (j < nFeatures) {
+        val x = splitmix64(h + j) // full-avalanche mix per feature index
+        out(j) = ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        j += 1
+      }
+      out
+    }
+
+    /** "Resize": real impl rescales pixels; stub truncates/pads bytes. */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+      if (payload == null) null else java.util.Arrays.copyOf(payload, targetBytes)
+
+    /** Frame-sample positions for a video with n frames, every `stride`. */
+    def framePositions(nFrames: Int, stride: Int): Array[Int] =
+      (0 until nFrames by stride).toArray
+  }
+
+  /** Decode payloads to feature vectors, partition-wise (codec init once
+    * per partition — the mapInPandas batch shape).
+    */
+  def extractFeatures(df: DataFrame, nFeatures: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields.toSeq :+
+      StructField("features", ArrayType(FloatType), nullable = true))
+    val enc = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // real codec would initialize here, once per partition
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feats = StubCodec.decodeFeatures(payload, nFeatures)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Cheap metadata pass that needs no codec: byte length + content
+    * fingerprint — pure Column expressions, fully pushed down.
+    */
+  def payloadStats(df: DataFrame): DataFrame =
+    df.select(col("media_id"), col("kind"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("content_md5"))
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * index (the real impl would slice the payload per frame).
+    */
+  def sampleFrames(df: DataFrame, stride: Int = 10): DataFrame =
+    df.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), greatest(coalesce(col("meta.n_frames"), lit(1)) - 1, lit(0)),
+          lit(stride))).as("frame_idx"))
+}

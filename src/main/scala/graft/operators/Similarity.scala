@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension). Two tiers:
+  *
+  *  - `bruteForceTopK`: exact cosine top-k. O(n·m) pairs — the correct
+  *    baseline and the recall oracle for the approximate tier.
+  *  - `lshTopK`: hyperplane-LSH bucketed search — each query is compared
+  *    only against candidates sharing its (or a neighboring) signature;
+  *    at 100 TB this is the difference between a full cross join and a
+  *    bucket-local join. An IVF variant would k-means the corpus instead;
+  *    LSH needs no trained model, keeping the operator deterministic.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query vector (excluding self), ranked by
+    * cosine desc with id tiebreak. `queries` and `corpus` may be the same
+    * DataFrame for all-pairs self-search.
+    *
+    * Scale notes: the corpus side should be the smaller one (it is
+    * broadcast when it fits); ranking uses a per-query window on the
+    * joined pairs. For fixed small k, TakeOrderedAndProject-style
+    * partial top-k happens map-side via the window-before-filter plan
+    * under AQE.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10): DataFrame = {
+    // per-vector squared norms computed once, not once per pair
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      normSq(col(vecCol)).as("cn"))
+    val pairs = q.crossJoin(broadcast(c))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rank").cast("int").as("rank"))
+  }
+
+  /** Approximate top-k: multi-table hyperplane LSH. Each of `nTables`
+    * independent signatures buckets the corpus; a query compares only
+    * against vectors sharing a bucket in ANY table (union of candidates),
+    * plus Hamming-distance-1 buckets per table when `probeBits=1`
+    * (multi-probe). Recall ≈ 1-(1-p)^L for per-table collision p —
+    * tables buy recall at linear cost, where more bits per table would
+    * cut it exponentially.
+    *
+    * Scale: at corpus size N, bucket size ~ N/2^nBits per table; raise
+    * nBits with N (16+ at 100 TB) and keep nTables fixed — the candidate
+    * set stays ~nTables·(1+nBits)·N/2^nBits per query, vs N for brute
+    * force.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      nBits: Int = 6, nTables: Int = 4, probeBits: Int = 1): DataFrame = {
+    val sigCols = (0 until nTables).map(t =>
+      hyperplaneSignature(col(vecCol), nBits, seed = 42L + 1000L * t).as(s"__sig$t"))
+    val sig = df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+      normSq(col(vecCol)).as("nsq")) ++ sigCols: _*)
+    // query side probes: own bucket per table (+ Hamming-1 neighbors)
+    val qProbes = array((0 until nTables).flatMap { t =>
+      val base = col(s"__sig$t")
+      val own = struct(lit(t).as("t"), base.as("b"))
+      val nbrs =
+        if (probeBits >= 1) (0 until nBits).map(bit =>
+          struct(lit(t).as("t"), base.bitwiseXOR(shiftleft(lit(1L), bit)).as("b")))
+        else Nil
+      own +: nbrs
+    }: _*)
+    val cBuckets = array((0 until nTables).map(t =>
+      struct(lit(t).as("t"), col(s"__sig$t").as("b"))): _*)
+    val q = sig.select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
+      explode(qProbes).as("p")).select(col("query_id"), col("qv"), col("qn"),
+      col("p.t").as("t"), col("p.b").as("b"))
+    val c = sig.select(col("id").as("neighbor_id"), col("vec").as("cv"), col("nsq").as("cn"),
+      explode(cBuckets).as("p")).select(col("neighbor_id"), col("cv"), col("cn"),
+      col("p.t").as("t"), col("p.b").as("b"))
+    val pairs = q.join(c, Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id")) // dedup multi-table hits
+      .agg(first(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rank").cast("int").as("rank"))
+  }
+
+  /** Recall@k of an approximate result against the exact one — the
+    * quality gate for the ANN tier.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = exact.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+}

@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators where Spark's built-in
+  * higher-order functions (`transform`/`zip_with`/`aggregate`) are the
+  * bottleneck: HOFs evaluate one lambda call per element with boxing and
+  * per-element closures, which at millions of rows × 64-element arrays
+  * dominates runtime. Each expression below is a single tight eval loop
+  * per row (SURVEY §2 preference order (b): custom Expression before
+  * custom physical operator).
+  *
+  * Numeric parity note: `DotProductFF` folds strictly left-to-right in
+  * double, the same order DuckDB's `list_reduce` uses, so query results
+  * stay bit-identical to the SQL oracle.
+  */
+object Hash64 {
+  @inline final def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes with a splitmix finisher — deterministic,
+    * dependency-free, well-mixed for LSH/minhash use.
+    */
+  final def utf8(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    splitmix64(h)
+  }
+}
+
+/** Sequential-fold dot product of two float arrays in double precision. */
+case class DotProductFF(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** MinHash signature: for each of `numHashes` hash functions, the min
+  * over the shingle set of h_i(s) = splitmix64(base(s) ^ mix(i)). One
+  * pass over the shingles computes all signature positions.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val base = Hash64.utf8(arr.getUTF8String(i), seed)
+      var j = 0
+      while (j < numHashes) {
+        val h = Hash64.splitmix64(base ^ (j * 0xbf58476d1ce4e5b9L))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over a token array: per-bit vote of each token hash. */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = Hash64.utf8(arr.getUTF8String(i), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature of a float vector: `nBits` sign bits,
+  * plane components ±1 derived from splitmix64(seed, bit, dim).
+  */
+case class HyperplaneSig(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val s = Hash64.splitmix64(seed ^ (j * 0x9e3779b97f4a7c15L) ^ (i * 0xc2b2ae3d27d4eb4fL))
+        val sign = if ((s & 1L) == 0L) 1.0 else -1.0
+        proj += arr.getFloat(i).toDouble * sign
+        i += 1
+      }
+      if (proj >= 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API wrappers. */
+object GraftFunctions {
+  private def e(c: Column): Expression = GraftSqlShim.expression(c)
+  private def col(x: Expression): Column = GraftSqlShim.column(x)
+
+  def dotFF(a: Column, b: Column): Column = col(DotProductFF(e(a), e(b)))
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    col(MinHashSig(e(shingles), numHashes, seed))
+  def simhash64(tokens: Column, seed: Long = 42L): Column = col(SimHash64(e(tokens), seed))
+  def hyperplaneSig(vec: Column, nBits: Int, seed: Long = 42L): Column =
+    col(HyperplaneSig(e(vec), nBits, seed))
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 6
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base + " tail"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer rules and tungsten codegen execution engines"),
+    (3L, base.replace("quick", "rapid")), // near-dup of 0
+    (4L, "another unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content") {
+    val d = docs.unionByName(Seq((5L, base)).toDF("doc_id", "text"))
+    val kept = Dedup.exactDedup(d, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val groups = Dedup.exactDupGroups(d, "text", "doc_id")
+      .filter($"n_copies" > 1).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash-LSH finds injected near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleLen = 8, numHashes = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash hamming distance small for near-dups, large for distinct") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHammingDistance = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("ngram jaccard exact similarity on candidates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleLen = 12, stride = 1, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.contains((0L, 1L)) && m((0L, 1L)) > 0.8)
+    assert(!m.contains((0L, 2L)))
+  }
+
+  test("embedding near-dup via hyperplane LSH blocking") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f, 0f)), // near 0
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      threshold = 0.95, nBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("brute-force cosine top-k is exact on known geometry") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1(0L) == 1L && top1(1L) == 0L && top1(3L) == 2L)
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+      nBits = 6, nTables = 4, probeBits = 1)
+    val recall = Similarity.recallAtK(approx, exact)
+    assert(recall > 0.25, s"recall@5 = $recall")
+  }
+
+  test("cosine expression matches scalar computation") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].head()
+    val expect = (4.0 + 10.0 + 18.0) /
+      (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+}
