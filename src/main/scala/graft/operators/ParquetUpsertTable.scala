@@ -36,10 +36,40 @@ class ParquetUpsertTable(
   /** Bootstrap/seed the table from a snapshot (T2 `schema_only` seed:
     * batch load then stream from the recorded position).
     */
-  def seed(snapshot: DataFrame): Unit =
+  def seed(snapshot: DataFrame): Unit = {
     snapshot.withColumn(BucketCol, bucketExpr)
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    recordSchemaVersion(snapshot.schema)
+  }
+
+  /** S11 schema-history log — every schema version is appended as JSON
+    * under `<path>.schema_history/` for restart/forensics, the engine
+    * analog of Debezium's schema-history topic (reference:
+    * connectors/sources/mariadb/trading.json:22-25).
+    */
+  def recordSchemaVersion(schema: org.apache.spark.sql.types.StructType): Unit = {
+    val dir = new Path(s"$path.schema_history")
+    val f = fs
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val version = f.listStatus(dir).length
+    val out = f.create(new Path(dir, f"v$version%05d.json"), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Recorded schema versions, oldest first (S11 read side). */
+  def schemaHistory(): Seq[org.apache.spark.sql.types.StructType] = {
+    val dir = new Path(s"$path.schema_history")
+    val f = fs
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath).sortBy(_.getName).toSeq.map { p =>
+      val in = f.open(p)
+      val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      try in.readFully(0, buf) finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(new String(buf, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
 
   /** Merge a batch of unwrapped change events (`__op`, ordering cols +
     * row fields): upsert latest-per-key, apply deletes, rewriting only
@@ -58,12 +88,28 @@ class ParquetUpsertTable(
     val bucketed = changes.withColumn(BucketCol, bucketExpr)
     val touched = bucketed.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by numBuckets, driver-safe
-    val current = spark.read.parquet(path)
+    val currentRaw = spark.read.parquet(path)
       .filter(col(BucketCol).isin(touched: _*))
       .drop(BucketCol)
+    // T8 additive schema evolution (schema.evolution=basic, reference:
+    // connectors/sinks/postgres/trading.json:17): new incoming fields
+    // are added to the table as nulls for pre-existing rows.
+    val incomingFields = changes.schema.fields
+      .filter(f => !f.name.startsWith("__") && !currentRaw.columns.contains(f.name))
+    val current = incomingFields.foldLeft(currentRaw) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    if (incomingFields.nonEmpty) recordSchemaVersion(current.schema)
+    // reverse alignment: short batches (columns dropped upstream) get
+    // nulls for table columns they don't carry
+    val missingInChanges = current.schema.fields
+      .filter(f => !bucketed.columns.contains(f.name))
+    val alignedChanges = missingInChanges.foldLeft(bucketed.drop(BucketCol)) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
     val rowCols = current.columns.toSeq
     val merged = CdcMerge.applyChanges(
-      current, bucketed.drop(BucketCol), pkCols, orderCols)
+      current, alignedChanges, pkCols, orderCols)
       .select(rowCols.map(col): _*)
       .withColumn(BucketCol, bucketExpr)
 

@@ -54,3 +54,26 @@ class CdcPipelineSpec extends SparkSuite {
     assert(lag.isDefined && lag.get <= 60)
   }
 }
+
+class DlqSpec extends SparkSuite {
+  import graft.catalog.TableMeta
+  import graft.streaming.CdcPipeline
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("S10: failing batch is routed to the DLQ, stream survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("dlq")
+    // PK column that does not exist in the row schema -> merge fails
+    val pipe = new CdcPipeline(spark, TableMeta("broken", Seq("no_such_col")),
+      s"$base/table", s"$base/ckpt", dlqPath = Some(s"$base/dlq"), numBuckets = 2)
+    val stream = MemoryStream[Env]
+    val q = pipe.start(stream.toDF())
+    stream.addData(Env("c", 1, SrcMeta("db", "t", 1), null, RowKV(1, "a")))
+    q.processAllAvailable()
+    q.stop()
+    val dlq = spark.read.parquet(s"$base/dlq")
+    assert(dlq.count() == 1)
+    assert(dlq.columns.contains("__error") && dlq.columns.contains("__batch_id"))
+  }
+}

@@ -85,3 +85,64 @@ class CdcSpec extends SparkSuite {
       Seq(KV(1, "a"), KV(2, "B"), KV(5, "e"), KV(10, "j")))
   }
 }
+
+class SchemaEvolutionSpec extends SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.ParquetUpsertTable
+
+  test("T8 additive schema evolution + S11 schema history") {
+    val path = tmpDir("evolve") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 4)
+    t.seed(Seq(KV(1, "a"), KV(2, "b")).toDS().toDF())
+    // batch carries a new column `extra`
+    val ch = Seq((2L, "B", 7, "u", 1L, 0L), (3L, "c", 9, "c", 1L, 1L))
+      .toDF("k", "v", "extra", "__op", "__source_ts_ms", "__seq")
+    t.merge(ch, Seq(col("__source_ts_ms"), col("__seq")))
+    val got = t.read().orderBy("k").collect()
+    assert(t.read().columns.toSet == Set("k", "v", "extra"))
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byK = got.map(r => r.getLong(0) -> r).toMap
+    assert(byK(1L).isNullAt(byK(1L).fieldIndex("extra"))) // old row -> null
+    assert(byK(2L).getInt(byK(2L).fieldIndex("extra")) == 7)
+    assert(t.schemaHistory().size == 2) // seed schema + evolved schema
+    assert(t.schemaHistory().last.fieldNames.contains("extra"))
+  }
+
+  test("short batches (missing table columns) merge as nulls") {
+    val path = tmpDir("shortb") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 4)
+    t.seed(Seq(KV(1, "a")).toDS().toDF())
+    val ch = Seq((2L, "u", 1L, 0L)).toDF("k", "__op", "__source_ts_ms", "__seq")
+    t.merge(ch, Seq(col("__source_ts_ms"), col("__seq")))
+    val rows = t.read().orderBy("k").collect()
+    assert(rows.length == 2 && rows(1).isNullAt(rows(1).fieldIndex("v")))
+  }
+}
+
+class DriftAnalysisSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+  import graft.catalog.TableMeta
+  import graft.operators.DriftAnalysis
+  import graft.sources.Tables
+
+  test("drift report quantifies duplicates/orphans with root causes") {
+    val src = Tables.orders(spark, sf001)
+    val sink = src
+      .unionByName(src.filter(col("o_orderkey") % 100 === 0)) // duplicates
+      .unionByName(src.limit(3).withColumn("o_orderkey", col("o_orderkey") + 10000000L)) // orphans
+    val r = DriftAnalysis.analyze(src, sink, TableMeta.testTables("orders"))
+    assert(r.duplicateCount >= 15)
+    assert(r.orphanCount == 3)
+    assert(r.rootCauses.exists(_.startsWith("duplicates_detected")))
+    assert(r.rootCauses.exists(_.contains("orphans")))
+    assert(r.orphanPks.size == 3 && r.duplicatePks.nonEmpty)
+  }
+
+  test("clean tables produce the clean verdict") {
+    val src = Tables.orders(spark, sf001)
+    val r = DriftAnalysis.analyze(src, src, TableMeta.testTables("orders"))
+    assert(r.duplicateCount == 0 && r.orphanCount == 0)
+    assert(r.rootCauses.exists(_.startsWith("clean")))
+  }
+}
