@@ -55,6 +55,20 @@ class CdcPipeline(spark: SparkSession, meta: TableMeta, tablePath: String,
     }
   }
 
+  /** T2 bootstrap: seed the materialized table from a batch snapshot if
+    * it does not exist yet (`schema_only`-style: batch seed, then the
+    * stream applies changes from its recorded position; reference:
+    * connectors/sources/mariadb/trading.json:18). For `recovery`-style
+    * re-seeds of selected tables, call with `force = true` while the
+    * stream for other tables keeps running.
+    */
+  def bootstrap(snapshot: DataFrame, force: Boolean = false): Unit =
+    if (force || !table.exists) {
+      val repaired = graft.functions.Conversions.lowercaseColumns(
+        Envelope.castColumns(snapshot, meta.casts))
+      table.seed(repaired)
+    }
+
   /** Start the stream: envelope rows in, materialized keyed table out. */
   def start(envelopeStream: DataFrame,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =

@@ -77,3 +77,32 @@ class DlqSpec extends SparkSuite {
     assert(dlq.columns.contains("__error") && dlq.columns.contains("__batch_id"))
   }
 }
+
+class BootstrapSpec extends SparkSuite {
+  import graft.catalog.TableMeta
+  import graft.streaming.CdcPipeline
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("T2 bootstrap: batch seed then stream changes on top") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("boot")
+    val pipe = new CdcPipeline(spark, TableMeta("t3", Seq("k")),
+      s"$base/table", s"$base/ckpt", numBuckets = 4)
+    pipe.bootstrap(Seq(RowKV(1, "seed1"), RowKV(2, "seed2")).toDF())
+    assert(pipe.table.read().as[RowKV].collect().sortBy(_.k).toSeq ==
+      Seq(RowKV(1, "seed1"), RowKV(2, "seed2")))
+    pipe.bootstrap(Seq(RowKV(9, "ignored")).toDF()) // second seed: no-op
+    assert(pipe.table.read().count() == 2)
+
+    val stream = MemoryStream[Env]
+    val q = pipe.start(stream.toDF())
+    stream.addData(
+      Env("u", 5, SrcMeta("db", "t", 5), RowKV(1, "seed1"), RowKV(1, "upd1")),
+      Env("d", 5, SrcMeta("db", "t", 5), RowKV(2, "seed2"), null))
+    q.processAllAvailable()
+    q.stop()
+    assert(pipe.table.read().as[RowKV].collect().sortBy(_.k).toSeq ==
+      Seq(RowKV(1, "upd1")))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.catalog.TypeMapper
+import graft.functions.Conversions
+import graft.plans.Hash64
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based laws for the conversion layer (SURVEY §5 test plan
+  * item (e)): zero-date nulling, NUL-strip idempotence, COPY-escape
+  * reversibility, TypeMapper totality, hash determinism.
+  *
+  * Spark-evaluated properties batch all samples into one DataFrame per
+  * law (one job per law, not per sample).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiGen: Gen[String] =
+    Gen.listOf(Gen.choose(0, 127).map(_.toChar)).map(_.mkString.take(200))
+
+  test("TypeMapper is total: never throws on arbitrary type strings") {
+    check(Prop.forAll(Gen.alphaNumStr, Gen.option(Gen.choose(1, 64))) { (base, p) =>
+      val t = p.map(n => s"$base($n)").getOrElse(base)
+      TypeMapper.toSparkType(t) != null
+    })
+  }
+
+  test("NUL strip removes every NUL and is idempotent (batched)") {
+    val samples = Gen.listOfN(200, asciiGen).sample.get
+    val once = samples.toDF("s").select(Conversions.stripNul($"s").as("s"))
+    val got = once.as[String].collect()
+    assert(got.forall(!_.contains("\u0000")))
+    val twice = got.toSeq.toDF("s").select(Conversions.stripNul($"s")).as[String].collect()
+    assert(twice.toSeq == got.toSeq)
+  }
+
+  test("COPY escape emits no raw control chars and reverses (batched)") {
+    val samples = Gen.listOfN(200, asciiGen).sample.get
+    val out = samples.toDF("s").select($"s", Conversions.copyEscape($"s").as("e"))
+      .as[(String, String)].collect()
+    out.foreach { case (orig, esc) =>
+      assert(!esc.exists(c => c == '\n' || c == '\r' || c == '\t'))
+      val restored = new StringBuilder
+      var i = 0
+      while (i < esc.length) {
+        if (esc(i) == '\\' && i + 1 < esc.length) {
+          esc(i + 1) match {
+            case 'n' => restored += '\n'; case 'r' => restored += '\r'
+            case 't' => restored += '\t'; case '\\' => restored += '\\'
+            case other => restored += '\\' += other
+          }
+          i += 2
+        } else { restored += esc(i); i += 1 }
+      }
+      assert(restored.toString == orig, s"roundtrip failed for ${orig.map(_.toInt)}")
+    }
+  }
+
+  test("zero-date conversion: zero-dates null, sane dates preserved (batched)") {
+    val dates = (1 to 100).map { i =>
+      f"${1970 + i % 130}%04d-${1 + i % 12}%02d-${1 + i % 28}%02d"
+    }
+    val rows = dates.flatMap(d => Seq(d, s"0000-00-00 $d"))
+    val got = rows.toDF("s").select(Conversions.zeroDateToNull($"s")).collect()
+    rows.zip(got).foreach { case (in, r) =>
+      if (in.startsWith("0000-00-00")) assert(r.isNullAt(0))
+      else assert(r.getString(0) == in)
+    }
+  }
+
+  test("Hash64 is deterministic, seed-sensitive, well-spread") {
+    check(Prop.forAll(Gen.alphaNumStr, Gen.long) { (s, seed) =>
+      Hash64.utf8(UTF8String.fromString(s), seed) ==
+        Hash64.utf8(UTF8String.fromString(s), seed)
+    })
+    // different seeds disagree somewhere
+    val vals = (0L until 64L).map(seed => Hash64.utf8(UTF8String.fromString("x"), seed))
+    assert(vals.distinct.size > 60)
+  }
+}
