@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at scale. The reference never needed
+  * this (per-table workers, single-node SQL); a 100 TB Spark job does:
+  * one pathological key (a boilerplate document hash, a null-ish PK, a
+  * mega-customer) turns a groupBy/join into a single straggler task.
+  *
+  * Two tools:
+  *  - AQE (`spark.sql.adaptive.skewJoin.enabled`, on by default in the
+  *    session factory) re-splits skewed join partitions at runtime;
+  *  - explicit two-phase salted aggregation below for skewed groupBys,
+  *    where AQE cannot help because the skew is in the aggregation key
+  *    itself.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy(keys :+ salt) partial-agg,
+    * then groupBy(keys) final-agg. Correct for any algebraic aggregate
+    * expressed as (partial, merge) pairs.
+    *
+    * @param partials per-output: (partialExpr, mergeExprOnPartialCol)
+    *                 e.g. ("cnt", count(lit(1)), c => sum(c)) computes a
+    *                 global count via per-salt counts.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      partials: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head._2.as(s"__p_${partials.head._1}"),
+        partials.tail.map(p => p._2.as(s"__p_${p._1}")): _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(partials.head._3(col(s"__p_${partials.head._1}")).as(partials.head._1),
+        partials.tail.map(p => p._3(col(s"__p_${p._1}")).as(p._1)): _*)
+  }
+
+  /** Salted count/sum convenience: the common monitoring shape. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], sumCol: String,
+      saltBuckets: Int = 16): DataFrame =
+    saltedAgg(df, keys, saltBuckets, Seq(
+      ("cnt", count(lit(1)), (c: Column) => sum(c).cast("long")),
+      (s"sum_$sumCol", sum(col(sumCol)), (c: Column) => sum(c))))
+
+  /** Broadcast-salt join helper for a skewed LEFT key joining a small-ish
+    * right side: replicate each right row `saltBuckets` times, salt the
+    * left side randomly-but-deterministically, join on (key, salt). Use
+    * when the right side is too big for a plain broadcast but the left
+    * key histogram is pathological.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Envelope, Skew, SmtChain}
+import graft.streaming.WindowedMetrics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("SMT chain composes unwrap -> rename -> cast -> lowercase like the connector config") {
+    val rows = Seq((1L, "u1", 1), (2L, "u2", 0)).toDF("ID", "user", "Flag")
+    val env = Envelope.wrap(rows, "xchange_live", "T_CARRIER", lit("c"), lit(5L))
+    val chain = SmtChain.chain(Seq(
+      SmtChain.IncludeList(Seq(("xchange_live", "T_CARRIER"))),
+      SmtChain.Unwrap,
+      SmtChain.RenameIf(".*T_CARRIER", Map("user" -> "owner_user_id")),
+      SmtChain.CastValues(Map("Flag" -> BooleanType)),
+      SmtChain.LowercaseNames),
+      topic = "xchange_live_v2.xchange_live.T_CARRIER")
+    val got = chain(env)
+    assert(got.columns.contains("owner_user_id") && got.columns.contains("id"))
+    assert(got.schema("flag").dataType == BooleanType)
+    assert(got.filter(col("__op") === "c").count() == 2)
+  }
+
+  test("SMT include-list drops non-allowlisted tables") {
+    val rows = Seq((1L, "x")).toDF("id", "v")
+    val env = Envelope.wrap(rows, "db_other", "t_other", lit("c"), lit(1L))
+    val chain = SmtChain.chain(Seq(
+      SmtChain.IncludeList(Seq(("db_keep", "t_keep"))), SmtChain.Unwrap), "topic")
+    assert(chain(env).count() == 0)
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+    val plain = li.groupBy("l_returnflag").agg(
+      count(lit(1)).cast("long").as("cnt"),
+      sum(col("l_quantity").cast("decimal(28,4)")).as("sum_l_quantity"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val salted = Skew.saltedCountSum(
+      li.withColumn("l_quantity", col("l_quantity").cast("decimal(28,4)")),
+      Seq("l_returnflag"), "l_quantity")
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join equals the plain join") {
+    val left = (1 to 1000).map(i => (i % 3 + 1L, i)).toDF("k", "x") // skewed: 3 keys
+    val right = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val plain = left.join(right, "k").agg(count(lit(1)), sum("x")).head()
+    val salted = Skew.saltedJoin(left, right, "k").agg(count(lit(1)), sum("x")).head()
+    assert(salted == plain)
+  }
+
+  test("windowed event rate with watermark over a replayed stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = WindowedMetrics.eventRate(df, "ts", "event_type",
+      windowLen = "10 minutes", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("rates")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    stream.addData((t0, "click", 1.0), (ts(2), "click", 2.0), (ts(12), "view", 5.0))
+    q.processAllAvailable()
+    stream.addData((ts(25), "click", 1.0)) // advances watermark, closes earlier windows
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT event_type, n_events, sum_value FROM rates ORDER BY window_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("custom expressions callable from SQL after registration") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
+    val d = spark.sql("SELECT graft_dot(a, b) AS d FROM v").head().getDouble(0)
+    assert(d == 11.0)
+    val sh = spark.sql("SELECT graft_simhash(array('x','y')) AS s FROM v").head().getLong(0)
+    assert(sh == spark.sql("SELECT graft_simhash(array('x','y'), 42) AS s FROM v").head().getLong(0))
+    val mh = spark.sql("SELECT graft_minhash(array('ab','cd'), 4) AS m FROM v")
+      .head().getSeq[Long](0)
+    assert(mh.length == 4)
+  }
+}
