@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape regression guards: the physical plans that make these
+  * queries scale must not silently degrade (pushdown lost, broadcast
+  * falling back to sort-merge, extra shuffles).
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf001)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(scan.contains("ReadSchema: struct<l_quantity:double"))
+    assert(!scan.contains("l_partkey")) // pruned
+  }
+
+  test("q5_star_join plans as a broadcast chain, never sort-merge") {
+    val plan = planOf("q5_star_join")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("j1 anti-join is a hash anti-join") {
+    val plan = planOf("j1_anti_join")
+    assert(plan.contains("LeftAnti"))
+  }
+
+  test("w1 latest-per-key needs exactly one shuffle for the window") {
+    val plan = planOf("w1_latest_per_key")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("o2 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("o2_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("a2/a3 single-scan multi-aggregate reads only the PK columns") {
+    val df = SparkEntry.queries("a2_distinct_pk")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"))
+  }
+}

@@ -68,3 +68,32 @@ class ValidationSpec extends SparkSuite {
     assert(orphans.as[Long].collect().toSeq == Seq(9L)) // null key not an orphan
   }
 }
+
+class ValidationRunnerSpec extends SparkSuite {
+  import graft.catalog.TableMeta
+  import graft.operators.ValidationRunner
+  import graft.sources.Tables
+  import org.apache.spark.sql.functions._
+
+  test("multi-table suite folds statuses and renders a report") {
+    val o = Tables.orders(spark, sf001)
+    val c = Tables.customer(spark, sf001)
+    val driftedOrders = o.filter(col("o_orderkey") % 50 =!= 0) // 2% loss -> FAIL smoke
+    val suite = ValidationRunner.runAll(Seq(
+      (TableMeta.testTables("orders"), o, driftedOrders),
+      (TableMeta.testTables("customer"), c, c)))
+    assert(suite.reports.size == 2)
+    assert(!suite.allConsistent && suite.exitCode == 1)
+    val text = ValidationRunner.render(suite)
+    assert(text.contains("[FAIL] orders") || text.contains("[WARN] orders"))
+    assert(text.contains("[PASS] customer"))
+    assert(text.contains("OVERALL: INCONSISTENT"))
+  }
+
+  test("clean suite exits 0") {
+    val c = Tables.customer(spark, sf001)
+    val suite = ValidationRunner.runAll(Seq((TableMeta.testTables("customer"), c, c)))
+    assert(suite.allConsistent && suite.exitCode == 0)
+    assert(ValidationRunner.render(suite).contains("OVERALL: CONSISTENT"))
+  }
+}
