@@ -508,6 +508,22 @@ object Queries {
     */
   val snapLoad: Q = (s, d) =>
     Conversions.lowercaseColumns(li(s, d)).orderBy("l_orderkey", "l_linenumber")
+
+  /** The whole validation suite (checks 1–6) over orders-vs-drifted-sink
+    * as one benchmarkable entry (rows-only oracle: multi-action driver
+    * logic). BASELINE target: < 10 s at sf0.1.
+    */
+  val validationSuite: Q = (s, d) => {
+    val source = li(s, d)
+    val sink = source.filter(col("l_orderkey") % 97 =!= 0)
+      .unionByName(source.filter(col("l_orderkey") % 31 === 0))
+    val report = Validation.runAllChecks(source, sink,
+      graft.catalog.TableMeta.testTables("lineitem"))
+    import s.implicits._
+    report.checks.map(c => (report.table, c.check, c.status,
+      c.details.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("; ")))
+      .toDF("table_name", "check", "status", "details")
+  }
   val snapLoadSql =
     """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
       |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,

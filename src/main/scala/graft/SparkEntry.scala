@@ -1,10 +1,6 @@
 package graft
 
-import graft.catalog.TableMeta
-import graft.operators.Validation
-import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,19 +15,8 @@ object SparkEntry {
     * (checks 1–6) run source-vs-sink on a sink with injected drift
     * (duplicates, orphans, lost rows), as a report DataFrame.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val source = Tables.lineitem(spark, dir)
-    // inject drift: drop some rows (loss), duplicate others (dupes)
-    val sink = source.filter(col("l_orderkey") % 97 =!= 0)
-      .unionByName(source.filter(col("l_orderkey") % 31 === 0))
-    val report = Validation.runAllChecks(source, sink, TableMeta.testTables("lineitem"))
-    import spark.implicits._
-    report.checks.map(c =>
-      (report.table, c.check, c.status,
-        c.details.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("; ")))
-      .toDF("table_name", "check", "status", "details")
-  }
+  def entry(spark: SparkSession): DataFrame =
+    Queries.validationSuite(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -72,6 +57,7 @@ object SparkEntry {
     "o3_sample" -> Queries.o3Sample,
     "x1_except" -> Queries.x1Except,
     // analytic joins/aggs + snapshot scan
+    "v0_validation_suite" -> Queries.validationSuite,
     "q1_agg" -> Queries.q1Agg,
     "q3_topk_join" -> Queries.q3TopkJoin,
     "q5_star_join" -> Queries.q5StarJoin,
