@@ -69,5 +69,5 @@ object Conversions {
 
   /** P8: lowercase all column names (reference: migrate_v3.py:396,590). */
   def lowercaseColumns(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 }

@@ -90,7 +90,7 @@ class DeltaLogTable(
     if (!exists) {
       val latest = CdcMerge.latestPerKey(changes, pkCols, orderCols)
         .filter(col("__op") =!= Envelope.OpDelete)
-      seed(latest.drop(latest.columns.filter(_.startsWith("__")): _*))
+      seed(latest.drop(latest.columns.toIndexedSeq.filter(_.startsWith("__")): _*))
       return
     }
     append(changes, orderCols)

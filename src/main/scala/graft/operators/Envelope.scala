@@ -44,7 +44,7 @@ object Envelope {
     * every row becomes an event with the given op derived per-row.
     */
   def wrap(df: DataFrame, db: String, table: String, opCol: Column, tsMsCol: Column): DataFrame = {
-    val rowStruct = struct(df.columns.map(col): _*)
+    val rowStruct = struct(df.columns.toIndexedSeq.map(col): _*)
     df.select(
       opCol.as("op"),
       tsMsCol.as("ts_ms"),
@@ -65,7 +65,7 @@ object Envelope {
       when(col("op") === OpDelete, col(s"before.$f")).otherwise(col(s"after.$f")).as(f)
     }
     // Extra top-level "__" columns (e.g. a stream offset "__seq") pass through.
-    val passthrough = envelope.columns.filter(_.startsWith("__")).map(col(_))
+    val passthrough = envelope.columns.toIndexedSeq.filter(_.startsWith("__")).map(col(_))
     envelope.select(rowCols ++ Seq(
       col("op").as("__op"),
       col("source.ts_ms").as("__source_ts_ms"),

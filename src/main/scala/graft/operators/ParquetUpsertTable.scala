@@ -82,7 +82,7 @@ class ParquetUpsertTable(
       val latest = CdcMerge.latestPerKey(changes, pkCols, orderCols)
         .filter(col("__op") =!= Envelope.OpDelete)
         .drop("__op")
-      seed(latest.drop(latest.columns.filter(_.startsWith("__")): _*))
+      seed(latest.drop(latest.columns.toIndexedSeq.filter(_.startsWith("__")): _*))
       return
     }
     val bucketed = changes.withColumn(BucketCol, bucketExpr)
