@@ -38,14 +38,12 @@ object Queries {
     def cnt(name: String) =
       Tables(s, d, name).agg(count(lit(1)).cast("long").as("row_cnt"))
         .select(lit(name).as("table_name"), col("row_cnt"))
-    cnt("customer").unionByName(cnt("orders")).unionByName(cnt("lineitem"))
-      .orderBy("table_name")
+    Tables.all.map(cnt).reduce(_ unionByName _).orderBy("table_name")
   }
-  val a1Sql =
-    """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_cnt FROM customer
-      |UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
-      |UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
-      |ORDER BY table_name""".stripMargin
+  val a1Sql: String =
+    Tables.all
+      .map(t => s"SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_cnt FROM $t")
+      .mkString("", "\nUNION ALL ", "\nORDER BY table_name")
 
   /** A2 — composite distinct-PK cardinality (reference: tests/validation.py:399-461). */
   val a2DistinctPk: Q = (s, d) =>

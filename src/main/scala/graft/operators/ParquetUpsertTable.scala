@@ -33,6 +33,20 @@ class ParquetUpsertTable(
   /** Current materialized state (without the internal bucket column). */
   def read(): DataFrame = spark.read.parquet(path).drop(BucketCol)
 
+  /** P9 at scale: PK point lookup reading ONLY the key's hash bucket —
+    * partition pruning via the bucket directory, so a lookup touches
+    * 1/numBuckets of the table regardless of size.
+    */
+  def lookup(pkValues: Map[String, Any]): DataFrame = {
+    require(pkValues.keySet == pkCols.toSet, s"lookup needs all PK cols $pkCols")
+    val keyRow = pkCols.map(pkValues)
+    val bucketDf = spark.range(1).select(
+      pmod(xxhash64(keyRow.map(v => lit(v)): _*), lit(numBuckets.toLong)).cast("int"))
+    val bucket = bucketDf.head().getInt(0)
+    spark.read.parquet(s"$path/$BucketCol=$bucket")
+      .filter(pkValues.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+  }
+
   /** Bootstrap/seed the table from a snapshot (T2 `schema_only` seed:
     * batch load then stream from the recorded position).
     */

@@ -146,3 +146,20 @@ class DriftAnalysisSpec extends SparkSuite {
     assert(r.rootCauses.exists(_.startsWith("clean")))
   }
 }
+
+class LookupSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.ParquetUpsertTable
+
+  test("P9 bucket-pruned point lookup reads one bucket and finds the row") {
+    val path = tmpDir("lookup") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 16)
+    t.seed((1L to 500L).map(i => KV(i, s"v$i")).toDF("k", "v"))
+    val hit = t.lookup(Map("k" -> 123L))
+    assert(hit.as[KV].collect().toSeq == Seq(KV(123, "v123")))
+    // the pruned scan reads a single bucket directory
+    val scanned = hit.queryExecution.executedPlan.toString
+    assert(scanned.contains("__bucket="))
+    assert(t.lookup(Map("k" -> 99999L)).count() == 0)
+  }
+}
