@@ -1,0 +1,138 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic breadth beyond the reference's validation surface: rollup
+  * aggregation, ordered window math (running sums, lead/lag deltas),
+  * gap-based sessionization, histogram binning, and stream-enrichment
+  * joins — the shapes a monitoring/training pipeline runs over the
+  * change stream's materialized tables.
+  *
+  * Determinism: window frames are totally ordered (unique tiebreak),
+  * running sums fold decimals (exact) and cast to double per row, and
+  * rollup NULL rows sort NULLS FIRST in both engines.
+  */
+object QueriesAnalytic {
+  import Queries.Q
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Rollup: revenue by region/nation with subtotals and a grand total. */
+  val q6Rollup: Q = (s, d) => {
+    val n = Tables.nation(s, d); val r = Tables.region(s, d)
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(28,4)")).cast("double").as("revenue"),
+        count(lit(1)).cast("long").as("n_orders"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+  val q6Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Running (cumulative) value per user over event time — exact decimal
+    * accumulation cast to double per row.
+    */
+  val w3RunningSum: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d).select(col("user_id"), col("event_id"),
+      sum(col("value").cast("decimal(28,6)")).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+  val w3Sql =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Lead/lag: inter-event gap per user in milliseconds (exact longs). */
+  val w4LeadLag: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d).select(col("user_id"), col("event_id"),
+      (unix_millis(col("ts").cast("timestamp")) -
+        lag(unix_millis(col("ts").cast("timestamp")), 1).over(w)).as("gap_ms"),
+      (lead(unix_millis(col("ts").cast("timestamp")), 1).over(w) -
+        unix_millis(col("ts").cast("timestamp"))).as("next_gap_ms"))
+      .orderBy("user_id", "event_id")
+  }
+  val w4Sql =
+    """SELECT user_id, event_id,
+      |  epoch_ms(CAST(ts AS TIMESTAMP)) - LAG(epoch_ms(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_ms,
+      |  LEAD(epoch_ms(CAST(ts AS TIMESTAMP)), 1) OVER w - epoch_ms(CAST(ts AS TIMESTAMP)) AS next_gap_ms
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Gap-based sessionization: a new session starts after a >30-minute
+    * silence; session_id = cumulative count of session starts (exact
+    * integer logic, the classic training-pipeline event grouping).
+    */
+  val w5Sessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = unix_millis(col("ts").cast("timestamp")) -
+      lag(unix_millis(col("ts").cast("timestamp")), 1).over(w)
+    ev(s, d)
+      .withColumn("__new_session",
+        when(gapMs.isNull || gapMs > 30L * 60000L, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("__new_session"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("session_id"))
+      .orderBy("user_id", "event_id")
+  }
+  val w5Sql =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts2, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2,
+      |    CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) - LAG(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+      |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) > 1800000
+      |         OR LAG(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+      |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Histogram binning over order totals (exact integer bins). */
+  val h1Histogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 10000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_orders"))
+      .orderBy("bin")
+  val h1Sql =
+    """SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Stream-enrichment join shape: events enriched with a broadcast
+    * dimension (the batch form of a stream-table join).
+    */
+  val j5Enrich: Q = (s, d) =>
+    ev(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy("event_id")
+  val j5Sql =
+    """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+}

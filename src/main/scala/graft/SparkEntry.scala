@@ -59,6 +59,12 @@ object SparkEntry {
     // analytic joins/aggs + snapshot scan
     "v0_validation_suite" -> Queries.validationSuite,
     "q1_agg" -> Queries.q1Agg,
+    "q6_rollup" -> QueriesAnalytic.q6Rollup,
+    "w3_running_sum" -> QueriesAnalytic.w3RunningSum,
+    "w4_lead_lag" -> QueriesAnalytic.w4LeadLag,
+    "w5_sessionize" -> QueriesAnalytic.w5Sessionize,
+    "h1_histogram" -> QueriesAnalytic.h1Histogram,
+    "j5_enrich" -> QueriesAnalytic.j5Enrich,
     "q3_topk_join" -> Queries.q3TopkJoin,
     "q5_star_join" -> Queries.q5StarJoin,
     "s2_snap_load" -> Queries.snapLoad,
@@ -118,6 +124,12 @@ object SparkEntry {
     "o3_sample" -> Queries.o3Sql,
     "x1_except" -> Queries.x1Sql,
     "q1_agg" -> Queries.q1Sql,
+    "q6_rollup" -> QueriesAnalytic.q6Sql,
+    "w3_running_sum" -> QueriesAnalytic.w3Sql,
+    "w4_lead_lag" -> QueriesAnalytic.w4Sql,
+    "w5_sessionize" -> QueriesAnalytic.w5Sql,
+    "h1_histogram" -> QueriesAnalytic.h1Sql,
+    "j5_enrich" -> QueriesAnalytic.j5Sql,
     "q3_topk_join" -> Queries.q3Sql,
     "q5_star_join" -> Queries.q5Sql,
     "s2_snap_load" -> Queries.snapLoadSql,
