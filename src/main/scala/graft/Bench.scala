@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up: JVM/codegen init + file-index the inputs once, so the
+    // per-query numbers measure the queries, not session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.all.foreach { t =>
+      try graft.sources.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -184,26 +184,76 @@ object Validation {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One-scan per-side profile: row count, distinct PKs, NULL-PK rows,
+    * and (when configured) max timestamp — the reference's combined
+    * multi-aggregate single-scan technique (reference:
+    * tests/validation.py:480-486) extended to cover checks 2–4 and 6.
+    */
+  private case class SideProfile(total: Long, distinctPks: Long, nullPk: Long,
+      maxTs: Option[java.sql.Timestamp])
+
+  private def sideProfile(df: DataFrame, meta: TableMeta): SideProfile = {
+    val nullPk = meta.pkCols.map(col(_).isNull).reduce(_ || _)
+    val aggs = Seq(
+      count(lit(1)).as("total"),
+      pkCountDistinct(meta.pkCols).as("distinct"),
+      coalesce(sum(when(nullPk, 1L).otherwise(0L)), lit(0L)).as("nullpk")) ++
+      meta.tsCol.map(ts => max(col(ts)).cast("timestamp").as("maxts")).toSeq
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    SideProfile(r.getLong(0), r.getLong(1), r.getLong(2),
+      meta.tsCol.flatMap(_ => Option(r.getTimestamp(3))))
+  }
+
   /** Checks 1–6 — the reference's `run_all_checks` orchestration
-    * (reference: tests/validation.py:735-788).
+    * (reference: tests/validation.py:735-788), computed in three Spark
+    * actions total: one combined-aggregate scan per side plus the
+    * distributed anti-join.
     */
   def runAllChecks(source: DataFrame, sink: DataFrame, meta: TableMeta,
       slaMinutes: Double = 15.0): TableValidationReport = {
-    val dupRow = duplicationProfile(sink, meta.pkCols).head()
+    val sp = sideProfile(source, meta)
+    val kp = sideProfile(sink, meta)
+
+    val driftPct = if (sp.total == 0) (if (kp.total == 0) 0.0 else 100.0)
+      else math.abs(sp.total - kp.total) * 100.0 / sp.total
+    val smoke = CheckResult("row_count_smoke",
+      if (driftPct >= 1.0) "FAIL" else if (driftPct >= 0.1) "WARN" else "PASS",
+      Map("source_rows" -> sp.total.toString, "sink_rows" -> kp.total.toString,
+        "drift_pct" -> f"$driftPct%.4f"))
+
+    val distinct = CheckResult("distinct_pk_cardinality",
+      if (sp.distinctPks == kp.distinctPks) "PASS" else "FAIL",
+      Map("source_distinct" -> sp.distinctPks.toString,
+        "sink_distinct" -> kp.distinctPks.toString,
+        "verdict" -> (if (kp.distinctPks > sp.distinctPks) "phantom_rows"
+          else if (kp.distinctPks < sp.distinctPks) "data_loss" else "ok")))
+
+    val dupRows = kp.total - kp.distinctPks
     val dupCheck = CheckResult("duplication_profile",
-      if (dupRow.getLong(2) == 0 && dupRow.getLong(4) == 0) "PASS" else "WARN",
-      Map("total_rows" -> dupRow.getLong(0).toString,
-        "duplicate_rows" -> dupRow.getLong(2).toString,
-        "null_pk_rows" -> dupRow.getLong(4).toString))
+      if (dupRows == 0 && kp.nullPk == 0) "PASS" else "WARN",
+      Map("total_rows" -> kp.total.toString,
+        "duplicate_rows" -> dupRows.toString,
+        "null_pk_rows" -> kp.nullPk.toString))
+
     val orphanCount = orphans(sink, source, meta.pkCols).count()
     val orphanCheck = CheckResult("anti_join_orphans",
       if (orphanCount == 0) "PASS" else "FAIL", Map("orphans" -> orphanCount.toString))
-    val checks = Seq(
-      rowCountSmoke(source, sink),
-      distinctPkCheck(source, sink, meta.pkCols),
-      dupCheck,
-      orphanCheck) ++
-      meta.tsCol.map(ts => freshness(source, sink, ts, slaMinutes)).toSeq
-    TableValidationReport(meta.name, checks)
+
+    val fresh = meta.tsCol.map { _ =>
+      val lagMin = (sp.maxTs, kp.maxTs) match {
+        case (Some(s), Some(k)) => (s.getTime - k.getTime) / 60000.0
+        case _ => Double.NaN
+      }
+      CheckResult("freshness_lag",
+        if (lagMin.isNaN) "WARN"
+        else if (lagMin > slaMinutes) "FAIL"
+        else if (lagMin > slaMinutes * 0.8) "WARN" else "PASS",
+        Map("source_max_ts" -> String.valueOf(sp.maxTs.orNull),
+          "sink_max_ts" -> String.valueOf(kp.maxTs.orNull),
+          "lag_minutes" -> lagMin.toString))
+    }
+
+    TableValidationReport(meta.name,
+      Seq(smoke, distinct, dupCheck, orphanCheck) ++ fresh.toSeq)
   }
 }
