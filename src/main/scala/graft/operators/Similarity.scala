@@ -98,6 +98,59 @@ object Similarity {
         col("__rank").cast("int").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means partitions the
+    * corpus into `nLists` cells; each query searches only the `nProbe`
+    * cells whose centroids are nearest (by the same cosine measure).
+    * Complements LSH: IVF adapts its cells to the data distribution
+    * (better recall on clustered real-world embeddings) at the cost of
+    * a training pass; LSH is model-free and fully deterministic.
+    *
+    * Scale: centroids are tiny (nLists × dim) and broadcast; corpus
+    * assignment is one pass; the search join is bounded by
+    * nProbe/nLists of all pairs.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    val train = df.select(array_to_vector(
+      col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
+
+    // assign each corpus vector to its nearest centroid (one pass)
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      normSq(col(vecCol)).as("nsq"))
+    val scored = withNorm.crossJoin(broadcast(centDf))
+      .select(col("id"), col("vec"), col("nsq"), col("list_id"),
+        cosineFromParts(dot(col("vec"), col("centroid")),
+          col("nsq"), normSq(col("centroid"))).as("csim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("list_id"))
+    val assigned = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).select(col("id"), col("vec"), col("nsq"), col("list_id"))
+    // queries probe their nProbe nearest lists
+    val probes = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
+        col("list_id"))
+    val pairs = probes.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cosine")).as("cosine"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("__rank", row_number().over(rankW))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rank").cast("int").as("rank"))
+  }
+
   /** Recall@k of an approximate result against the exact one — the
     * quality gate for the ANN tier.
     */

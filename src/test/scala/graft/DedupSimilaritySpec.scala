@@ -87,3 +87,43 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(math.abs(got - expect) < 1e-12)
   }
 }
+
+class StatefulAnnSpec extends SparkSuite {
+  import graft.operators.Similarity
+  import graft.sources.Tables
+  import graft.streaming.StatefulLatest
+  import graft.streaming.StatefulLatest.{Emitted, KeyedChange}
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import spark.implicits._
+
+  test("IVF ANN achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3)
+    val recall = Similarity.recallAtK(ivf, exact)
+    assert(recall > 0.5, s"IVF recall@5 = $recall")
+  }
+
+  test("stateful latest-per-key emits normalized changelog, swallows replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KeyedChange]
+    val out = StatefulLatest(stream.toDS()) // NoTimeout: processAllAvailable-safe
+    val q = out.writeStream.format("memory").queryName("changelog")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(
+      KeyedChange(1L, "c", 1L, 0L, "v1"),
+      KeyedChange(1L, "u", 2L, 1L, "v2"),
+      KeyedChange(2L, "c", 1L, 2L, "w1"))
+    q.processAllAvailable()
+    stream.addData(
+      KeyedChange(1L, "u", 2L, 1L, "v2"), // exact replay -> swallowed
+      KeyedChange(1L, "c", 1L, 0L, "v1"), // stale replay -> swallowed
+      KeyedChange(2L, "d", 3L, 3L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("changelog").as[Emitted].collect().toSeq
+    assert(rows.count(_.key == 1L) == 2) // v1, v2 once each; replays swallowed
+    assert(rows.filter(_.key == 2L).map(_.op).sorted == Seq("+", "-"))
+  }
+}
