@@ -122,6 +122,34 @@ object QueriesAnalytic {
       |  CAST(COUNT(*) AS BIGINT) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** As-of join: each click event enriched with the user's most recent
+    * purchase value at-or-before the click (union+window technique —
+    * one shuffle, no pair blow-up; see operators/AsOfJoin).
+    */
+  val j6Asof: Q = (s, d) => {
+    val e = ev(s, d)
+    val left = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = graft.operators.AsOfJoin.dedupRight(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"),
+          col("event_id")),
+      "user_id", "ts", "event_id").drop("event_id")
+    graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts", Seq("purchase_value"))
+      .orderBy("event_id")
+  }
+  val j6Sql =
+    """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'click'),
+      |r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+      |                            ORDER BY event_id DESC) AS rn
+      |       FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, ts, purchase_value FROM r0 WHERE rn = 1)
+      |SELECT l.event_id, l.user_id, l.ts, r.purchase_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   /** Stream-enrichment join shape: events enriched with a broadcast
     * dimension (the batch form of a stream-table join).
     */

@@ -65,6 +65,7 @@ object SparkEntry {
     "w5_sessionize" -> QueriesAnalytic.w5Sessionize,
     "h1_histogram" -> QueriesAnalytic.h1Histogram,
     "j5_enrich" -> QueriesAnalytic.j5Enrich,
+    "j6_asof" -> QueriesAnalytic.j6Asof,
     "q3_topk_join" -> Queries.q3TopkJoin,
     "q5_star_join" -> Queries.q5StarJoin,
     "s2_snap_load" -> Queries.snapLoad,
@@ -130,6 +131,7 @@ object SparkEntry {
     "w5_sessionize" -> QueriesAnalytic.w5Sql,
     "h1_histogram" -> QueriesAnalytic.h1Sql,
     "j5_enrich" -> QueriesAnalytic.j5Sql,
+    "j6_asof" -> QueriesAnalytic.j6Sql,
     "q3_topk_join" -> Queries.q3Sql,
     "q5_star_join" -> Queries.q5Sql,
     "s2_snap_load" -> Queries.snapLoadSql,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each left row (key, ts) attach the right
+  * row with the same key and the greatest right.ts ≤ left.ts — "the
+  * dimension state as of the event time". The canonical CDC-adjacent
+  * enrichment: join events against the keyed upsert table's history.
+  *
+  * Spark has no built-in as-of join; a naive theta-join
+  * (`l.key = r.key AND r.ts <= l.ts` + max-per-left) explodes to
+  * O(|matches|) pairs. This implementation uses the union+window
+  * technique instead:
+  *
+  *   1. union left (probe) and right (state) rows, tagged;
+  *   2. one window per key ordered by (ts, side) — state rows sort
+  *      before probes at equal ts so `ts >= state.ts` ties include the
+  *      state (DuckDB ASOF semantics);
+  *   3. `last(state payload, ignoreNulls)` over the unbounded-preceding
+  *      frame fills each probe with the latest state at-or-before it;
+  *   4. keep probe rows.
+  *
+  * Cost: ONE shuffle of |left|+|right| on the key — no pair blow-up,
+  * no range-join quadratic corner; this survives a 100× scale-up where
+  * the theta-join does not.
+  *
+  * Right-side (key, ts) duplicates must be resolved first (latest by a
+  * tiebreak column) or the result is nondeterministic — `dedupRight`
+  * does that.
+  */
+object AsOfJoin {
+
+  /** Collapse right rows to one per (key, ts): greatest tiebreak wins. */
+  def dedupRight(right: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(tsCol)).orderBy(col(tiebreakCol).desc)
+    right.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** @param left      probe side; all its columns pass through
+    * @param right     state side: keyCol, tsCol + `valueCols` to attach
+    * @param valueCols right columns attached as of the probe time
+    *                  (null when no state at-or-before the probe)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"rename right value columns that collide with left: ${valueCols.intersect(leftCols)}")
+    val tagged = left
+      .withColumn("__side", lit(1)) // probes sort after states at equal ts
+      .select((leftCols.map(col) :+ col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val states = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+      .select((leftCols.map(col) :+ col("__side")) ++ valueCols.map(c => col(s"__v_$c")): _*)
+    val unioned = tagged.unionByName(states)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__asof_$c", F.last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__asof_$c").as(c)): _*)
+  }
+}

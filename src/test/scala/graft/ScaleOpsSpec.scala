@@ -89,3 +89,50 @@ class ScaleOpsSpec extends SparkSuite {
     assert(mh.length == 4)
   }
 }
+
+class AsOfJoinSpec extends SparkSuite {
+  import graft.operators.AsOfJoin
+  import graft.sources.Tables
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("as-of join matches the naive theta-join + max semantics") {
+    val e = Tables.events(spark, sf001)
+    val left = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = AsOfJoin.dedupRight(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("pv"), col("event_id")),
+      "user_id", "ts", "event_id").drop("event_id")
+
+    val fast = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("pv"))
+      .select("event_id", "pv").as[(Long, Option[Double])].collect().toMap
+
+    // naive: theta join + latest-per-left
+    val naive = left.as("l").join(right.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.ts") >= col("r.ts"), "left")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.event_id")).orderBy(col("r.ts").desc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .select(col("l.event_id"), col("r.pv"))
+      .as[(Long, Option[Double])].collect().toMap
+
+    assert(fast.size == naive.size && fast == naive)
+    assert(fast.values.exists(_.isDefined)) // non-degenerate
+    assert(fast.values.exists(_.isEmpty)) // clicks before any purchase exist
+  }
+
+  test("as-of join has a single shuffle (union+window), no pair blow-up") {
+    val e = Tables.events(spark, sf001)
+    val left = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("pv"))
+    val plan = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("pv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join")) // no join operator at all
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles")
+  }
+}
