@@ -87,6 +87,14 @@ object QueriesExt {
     """SELECT doc_id, substr(md5(text), 1, 16) AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints per document (rows-only oracle: custom
+    * rolling-hash expression, not SQL-expressible).
+    */
+  val txWinnow: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(col("text")).as("fingerprints"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- dedup
 
   val ddExactKeep: Q = (s, d) =>

@@ -74,6 +74,7 @@ object SparkEntry {
     "tx_lang_id" -> QueriesExt.txLangId,
     "tx_quality" -> QueriesExt.txQuality,
     "tx_fingerprint" -> QueriesExt.txFingerprint,
+    "tx_winnow" -> QueriesExt.txWinnow,
     // dedup
     "dd_exact_keep" -> QueriesExt.ddExactKeep,
     "dd_exact_groups" -> QueriesExt.ddExactGroups,

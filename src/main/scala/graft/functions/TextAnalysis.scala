@@ -89,6 +89,14 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = substring(md5(text.cast("binary")), 1, 16)
 
+  /** Winnowing fingerprints (rolling Karp-Rabin k-gram hashes → window
+    * minima): any shared substring of length ≥ w+k-1 between two
+    * documents produces a shared fingerprint — the localized near-dup
+    * fingerprint (vs the whole-document md5 above).
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.plans.GraftFunctions.winnow(text, k, w)
+
   /** Character shingles (n-grams) with stride, as an array column:
     * positions 1, 1+stride, ... each yielding substr(text, i, n). Stride
     * trades shingle density for cost; stride=1 is classic w-shingling.

@@ -158,6 +158,62 @@ case class HyperplaneSig(child: Expression, nBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's MOSS
+  * algorithm): Karp-Rabin ROLLING hash over character k-grams, then the
+  * minimum hash of every window of `w` consecutive k-gram hashes
+  * (rightmost min on ties), deduplicated in order. Guarantees any
+  * shared substring of length ≥ w+k-1 yields a shared fingerprint —
+  * the standard plagiarism/near-dup document fingerprint.
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    // rolling Karp-Rabin: h_{i+1} = (h_i - b_i*B^(k-1)) * B + b_{i+k}
+    val B = 0x100000001b3L
+    var bk = 1L
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    hashes(0) = Hash64.splitmix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xffL) * bk) * B + (bytes(i + k - 1) & 0xffL)
+      hashes(i) = Hash64.splitmix64(h)
+      i += 1
+    }
+    if (n <= w) {
+      var m = 0
+      var mi = 0
+      i = 0
+      while (i < n) { if (i == 0 || java.lang.Long.compareUnsigned(hashes(i), hashes(mi)) <= 0) { mi = i }; i += 1 }
+      m = mi
+      return new GenericArrayData(Array(hashes(m)))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = -1
+    i = 0
+    while (i + w <= n) {
+      var mi = i
+      var j2 = i + 1
+      while (j2 < i + w) {
+        if (java.lang.Long.compareUnsigned(hashes(j2), hashes(mi)) <= 0) mi = j2
+        j2 += 1
+      }
+      if (mi != last) { out += hashes(mi); last = mi }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object GraftFunctions {
   private def e(c: Column): Expression = GraftSqlShim.expression(c)
@@ -169,4 +225,6 @@ object GraftFunctions {
   def simhash64(tokens: Column, seed: Long = 42L): Column = col(SimHash64(e(tokens), seed))
   def hyperplaneSig(vec: Column, nBits: Int, seed: Long = 42L): Column =
     col(HyperplaneSig(e(vec), nBits, seed))
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    col(Winnow(e(text), k, w))
 }

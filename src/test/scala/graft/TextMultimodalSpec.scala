@@ -83,3 +83,26 @@ class TextMultimodalSpec extends SparkSuite {
     assert(Multimodal.StubCodec.framePositions(7, 3).toSeq == Seq(0, 3, 6))
   }
 }
+
+class WinnowSpec extends SparkSuite {
+  import graft.functions.TextAnalysis
+  import spark.implicits._
+
+  test("winnowing: shared long substrings share fingerprints; short texts handled") {
+    val common = "the identical stretch of text that both documents contain verbatim"
+    val df = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"completely different opening $common and another tail"),
+      (3L, "nothing in common with the others at all here"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.winnowFingerprints($"text", 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty) // shared substring -> shared fp
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)
+    assert(fps(4L).isEmpty) // shorter than k
+    // deterministic
+    val again = df.select($"doc_id", TextAnalysis.winnowFingerprints($"text", 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again == fps)
+  }
+}
