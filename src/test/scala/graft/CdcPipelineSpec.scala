@@ -146,3 +146,32 @@ class RestartSpec extends SparkSuite {
       Seq(RowKV(1, "a2")))
   }
 }
+
+class LiveRoundTripSpec extends SparkSuite {
+  import graft.catalog.TableMeta
+  import graft.streaming.{CdcPipeline, LiveRoundTrip}
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("active round trip: mutate through the stream, observe propagation, measure latency") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("live")
+    val meta = TableMeta("lt", Seq("k"))
+    val pipe = new CdcPipeline(spark, meta, s"$base/table", s"$base/ckpt", numBuckets = 4)
+    pipe.bootstrap(Seq(RowKV(1, "one"), RowKV(2, "two"), RowKV(3, "three")).toDF())
+    val stream = MemoryStream[Env]
+    val q = pipe.start(stream.toDF())
+    try {
+      val result = LiveRoundTrip.run(spark, meta,
+        readTable = () => pipe.table.read(),
+        emit = (key, _, marker) => {
+          val k = key("k").asInstanceOf[Long]
+          stream.addData(Env("u", 99L, SrcMeta("db", "lt", 99L), null, RowKV(k, marker)))
+        },
+        timeoutMs = 30000L)
+      assert(result.propagated, s"no propagation within deadline: $result")
+      assert(result.latencyMs < 30000L)
+      assert(result.testValue.startsWith("CDC_TEST_"))
+    } finally q.stop()
+  }
+}
