@@ -111,6 +111,32 @@ object QueriesAnalytic {
       |  FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Exact interpolated percentiles (Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition —
+    * verified bit-identical).
+    */
+  val a9Percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_quantity, 0.5)").as("median_qty"),
+      expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+      expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+      .orderBy("l_returnflag")
+  val a9Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL approximate distinct — the 100 TB fast path for check 3
+    * (rows-only oracle: HLL implementations differ across engines).
+    */
+  val a2Approx: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string")), 0.01)
+        .cast("long").as("approx_distinct_pks"))
+
   /** Histogram binning over order totals (exact integer bins). */
   val h1Histogram: Q = (s, d) =>
     Tables.orders(s, d)

@@ -63,6 +63,8 @@ object SparkEntry {
     "w3_running_sum" -> QueriesAnalytic.w3RunningSum,
     "w4_lead_lag" -> QueriesAnalytic.w4LeadLag,
     "w5_sessionize" -> QueriesAnalytic.w5Sessionize,
+    "a9_percentiles" -> QueriesAnalytic.a9Percentiles,
+    "a2_distinct_pk_approx" -> QueriesAnalytic.a2Approx,
     "h1_histogram" -> QueriesAnalytic.h1Histogram,
     "j5_enrich" -> QueriesAnalytic.j5Enrich,
     "j6_asof" -> QueriesAnalytic.j6Asof,
@@ -130,6 +132,7 @@ object SparkEntry {
     "w3_running_sum" -> QueriesAnalytic.w3Sql,
     "w4_lead_lag" -> QueriesAnalytic.w4Sql,
     "w5_sessionize" -> QueriesAnalytic.w5Sql,
+    "a9_percentiles" -> QueriesAnalytic.a9Sql,
     "h1_histogram" -> QueriesAnalytic.h1Sql,
     "j5_enrich" -> QueriesAnalytic.j5Sql,
     "j6_asof" -> QueriesAnalytic.j6Sql,

@@ -47,3 +47,36 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"))
   }
 }
+
+class BucketingSpec extends SparkSuite {
+  import graft.sources.{Bucketing, Tables}
+
+  test("co-located join of same-bucketed tables plans without a shuffle") {
+    val o = Tables.orders(spark, sf001)
+    val l = Tables.lineitem(spark, sf001)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    // clear any leftover table + warehouse location from a prior run
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(l, "b_lineitem", "o_orderkey", 8)
+    // disable auto-broadcast: at real scale neither side broadcasts, and
+    // the point is the shuffle-free sort-merge over aligned buckets
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() == l.count()) // every lineitem matches its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
