@@ -425,6 +425,31 @@ object Queries {
       |EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
       |ORDER BY orderkey""".stripMargin
 
+  /** Set op — INTERSECT: order keys present both as 'P'-status orders
+    * and as returned lineitems.
+    */
+  val x2Intersect: Q = (s, d) =>
+    ord(s, d).filter(col("o_orderstatus") === "P").select(col("o_orderkey").as("orderkey"))
+      .intersect(li(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("orderkey")))
+      .orderBy("orderkey")
+  val x2Sql =
+    """SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'P'
+      |INTERSECT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |ORDER BY orderkey""".stripMargin
+
+  /** Set op — UNION (distinct): all keys appearing on either side. */
+  val x3Union: Q = (s, d) =>
+    ord(s, d).filter(col("o_orderstatus") === "P").select(col("o_orderkey").as("orderkey"))
+      .union(li(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("orderkey")))
+      .distinct()
+      .orderBy("orderkey")
+  val x3Sql =
+    """SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'P'
+      |UNION SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |ORDER BY orderkey""".stripMargin
+
   // ---------------------------------------------------------------- Q: analytic joins/aggs
 
   private def decimal(c: String) = col(c).cast("decimal(18,4)")

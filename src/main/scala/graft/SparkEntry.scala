@@ -56,6 +56,8 @@ object SparkEntry {
     "o2_topk" -> Queries.o2Topk,
     "o3_sample" -> Queries.o3Sample,
     "x1_except" -> Queries.x1Except,
+    "x2_intersect" -> Queries.x2Intersect,
+    "x3_union" -> Queries.x3Union,
     // analytic joins/aggs + snapshot scan
     "v0_validation_suite" -> Queries.validationSuite,
     "q1_agg" -> Queries.q1Agg,
@@ -127,6 +129,8 @@ object SparkEntry {
     "o2_topk" -> Queries.o2Sql,
     "o3_sample" -> Queries.o3Sql,
     "x1_except" -> Queries.x1Sql,
+    "x2_intersect" -> Queries.x2Sql,
+    "x3_union" -> Queries.x3Sql,
     "q1_agg" -> Queries.q1Sql,
     "q6_rollup" -> QueriesAnalytic.q6Sql,
     "w3_running_sum" -> QueriesAnalytic.w3Sql,
