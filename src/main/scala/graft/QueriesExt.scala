@@ -88,11 +88,14 @@ object QueriesExt {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Winnowing fingerprints per document (rows-only oracle: custom
-    * rolling-hash expression, not SQL-expressible).
+    * rolling-hash expression, not SQL-expressible). The graded column is
+    * a CSV digest of the fingerprint array — the harness hashes/sorts
+    * result columns, and raw arrays aren't hashable there.
     */
   val txWinnow: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
-      TextAnalysis.winnowFingerprints(col("text")).as("fingerprints"))
+      array_join(TextAnalysis.winnowFingerprints(col("text")), ",")
+        .as("fingerprints_csv"))
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- dedup
@@ -198,6 +201,32 @@ object QueriesExt {
     Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
 
+  /** Scale-safe near-dup: multi-table LSH blocking + exact cosine filter,
+    * graded against the SAME all-pairs SQL oracle as `sim_cosine_neardup`
+    * — a green row here certifies the blocked plan loses nothing at the
+    * graded threshold while doing bucket-local joins instead of O(n²).
+    */
+  val ddEmbedNeardup: Q = (s, d) =>
+    Dedup.embeddingNearDupPairs(emb(s, d), "embedding", "vec_id",
+      threshold = NearDupCosine)
+      .orderBy("id_a", "id_b")
+  val ddEmbedNeardupSql: String = simCosineNeardupSql
+
+  /** Recall@k of the two ANN tiers against the exact brute-force top-k
+    * (rows-only oracle: the approximate plans aren't SQL-expressible;
+    * the recall floor is additionally gated in `DedupSimilaritySpec`).
+    */
+  val simAnnRecall: Q = (s, d) => {
+    val e = emb(s, d)
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 5)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5)
+    import s.implicits._
+    Seq(("lsh", 5, Similarity.recallAtK(lsh, exact)),
+      ("ivf", 5, Similarity.recallAtK(ivf, exact)))
+      .toDF("method", "k", "recall").orderBy("method")
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   private def mediaFrom(docsDf: DataFrame): DataFrame =
@@ -228,9 +257,12 @@ object QueriesExt {
       |ORDER BY media_id, frame_idx""".stripMargin
 
   /** Feature extraction through the stub codec (rows-only oracle:
-    * mapPartitions, not SQL-expressible).
+    * mapPartitions, not SQL-expressible). Graded column is an md5 digest
+    * of the feature vector (raw float arrays aren't hashable in the
+    * harness); the array itself stays available via `extractFeatures`.
     */
   val mmFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(mediaFrom(docs(s, d)), nFeatures = 16)
-      .select(col("media_id"), col("features")).orderBy("media_id")
+      .select(col("media_id"), md5(to_json(col("features"))).as("features_md5"))
+      .orderBy("media_id")
 }

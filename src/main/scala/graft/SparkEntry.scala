@@ -89,6 +89,8 @@ object SparkEntry {
     "sim_cosine_topk" -> QueriesExt.simCosineTopk,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardup,
     "sim_ann_lsh" -> QueriesExt.simAnnLsh,
+    "sim_ann_recall" -> QueriesExt.simAnnRecall,
+    "dd_embed_neardup" -> QueriesExt.ddEmbedNeardup,
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
     "mm_frame_sample" -> QueriesExt.mmFrameSample,
@@ -152,6 +154,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccardSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
+    "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
     "mm_payload_stats" -> QueriesExt.mmPayloadStatsSql,
     "mm_frame_sample" -> QueriesExt.mmFrameSampleSql)
 }

@@ -1,8 +1,11 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** Mutable keyed table over immutable parquet — the engineering core of
   * the reference's upsert sink (SURVEY §7.4.1). Plain parquet cannot be
@@ -10,11 +13,34 @@ import org.apache.spark.sql.functions._
   * (`pmod(xxhash64(pk), numBuckets)` directory partitions) and a merge
   * rewrites ONLY the buckets that the incoming batch touches.
   *
+  * Storage layout (MVCC, Delta/Iceberg-lite — neither is available in
+  * this dependency-free build):
+  * {{{
+  *   <path>/_manifest/v00000.json      committed snapshots (atomic rename)
+  *   <path>/data/e00000/__bucket=<b>/  immutable epoch data, one per commit
+  * }}}
+  * Each commit writes a NEW epoch directory and then publishes a new
+  * manifest mapping every bucket to the epoch dir holding its current
+  * data. Readers resolve the latest manifest and read only immutable
+  * dirs, so a concurrent merge can never yank files out from under them
+  * (the old delete-then-rename swap did exactly that — it was a
+  * reproduced `FILE_NOT_EXIST` race under a polling reader). Old epochs
+  * are GC'd only once they fall out of the last [[ParquetUpsertTable.KeptManifests]]
+  * manifests, giving in-flight readers a grace window.
+  *
+  * The manifest also records the table's current schema; reads apply it
+  * explicitly, so after an additive evolution rewrote only touched
+  * buckets, untouched buckets still surface the new column (as nulls)
+  * instead of footer-inference silently dropping it (T8).
+  *
+  * Single-writer by design (one CDC apply stream per table, matching the
+  * reference's one-connector-per-table deployment); the atomic manifest
+  * rename makes a second concurrent writer fail loudly instead of
+  * corrupting state.
+  *
   * Scale rationale: at 100 TB with e.g. 4096 buckets a CDC micro-batch
   * that touches 1% of keys rewrites ~1% of the table instead of all of
   * it, and the bucket column keeps merge shuffles aligned across batches.
-  * (This is a hand-rolled equivalent of what Delta/Iceberg MERGE does;
-  * neither is available in this dependency-free build.)
   */
 class ParquetUpsertTable(
     spark: SparkSession,
@@ -22,39 +48,171 @@ class ParquetUpsertTable(
     val pkCols: Seq[String],
     val numBuckets: Int = 64) {
 
+  import ParquetUpsertTable._
+
   private val BucketCol = "__bucket"
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestDir = new Path(path, "_manifest")
 
   private def bucketExpr: Column =
     pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
 
-  def exists: Boolean = fs.exists(new Path(path))
+  def exists: Boolean = loadManifest().isDefined
 
-  /** Current materialized state (without the internal bucket column). */
-  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol)
+  // ------------------------------------------------------------ manifest
+
+  /** A committed snapshot: table schema + bucket -> relative data dir. */
+  private case class Manifest(version: Int, schema: StructType, buckets: Map[Int, String])
+
+  private def manifestName(v: Int) = f"v$v%05d.json"
+
+  private def loadManifest(): Option[Manifest] = {
+    val f = fs
+    if (!f.exists(manifestDir)) return None
+    val names = f.listStatus(manifestDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json")).sorted
+    names.lastOption.map { latest =>
+      val p = new Path(manifestDir, latest)
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      parseManifest(new String(buf, "UTF-8"))
+    }
+  }
+
+  private def parseManifest(s: String): Manifest = {
+    val j = JsonMethods.parse(s)
+    val version = j \ "version" match {
+      case JInt(n) => n.toInt
+      case other => sys.error(s"bad manifest version: $other")
+    }
+    val buckets = j \ "buckets" match {
+      case JObject(fields) => fields.collect { case (k, JString(rel)) => k.toInt -> rel }.toMap
+      case other => sys.error(s"bad manifest buckets: $other")
+    }
+    val schema = DataType.fromJson(JsonMethods.compact(j \ "schema"))
+      .asInstanceOf[StructType]
+    Manifest(version, schema, buckets)
+  }
+
+  /** Publish a new snapshot: write to a temp file, then atomically rename
+    * into place. A failed writer leaves only an ignorable temp file; a
+    * concurrent writer loses the rename race and throws.
+    */
+  private def commitManifest(m: Manifest): Unit = {
+    val f = fs
+    if (!f.exists(manifestDir)) f.mkdirs(manifestDir)
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JInt(m.version),
+      "buckets" -> JObject(m.buckets.toSeq.sortBy(_._1)
+        .map { case (b, rel) => b.toString -> (JString(rel): JValue) }: _*),
+      "schema" -> JsonMethods.parse(m.schema.json))))
+    val tmp = new Path(manifestDir, s".tmp-${manifestName(m.version)}")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(manifestDir, manifestName(m.version))
+    if (f.exists(dest) || !f.rename(tmp, dest))
+      sys.error(s"manifest commit conflict at $dest — concurrent writer?")
+    gc(m.version)
+  }
+
+  /** Drop manifests older than the kept window and any epoch dir no kept
+    * manifest references. Readers always re-resolve the latest manifest,
+    * so the window only needs to cover reads in flight across a commit.
+    */
+  private def gc(latestVersion: Int): Unit = {
+    val f = fs
+    val keepFrom = latestVersion - (KeptManifests - 1)
+    val all = f.listStatus(manifestDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+    val (kept, dropped) = all.partition { p =>
+      p.getName.stripPrefix("v").stripSuffix(".json").toInt >= keepFrom
+    }
+    dropped.foreach(f.delete(_, false))
+    val referenced: Set[String] = kept.flatMap { p =>
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      parseManifest(new String(buf, "UTF-8")).buckets.values
+        .map(_.split('/').take(2).mkString("/")) // "data/eNNNNN"
+    }.toSet
+    val dataDir = new Path(path, "data")
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir).map(_.getPath).foreach { e =>
+        if (!referenced.contains(s"data/${e.getName}")) f.delete(e, true)
+      }
+    }
+  }
+
+  private def epochDir(version: Int) = f"data/e$version%05d"
+
+  // ------------------------------------------------------------ reads
+
+  /** Current materialized state. Resolves the latest committed manifest
+    * and reads its (immutable) epoch dirs under the manifest's schema —
+    * safe under concurrent merges, stable under T8 evolution.
+    */
+  def read(): DataFrame = {
+    val m = loadManifest().getOrElse(
+      sys.error(s"no committed snapshot at $path — seed() or merge() first"))
+    readBuckets(m, m.buckets.keys.toSeq)
+  }
+
+  private def readBuckets(m: Manifest, buckets: Seq[Int]): DataFrame = {
+    val dirs = buckets.sorted.flatMap(m.buckets.get).map(rel => s"$path/$rel")
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else spark.read.schema(m.schema).parquet(dirs: _*)
+  }
 
   /** P9 at scale: PK point lookup reading ONLY the key's hash bucket —
     * partition pruning via the bucket directory, so a lookup touches
-    * 1/numBuckets of the table regardless of size.
+    * 1/numBuckets of the table regardless of size. Literals are cast to
+    * the stored column types before hashing: `xxhash64(1: Int)` differs
+    * from `xxhash64(1L)`, so an uncast literal of the "wrong" Scala type
+    * would land on the wrong bucket and silently return nothing.
     */
   def lookup(pkValues: Map[String, Any]): DataFrame = {
     require(pkValues.keySet == pkCols.toSet, s"lookup needs all PK cols $pkCols")
-    val keyRow = pkCols.map(pkValues)
-    val bucketDf = spark.range(1).select(
-      pmod(xxhash64(keyRow.map(v => lit(v)): _*), lit(numBuckets.toLong)).cast("int"))
-    val bucket = bucketDf.head().getInt(0)
-    spark.read.parquet(s"$path/$BucketCol=$bucket")
-      .filter(pkValues.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+    val m = loadManifest().getOrElse(
+      sys.error(s"no committed snapshot at $path"))
+    val typed = pkCols.map(c => lit(pkValues(c)).cast(m.schema(c).dataType))
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(typed: _*), lit(numBuckets.toLong)).cast("int"))
+      .head().getInt(0)
+    readBuckets(m, Seq(bucket)).filter(
+      pkCols.map(c => col(c) === lit(pkValues(c)).cast(m.schema(c).dataType))
+        .reduce(_ && _))
   }
+
+  // ------------------------------------------------------------ writes
 
   /** Bootstrap/seed the table from a snapshot (T2 `schema_only` seed:
     * batch load then stream from the recorded position).
     */
   def seed(snapshot: DataFrame): Unit = {
-    snapshot.withColumn(BucketCol, bucketExpr)
-      .repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    val version = loadManifest().map(_.version + 1).getOrElse(0)
+    val buckets = writeEpoch(snapshot.withColumn(BucketCol, bucketExpr), version)
+    commitManifest(Manifest(version, snapshot.schema, buckets))
     recordSchemaVersion(snapshot.schema)
+  }
+
+  /** Write one immutable epoch dir; return bucket -> relative dir for the
+    * buckets that actually materialized (a fully-deleted bucket writes no
+    * dir and drops out of the manifest).
+    */
+  private def writeEpoch(bucketed: DataFrame, version: Int): Map[Int, String] = {
+    val rel = epochDir(version)
+    val dir = s"$path/$rel"
+    bucketed.repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(dir)
+    val f = fs
+    f.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(n => n.stripPrefix(s"$BucketCol=").toInt -> s"$rel/$n")
+      .toMap
   }
 
   /** S11 schema-history log — every schema version is appended as JSON
@@ -62,7 +220,7 @@ class ParquetUpsertTable(
     * analog of Debezium's schema-history topic (reference:
     * connectors/sources/mariadb/trading.json:22-25).
     */
-  def recordSchemaVersion(schema: org.apache.spark.sql.types.StructType): Unit = {
+  def recordSchemaVersion(schema: StructType): Unit = {
     val dir = new Path(s"$path.schema_history")
     val f = fs
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -72,7 +230,7 @@ class ParquetUpsertTable(
   }
 
   /** Recorded schema versions, oldest first (S11 read side). */
-  def schemaHistory(): Seq[org.apache.spark.sql.types.StructType] = {
+  def schemaHistory(): Seq[StructType] = {
     val dir = new Path(s"$path.schema_history")
     val f = fs
     if (!f.exists(dir)) return Nil
@@ -80,31 +238,31 @@ class ParquetUpsertTable(
       val in = f.open(p)
       val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
       try in.readFully(0, buf) finally in.close()
-      org.apache.spark.sql.types.DataType.fromJson(new String(buf, "UTF-8"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      DataType.fromJson(new String(buf, "UTF-8")).asInstanceOf[StructType]
     }
   }
 
   /** Merge a batch of unwrapped change events (`__op`, ordering cols +
     * row fields): upsert latest-per-key, apply deletes, rewriting only
     * affected buckets. Idempotent under replay (T9) because the merge is
-    * latest-state, not append.
+    * latest-state, not append. Publishes a new epoch + manifest; readers
+    * on the previous snapshot are unaffected.
     */
   def merge(changes: DataFrame, orderCols: Seq[Column]): Unit = {
     if (changes.isEmpty) return
-    if (!exists) {
-      val latest = CdcMerge.latestPerKey(changes, pkCols, orderCols)
-        .filter(col("__op") =!= Envelope.OpDelete)
-        .drop("__op")
-      seed(latest.drop(latest.columns.toIndexedSeq.filter(_.startsWith("__")): _*))
-      return
+    val manifest = loadManifest() match {
+      case Some(m) => m
+      case None =>
+        val latest = CdcMerge.latestPerKey(changes, pkCols, orderCols)
+          .filter(col("__op") =!= Envelope.OpDelete)
+          .drop("__op")
+        seed(latest.drop(latest.columns.toIndexedSeq.filter(_.startsWith("__")): _*))
+        return
     }
     val bucketed = changes.withColumn(BucketCol, bucketExpr)
     val touched = bucketed.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by numBuckets, driver-safe
-    val currentRaw = spark.read.parquet(path)
-      .filter(col(BucketCol).isin(touched: _*))
-      .drop(BucketCol)
+    val currentRaw = readBuckets(manifest, touched.toSeq)
     // T8 additive schema evolution (schema.evolution=basic, reference:
     // connectors/sinks/postgres/trading.json:17): new incoming fields
     // are added to the table as nulls for pre-existing rows.
@@ -127,19 +285,19 @@ class ParquetUpsertTable(
       .select(rowCols.map(col): _*)
       .withColumn(BucketCol, bucketExpr)
 
-    // Write merged buckets to a staging dir, then atomically swap the
-    // touched bucket directories (read-current + overwrite-in-place would
-    // corrupt on failure; swap keeps each bucket all-old or all-new).
-    val staging = s"$path.staging"
-    merged.repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
-    val f = fs
-    touched.foreach { b =>
-      val oldDir = new Path(s"$path/$BucketCol=$b")
-      val newDir = new Path(s"$staging/$BucketCol=$b")
-      if (f.exists(oldDir)) f.delete(oldDir, true)
-      if (f.exists(newDir)) f.rename(newDir, oldDir)
-    }
-    f.delete(new Path(staging), true)
+    val version = manifest.version + 1
+    val written = writeEpoch(merged, version)
+    // untouched buckets keep their old dirs; touched ones move to the new
+    // epoch (or drop out entirely if every row in them was deleted)
+    val buckets = (manifest.buckets -- touched) ++ written
+    val newSchema = StructType(current.schema.fields)
+    commitManifest(Manifest(version, newSchema, buckets))
   }
+}
+
+object ParquetUpsertTable {
+  /** Snapshots kept before GC — the grace window for readers that
+    * resolved a manifest just before a commit.
+    */
+  val KeptManifests = 3
 }

@@ -44,6 +44,31 @@ object Skew {
       ("cnt", count(lit(1)), (c: Column) => sum(c).cast("long")),
       (s"sum_$sumCol", sum(col(sumCol)), (c: Column) => sum(c))))
 
+  /** Cap blocking-key fan-out: drop all rows of any key group larger
+    * than `maxPerKey`. For candidate-pair generation (LSH bands, shingle
+    * inverted indexes) a bucket of size s produces s²/2 pairs, so one
+    * boilerplate bucket shared by a million docs is a half-trillion-pair
+    * straggler at 100 TB; such a bucket also carries no blocking signal
+    * (it matches everything). One count shuffle (window, no orderBy).
+    * Pair with [[hotKeyReport]] so the dropped volume is observable, not
+    * silent.
+    */
+  def capHotKeys(df: DataFrame, keys: Seq[String], maxPerKey: Int): DataFrame = {
+    if (maxPerKey == Int.MaxValue) return df
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__key_n", count(lit(1)).over(w))
+      .filter(col("__key_n") <= maxPerKey)
+      .drop("__key_n")
+  }
+
+  /** The keys [[capHotKeys]] dropped, with their sizes — surfaced so a
+    * capped dedup run reports what it skipped instead of silently
+    * under-matching.
+    */
+  def hotKeyReport(df: DataFrame, keys: Seq[String], maxPerKey: Int): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).cast("long").as("group_size"))
+      .filter(col("group_size") > maxPerKey)
+
   /** Broadcast-salt join helper for a skewed LEFT key joining a small-ish
     * right side: replicate each right row `saltBuckets` times, salt the
     * left side randomly-but-deterministically, join on (key, salt). Use

@@ -60,6 +60,68 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("LSH-blocked embedding near-dup equals exact all-pairs on real embeddings") {
+    val emb = Tables.embeddings(spark, sf001)
+    val v = emb.select($"vec_id", $"embedding",
+      VectorFunctions.normSq($"embedding").as("nsq"))
+    val a = v.select($"vec_id".as("id_a"), $"embedding".as("va"), $"nsq".as("na"))
+    val b = v.select($"vec_id".as("id_b"), $"embedding".as("vb"), $"nsq".as("nb"))
+    val exact = a.crossJoin(broadcast(b)).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", VectorFunctions.cosineFromParts(
+        VectorFunctions.dot($"va", $"vb"), $"na", $"nb").as("cosine"))
+      .filter($"cosine" >= QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == exact,
+      s"missed: ${exact -- blocked}, spurious: ${blocked -- exact}")
+    assert(exact.nonEmpty) // the corpus plants near-dups; the test is non-vacuous
+  }
+
+  test("hot LSH buckets are capped, and the cap is observable") {
+    import graft.operators.Skew
+    // 200 identical docs = one boilerplate cluster -> every band bucket
+    // holds all 200 (s²/2 = 19900 pairs per band uncapped)
+    val boiler = (0L until 200L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(boiler, "text", "doc_id",
+      maxBucketSize = 50)
+    assert(capped.count() == 0) // every bucket over cap -> all dropped
+    // and the drop is reported, not silent
+    val withSig = boiler.select($"doc_id".as("id"),
+      Dedup.minhashSignature(array_distinct(
+        graft.functions.TextAnalysis.charShingles($"text", 8)), 32).as("sig"))
+    val banded = withSig.select($"id",
+      posexplode(org.apache.spark.sql.functions.transform(sequence(lit(0), lit(3)),
+        bnd => xxhash64(concat_ws("_", org.apache.spark.sql.functions.transform(
+          slice($"sig", bnd * 8 + 1, lit(8)), _.cast("string"))))))
+        .as(Seq("band", "band_hash")))
+    val report = Skew.hotKeyReport(banded, Seq("band", "band_hash"), 50).collect()
+    assert(report.nonEmpty && report.forall(_.getAs[Long]("group_size") == 200L))
+    // mixed corpus: the boilerplate cluster is capped but distinct
+    // near-dups elsewhere still pair up
+    val mixed = docs.unionByName((100L until 300L).map(i => (i, "spam " * 30)).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLshPairs(mixed, "text", "doc_id",
+      shingleLen = 8, numHashes = 32, bands = 16, threshold = 0.4, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 >= 100L)) // spam cluster fully capped
+  }
+
+  test("hot shingles are capped in the ngram inverted index") {
+    // every doc shares one boilerplate shingle; only 0/1 share real content
+    val footer = "COMMON-FOOTER-SHINGLE-XYZ123"
+    val d = Seq(
+      (0L, base + footer), (1L, base + " tail " + footer),
+      (2L, "unrelated first text here " + footer),
+      (3L, "different second text body " + footer)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      shingleLen = 12, stride = 1, threshold = 0.5, maxDocFreq = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // found via non-boilerplate shingles
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 3L && p._1 != 0L))
+  }
+
   test("brute-force cosine top-k is exact on known geometry") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),

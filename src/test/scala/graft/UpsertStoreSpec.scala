@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.ParquetUpsertTable
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicReference
+
+/** Hardening specs for the MVCC upsert store: the concurrent-reader race
+  * that used to fail `LiveRoundTripSpec` (delete-then-rename bucket swap),
+  * crash-consistency of the manifest commit, and T8 schema evolution with
+  * an untouched bucket.
+  */
+class UpsertStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def changes(rows: (Long, String, String, Long)*) =
+    rows.toSeq.toDF("k", "v", "__op", "__source_ts_ms")
+      .withColumn("__seq", monotonically_increasing_id())
+
+  test("concurrent reader never sees missing files across repeated merges") {
+    val path = tmpDir("mvcc") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 8)
+    t.seed((1L to 64L).map(i => KV(i, s"v$i")).toDF("k", "v"))
+
+    val failure = new AtomicReference[Throwable](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val n = t.read().count() // full-table read during live merges
+          assert(n >= 60 && n <= 64, s"inconsistent snapshot: $n rows")
+        }
+      } catch { case e: Throwable => failure.set(e) }
+    })
+    reader.start()
+    try {
+      // 12 merges, each rewriting a few buckets (update 2 keys, delete 1,
+      // re-insert it next round) — under the old swap this reliably threw
+      // FILE_NOT_EXIST in the reader within a few iterations.
+      (1 to 12).foreach { i =>
+        val k1 = (i % 64) + 1L; val k2 = ((i * 7) % 64) + 1L
+        t.merge(changes(
+          (k1, s"u$i", "u", i.toLong),
+          (k2, s"w$i", "u", i.toLong),
+          ((i % 32) + 1L, "", "d", i.toLong)), Seq(col("__source_ts_ms"), col("__seq")))
+        t.merge(changes(
+          ((i % 32) + 1L, "back", "c", i + 100L)), Seq(col("__source_ts_ms"), col("__seq")))
+      }
+    } finally {
+      stop.set(true); reader.join(30000)
+    }
+    assert(failure.get() == null, s"reader failed: ${failure.get()}")
+    assert(t.read().count() == 64)
+  }
+
+  test("a crashed writer's uncommitted epoch dir is invisible to readers") {
+    val path = tmpDir("crash") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 4)
+    t.seed(Seq(KV(1, "a"), KV(2, "b")).toDS().toDF())
+    val before = t.read().as[KV].collect().toSet
+    // simulate a writer that died after writing epoch data but BEFORE the
+    // manifest commit: stray epoch dir with garbage rows, no manifest
+    Seq(KV(99, "ghost")).toDS().toDF()
+      .withColumn("__bucket", lit(0))
+      .write.partitionBy("__bucket").parquet(s"$path/data/e99998")
+    assert(t.read().as[KV].collect().toSet == before)
+    // and the next real merge still works and still excludes the ghost
+    t.merge(changes((3L, "c", "c", 1L)), Seq(col("__source_ts_ms"), col("__seq")))
+    assert(t.read().as[KV].collect().toSet == before + KV(3, "c"))
+  }
+
+  test("T8: untouched bucket surfaces the evolved column as nulls") {
+    val path = tmpDir("evo2") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 64)
+    // find two keys in different buckets
+    val ks = (1L to 20L)
+    t.seed(ks.map(i => KV(i, s"v$i")).toDF("k", "v"))
+    // evolve by touching ONLY key 1's bucket
+    val ch = Seq((1L, "V1", 42, "u", 1L, 0L))
+      .toDF("k", "v", "extra", "__op", "__source_ts_ms", "__seq")
+    t.merge(ch, Seq(col("__source_ts_ms"), col("__seq")))
+    val got = t.read().orderBy("k").collect()
+    assert(got.length == 20)
+    val schema = t.read().schema
+    assert(schema.fieldNames.contains("extra"))
+    // every untouched row reads the new column as null — this is exactly
+    // the case footer-inference-without-explicit-schema used to get wrong
+    ks.filter(_ != 1L).foreach { k =>
+      val r = got.find(_.getLong(0) == k).get
+      assert(r.isNullAt(r.fieldIndex("extra")), s"k=$k lost the evolved column")
+    }
+    assert(got.find(_.getLong(0) == 1L).get.getInt(schema.fieldIndex("extra")) == 42)
+  }
+
+  test("lookup casts literals to stored types (Int literal on Long column)") {
+    val path = tmpDir("lkcast") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 16)
+    t.seed((1L to 200L).map(i => KV(i, s"v$i")).toDF("k", "v"))
+    // Int literal, Long column: xxhash64(1: Int) != xxhash64(1L) — the
+    // uncast version bucketed wrong and silently returned zero rows
+    assert(t.lookup(Map("k" -> 123)).as[KV].collect().toSeq == Seq(KV(123, "v123")))
+    assert(t.lookup(Map("k" -> 123L)).as[KV].collect().toSeq == Seq(KV(123, "v123")))
+  }
+
+  test("old snapshots are GC'd but the kept window preserves in-flight reads") {
+    val path = tmpDir("gc") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 4)
+    t.seed(Seq(KV(1, "a")).toDS().toDF())
+    (1 to 6).foreach { i =>
+      t.merge(changes((1L, s"v$i", "u", i.toLong)), Seq(col("__source_ts_ms"), col("__seq")))
+    }
+    val manifests = new java.io.File(s"$path/_manifest").listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
+    assert(manifests.length == ParquetUpsertTable.KeptManifests)
+    // epochs referenced by kept manifests survive; ancient ones are gone
+    val epochs = new java.io.File(s"$path/data").listFiles().map(_.getName).sorted
+    assert(epochs.contains("e00006") && !epochs.contains("e00000"))
+    assert(t.read().as[KV].collect().toSeq == Seq(KV(1, "v6")))
+  }
+}
