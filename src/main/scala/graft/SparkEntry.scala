@@ -58,6 +58,10 @@ object SparkEntry {
     "x1_except" -> Queries.x1Except,
     "x2_intersect" -> Queries.x2Intersect,
     "x3_union" -> Queries.x3Union,
+    // reference checks 1/5/10 (schema shape, recent activity, coverage)
+    "c1_schema_shape" -> QueriesChecks.c1SchemaShape,
+    "c5_recent_activity" -> QueriesChecks.c5RecentActivity,
+    "c10_cdc_coverage" -> QueriesChecks.c10CdcCoverage,
     // analytic joins/aggs + snapshot scan
     "v0_validation_suite" -> Queries.validationSuite,
     "q1_agg" -> Queries.q1Agg,
@@ -111,6 +115,9 @@ object SparkEntry {
     "a7_pk_range" -> Queries.a7Sql,
     "c7_null_ratios" -> Queries.c7Sql,
     "c9_agg_invariants" -> Queries.c9Sql,
+    "c1_schema_shape" -> QueriesChecks.c1Sql,
+    "c5_recent_activity" -> QueriesChecks.c5Sql,
+    "c10_cdc_coverage" -> QueriesChecks.c10Sql,
     "j1_anti_join" -> Queries.j1Sql,
     "j3_row_diff" -> Queries.j3Sql,
     "j4_semi_join" -> Queries.j4Sql,

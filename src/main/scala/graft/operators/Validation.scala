@@ -33,6 +33,102 @@ object Validation {
   private def pkCountDistinct(pkCols: Seq[String]): Column =
     countDistinct(col(pkCols.head), pkCols.tail.map(col): _*)
 
+  /** Check 1 (reference: tests/README.md:19-20 "Table shape (schema
+    * matching)" — documented, unimplemented there) — diff source vs sink
+    * StructTypes under the sink identifier rules: configured renames
+    * applied, names lowercased (reference: migrate_v3.py:373,396), bit
+    * columns allowed to surface as boolean
+    * (TinyIntOneToBooleanConverter). Purely driver-side metadata — no
+    * scan at any scale.
+    */
+  case class SchemaDiff(column: String, status: String,
+      sourceType: String, sinkType: String)
+
+  def schemaShape(source: org.apache.spark.sql.types.StructType,
+      sink: org.apache.spark.sql.types.StructType,
+      meta: TableMeta): (CheckResult, Seq[SchemaDiff]) = {
+    import org.apache.spark.sql.types._
+    val sinkByName = sink.fields.map(f => f.name.toLowerCase -> f).toMap
+    val expected = source.fields.map { f =>
+      val renamed = meta.renames.getOrElse(f.name, f.name).toLowerCase
+      (renamed, f)
+    }
+    val bitSet = meta.bitCols.map(_.toLowerCase).toSet
+    val diffs = expected.flatMap { case (name, sf) =>
+      sinkByName.get(name) match {
+        case None =>
+          Some(SchemaDiff(name, "missing_in_sink", sf.dataType.simpleString, ""))
+        case Some(kf) if kf.dataType != sf.dataType &&
+            !(bitSet.contains(name) && kf.dataType == BooleanType) &&
+            !meta.casts.get(name).contains(kf.dataType) =>
+          Some(SchemaDiff(name, "type_mismatch",
+            sf.dataType.simpleString, kf.dataType.simpleString))
+        case _ => None
+      }
+    }.toSeq ++ {
+      val expectedNames = expected.map(_._1).toSet
+      sink.fields.filter(f => !expectedNames.contains(f.name.toLowerCase) &&
+        !f.name.startsWith("__"))
+        .map(f => SchemaDiff(f.name.toLowerCase, "extra_in_sink", "", f.dataType.simpleString))
+    }
+    val status =
+      if (diffs.exists(d => d.status == "missing_in_sink" || d.status == "type_mismatch")) "FAIL"
+      else if (diffs.nonEmpty) "WARN" else "PASS"
+    (CheckResult("schema_shape", status, Map(
+      "columns_checked" -> source.fields.length.toString,
+      "diffs" -> diffs.map(d => s"${d.column}:${d.status}").mkString(","))), diffs)
+  }
+
+  /** Check 5 (reference: tests/README.md:22 "Recent activity flow" —
+    * documented, unimplemented there) — distinct from max-ts lag: "did
+    * ANY change land in the sink during the last N minutes of source
+    * activity?" is the first on-call question when a pipeline stalls.
+    * Anchored at the source's max timestamp (not wall clock) so the
+    * check is deterministic and replayable. Both scans prune to the ts
+    * column.
+    */
+  def recentActivity(source: DataFrame, sink: DataFrame, tsCol: String,
+      windowMinutes: Int = 60): CheckResult = {
+    val anchor = source.agg(max(col(tsCol)).cast("timestamp")).head().getTimestamp(0)
+    if (anchor == null)
+      return CheckResult("recent_activity", "WARN",
+        Map("window_minutes" -> windowMinutes.toString, "reason" -> "empty_source"))
+    val lo = new java.sql.Timestamp(anchor.getTime - windowMinutes * 60000L)
+    def recent(df: DataFrame) = df
+      .filter(col(tsCol).cast("timestamp") > lit(lo))
+      .count()
+    val s = recent(source); val k = recent(sink)
+    val status =
+      if (s > 0 && k == 0) "FAIL" // source active, sink stalled
+      else if (k < s) "WARN"      // partial flow
+      else "PASS"                 // flowing (or mutually quiet)
+    CheckResult("recent_activity", status, Map(
+      "window_minutes" -> windowMinutes.toString,
+      "source_recent" -> s.toString, "sink_recent" -> k.toString))
+  }
+
+  /** Check 10 (reference: tests/README.md:27 "CDC coverage" —
+    * documented, unimplemented there) — is every allowlisted table
+    * actually materialized and non-empty? One tiny count-aggregate per
+    * table (pruned scan of zero columns), unioned into a single report.
+    */
+  def cdcCoverage(allowlisted: Seq[String],
+      sinkTable: String => Option[DataFrame]): DataFrame = {
+    val reports = allowlisted.sorted.map { t =>
+      sinkTable(t) match {
+        case Some(df) =>
+          df.agg(count(lit(1)).cast("long").as("sink_rows"))
+            .select(lit(t).as("table_name"), col("sink_rows"),
+              (col("sink_rows") > 0).as("covered"))
+        case None =>
+          allowlisted.headOption.flatMap(sinkTable).get.sparkSession.range(1)
+            .select(lit(t).as("table_name"), lit(0L).as("sink_rows"),
+              lit(false).as("covered"))
+      }
+    }
+    reports.reduce(_ unionByName _)
+  }
+
   /** A1 / check 2 — row-count smoke: WARN ≥ 0.1 %, FAIL ≥ 1 % drift
     * (reference: tests/validation.py:336-397, thresholds :74-75).
     */
@@ -211,6 +307,7 @@ object Validation {
     */
   def runAllChecks(source: DataFrame, sink: DataFrame, meta: TableMeta,
       slaMinutes: Double = 15.0): TableValidationReport = {
+    val (shape, _) = schemaShape(source.schema, sink.schema, meta)
     val sp = sideProfile(source, meta)
     val kp = sideProfile(sink, meta)
 
@@ -253,7 +350,9 @@ object Validation {
           "lag_minutes" -> lagMin.toString))
     }
 
+    val recent = meta.tsCol.map(ts => recentActivity(source, sink, ts))
+
     TableValidationReport(meta.name,
-      Seq(smoke, distinct, dupCheck, orphanCheck) ++ fresh.toSeq)
+      Seq(shape, smoke, distinct, dupCheck, orphanCheck) ++ fresh.toSeq ++ recent.toSeq)
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import graft.catalog.{CatalogDiscovery, ConnectorConfig, TableMeta}
+import graft.operators.SmtChain
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class CatalogDiscoverySpec extends SparkSuite {
+
+  test("S4: lake directory discovery finds every bundled table") {
+    val tables = CatalogDiscovery.discoverTables(spark, sf001)
+    assert(tables.toSet == Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings"))
+  }
+
+  test("S4: allowlist parsing strips schema prefixes (reference get_allowlist)") {
+    assert(CatalogDiscovery.parseAllowlist(
+      "xchange_trading.T_DEAL, xchange_trading.T_RELEASE ,T_LOCAL") ==
+      Seq("T_DEAL", "T_RELEASE", "T_LOCAL"))
+  }
+
+  test("S5: parquet discovery derives the hand-written testTables map") {
+    val discovered = CatalogDiscovery.discoverAll(spark, sf001)
+    assert(discovered.keySet == TableMeta.testTables.keySet)
+    TableMeta.testTables.foreach { case (name, expect) =>
+      val got = discovered(name)
+      assert(got.pkCols == expect.pkCols, s"$name PKs: ${got.pkCols} vs ${expect.pkCols}")
+      assert(got.tsCol == expect.tsCol, s"$name ts: ${got.tsCol} vs ${expect.tsCol}")
+    }
+  }
+
+  test("S5: strict INFORMATION_SCHEMA discovery — ordinal PKs, bit cols, ts patterns") {
+    // catalog rows shaped like the reference's two INFORMATION_SCHEMA
+    // queries joined (validation.py:222-246) for a T_DEAL-like table
+    val rows = Seq(
+      Row("t_deal", "version", "bigint", "bigint(20)", 2, 2),
+      Row("t_deal", "id", "bigint", "bigint(20)", 1, 1),
+      Row("t_deal", "instant", "bit", "bit(1)", 3, null),
+      Row("t_deal", "critical", "tinyint", "tinyint(1)", 4, null),
+      Row("t_deal", "LAST_MODIFIED_DATE", "timestamp", "timestamp", 5, null),
+      Row("t_deal", "amount", "decimal", "decimal(10,2)", 6, null),
+      Row("t_orphan", "data", "text", "text", 1, null)) // no PK -> rejected
+    val catalog = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), CatalogDiscovery.CatalogSchema)
+    val metas = CatalogDiscovery.fromInformationSchema(catalog)
+    assert(metas.keySet == Set("t_deal")) // strict: orphan dropped
+    val m = metas("t_deal")
+    assert(m.pkCols == Seq("id", "version")) // pk ordinal, not table ordinal
+    assert(m.bitCols == Seq("instant", "critical"))
+    assert(m.tsCol.contains("LAST_MODIFIED_DATE"))
+  }
+
+  test("S5: the JDBC catalog queries are the reference's, verbatim semantics") {
+    val pk = CatalogDiscovery.keyColumnUsageSql("xchange_trading", "T_DEAL")
+    assert(pk.contains("KEY_COLUMN_USAGE") && pk.contains("CONSTRAINT_NAME = 'PRIMARY'")
+      && pk.contains("ORDER BY ORDINAL_POSITION"))
+    val cols = CatalogDiscovery.columnsSql("xchange_trading", "T_DEAL")
+    assert(cols.contains("INFORMATION_SCHEMA.COLUMNS") && cols.contains("COLUMN_TYPE"))
+  }
+
+  test("columnsFromParquet produces the catalog shape usable by the strict tier") {
+    val catalog = CatalogDiscovery.columnsFromParquet(spark, sf001, "lineitem")
+    val metas = CatalogDiscovery.fromInformationSchema(catalog)
+    assert(metas("lineitem").pkCols == Seq("l_orderkey", "l_linenumber"))
+  }
+}
+
+class ConnectorConfigSpec extends SparkSuite {
+
+  private val refSource = "/root/reference/connectors/sources/mariadb/live.json"
+  private val refSink = "/root/reference/connectors/sinks/postgres/trading.json"
+
+  test("round-trip: the reference live source config loads to the hand-built chain") {
+    // ScaleOpsSpec builds IncludeList -> Unwrap -> RenameIf(.*T_CARRIER,
+    // user->owner_user_id) by hand; the loader must derive the same
+    // semantics from the deployed config file
+    val cfg = ConnectorConfig.load(refSource)
+    val chain = cfg.toSmtChain
+    assert(chain.head.isInstanceOf[SmtChain.IncludeList])
+    val SmtChain.IncludeList(allow) = chain.head: @unchecked
+    assert(allow.contains(("xchangelive", "T_CARRIER")) && allow.size == 10)
+    assert(chain(1) == SmtChain.Unwrap)
+    assert(chain(2) == SmtChain.RenameIf(".*T_CARRIER", Map("user" -> "owner_user_id")))
+    assert(cfg.snapshotMode.contains("schema_only"))
+    assert(cfg.heartbeatIntervalMs.contains(30000L))
+  }
+
+  test("round-trip: the reference trading sink config yields route + cast repairs") {
+    val cfg = ConnectorConfig.load(refSink)
+    val chain = cfg.toSmtChain
+    val route = chain.collectFirst { case r: SmtChain.RegexRoute => r }.get
+    assert(route.pattern == raw"xchange_trading_v2\.xchange_trading\.(.*)")
+    assert(route.replacement == "trading_$1")
+    val casts = cfg.castRepairs
+    assert(casts("instant") == BooleanType)
+    assert(casts("critical") == BooleanType)
+    assert(casts("vents") == ShortType)
+    assert(casts("free_storage_days") == ShortType)
+    assert(cfg.insertMode.contains("upsert") && cfg.schemaEvolution.contains("basic"))
+  }
+
+  test("config + discovery produce complete TableMetas (S5 through the loader)") {
+    val cfg = ConnectorConfig.load(refSource)
+    // catalog tier stubbed with a simple id PK for each captured table
+    val metas = cfg.tableMetas(t => Some(TableMeta(t, Seq("id"))))
+    assert(metas.keySet == cfg.tables.toSet)
+    assert(metas("T_CARRIER").renames == Map("user" -> "owner_user_id"))
+    assert(metas("T_LOCATION").renames.isEmpty) // predicate doesn't match
+  }
+
+  test("placeholder resolution substitutes ${VAR} from the env map") {
+    val cfg = ConnectorConfig.parse(
+      """{"name":"c","config":{"database.hostname":"${TRADING_HOST}","topic.prefix":"p"}}""")
+      .resolved(Map("TRADING_HOST" -> "db.internal"))
+    assert(cfg.config("database.hostname") == "db.internal")
+    val unresolved = ConnectorConfig.parse(
+      """{"name":"c","config":{"k":"${MISSING}"}}""").resolved(Map.empty)
+    assert(unresolved.config("k") == "${MISSING}")
+  }
+}

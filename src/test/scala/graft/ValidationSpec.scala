@@ -59,6 +59,68 @@ class ValidationSpec extends SparkSuite {
     assert(clean.status == "PASS")
   }
 
+  test("check 1: schema-shape diff flags missing/type-mismatch, tolerates repairs") {
+    import org.apache.spark.sql.types._
+    val source = StructType(Seq(
+      StructField("ID", LongType), StructField("user", StringType),
+      StructField("active", ByteType), StructField("amount", DoubleType),
+      StructField("note", StringType)))
+    val sink = StructType(Seq(
+      StructField("id", LongType),
+      StructField("owner_user_id", StringType), // configured rename
+      StructField("active", BooleanType),       // bit(1) repair -> allowed
+      StructField("amount", StringType),        // genuine type drift -> FAIL
+      StructField("added_later", IntegerType),  // extra -> WARN-only
+      StructField("__op", StringType)))         // engine metadata ignored
+    // `note` missing in sink -> FAIL
+    val m = TableMeta("t", Seq("ID"), bitCols = Seq("active"),
+      renames = Map("user" -> "owner_user_id"))
+    val (check, diffs) = Validation.schemaShape(source, sink, m)
+    assert(check.status == "FAIL")
+    val byCol = diffs.map(d => d.column -> d.status).toMap
+    assert(byCol("amount") == "type_mismatch")
+    assert(byCol("note") == "missing_in_sink")
+    assert(byCol("added_later") == "extra_in_sink")
+    assert(!byCol.contains("active") && !byCol.contains("owner_user_id"))
+    // identical schemas -> PASS
+    assert(Validation.schemaShape(source, source, m.copy(renames = Map.empty))
+      ._1.status == "PASS")
+  }
+
+  test("check 5: recent-activity flow distinguishes stalled from lagging sinks") {
+    val ev = Tables.events(spark, sf001)
+    // flowing: identical sides
+    assert(Validation.recentActivity(ev, ev, "ts").status == "PASS")
+    // stalled: sink has NOTHING in the last hour of source activity
+    val anchor = ev.agg(max(col("ts")).as("mx"))
+    val stalled = ev.crossJoin(broadcast(anchor))
+      .filter(col("ts") <= col("mx") - expr("INTERVAL 100 DAYS")).drop("mx")
+    assert(Validation.recentActivity(ev, stalled, "ts").status == "FAIL")
+    // partially flowing: some recent rows missing
+    val lagging = ev.crossJoin(broadcast(anchor))
+      .filter(col("ts") <= col("mx") - expr("INTERVAL 30 MINUTES")).drop("mx")
+    val r = Validation.recentActivity(ev, lagging, "ts")
+    assert(r.status == "WARN" || r.status == "FAIL") // depends on data density in window
+  }
+
+  test("check 10: coverage report flags missing/empty tables") {
+    val tables = Map(
+      "orders" -> Tables.orders(spark, sf001),
+      "customer" -> Tables.customer(spark, sf001),
+      "empty_t" -> Tables.orders(spark, sf001).limit(0))
+    val rep = Validation.cdcCoverage(Seq("orders", "customer", "empty_t"), tables.get)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rep("orders") && rep("customer") && !rep("empty_t"))
+  }
+
+  test("runAllChecks now includes schema-shape and recent-activity rows") {
+    val ev = Tables.events(spark, sf001)
+    val report = Validation.runAllChecks(ev, ev, TableMeta.testTables("events"))
+    val names = report.checks.map(_.check)
+    assert(names.contains("schema_shape") && names.contains("recent_activity"))
+    assert(report.status == "PASS")
+  }
+
   test("null-PK rows counted separately, excluded from anti-join") {
     import spark.implicits._
     val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
