@@ -49,24 +49,32 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"rename right value columns that collide with left: ${valueCols.intersect(leftCols)}")
+    // ONE struct per state row, filled atomically: per-column
+    // last(ignoreNulls) would let a NULL in one value column of the
+    // matched state fall back to an OLDER row's value — stitching fields
+    // across state versions, which deviates from ASOF semantics. The
+    // struct itself is non-null on state rows (even when every field is
+    // null), so last(ignoreNulls) picks whole rows only.
+    val stateType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val tagged = left
       .withColumn("__side", lit(1)) // probes sort after states at equal ts
-      .select((leftCols.map(col) :+ col("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+      .select((leftCols.map(col) :+ col("__side")) :+
+        lit(null).cast(stateType).as("__vstate"): _*)
     val states = right.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
-      .select((leftCols.map(col) :+ col("__side")) ++ valueCols.map(c => col(s"__v_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(c => col(c).as(c)): _*).as("__vstate")): _*)
+      .select((leftCols.map(col) :+ col("__side")) :+ col("__vstate"): _*)
     val unioned = tagged.unionByName(states)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__asof_$c", F.last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__asof",
+      F.last(col("__vstate"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__asof_$c").as(c)): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__asof").getField(c).as(c)): _*)
   }
 }

@@ -123,6 +123,27 @@ class AsOfJoinSpec extends SparkSuite {
     assert(fast.values.exists(_.isEmpty)) // clicks before any purchase exist
   }
 
+  test("as-of never stitches value columns across state versions (NULL fields)") {
+    // state v2 has price set but note NULL; a probe after v2 must see
+    // (20.0, null) — NOT v1's note filled in (per-column last(ignoreNulls)
+    // used to do exactly that)
+    val right = Seq(
+      (1L, 10L, Option(10.0), Option("v1-note")),
+      (1L, 20L, Option(20.0), Option.empty[String]),
+      (2L, 5L, Option.empty[Double], Option("only-note")))
+      .toDF("k", "ts", "price", "note")
+    val left = Seq((100L, 1L, 25L), (101L, 1L, 15L), (102L, 2L, 9L), (103L, 2L, 1L))
+      .toDF("probe_id", "k", "ts")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("price", "note"))
+      .select("probe_id", "price", "note")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(100L) == (Some(20.0), None))          // v2 whole-row, note stays NULL
+    assert(got(101L) == (Some(10.0), Some("v1-note"))) // v1 whole-row
+    assert(got(102L) == (None, Some("only-note")))   // NULL field inside matched state
+    assert(got(103L) == (None, None))                // probe before any state
+  }
+
   test("as-of join has a single shuffle (union+window), no pair blow-up") {
     val e = Tables.events(spark, sf001)
     val left = e.filter(col("event_type") === "click")
