@@ -217,14 +217,20 @@ object QueriesExt {
     * the recall floor is additionally gated in `DedupSimilaritySpec`).
     */
   val simAnnRecall: Q = (s, d) => {
-    val e = emb(s, d)
+    val e = emb(s, d).persist()
+    // the exact all-pairs baseline feeds BOTH recall computations — persist
+    // it or every recallAtK action re-runs the O(n^2) cross join
     val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .persist()
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 5)
     val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5)
     import s.implicits._
-    Seq(("lsh", 5, Similarity.recallAtK(lsh, exact)),
+    val out = Seq(("lsh", 5, Similarity.recallAtK(lsh, exact)),
       ("ivf", 5, Similarity.recallAtK(ivf, exact)))
       .toDF("method", "k", "recall").orderBy("method")
+    exact.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
   }
 
   // ---------------------------------------------------------------- multimodal

@@ -26,8 +26,11 @@ object Conversions {
     * that parses stays as-is.
     */
   def zeroDateToNull(c: Column): Column =
-    when(c.cast("string").startsWith("0000-00-00"), lit(null).cast("string"))
-      .otherwise(c.cast("string"))
+    // type-preserving: the otherwise branch is the input column itself, so a
+    // date/timestamp column stays typed (a parsed date can never be the MySQL
+    // zero date — the predicate only fires on raw string payloads)
+    when(c.cast("string").startsWith("0000-00-00"), lit(null))
+      .otherwise(c)
 
   /** F4: strip NUL (\x00) characters from strings — Postgres cannot store
     * them (reference: migrate_v3.py:273-278).

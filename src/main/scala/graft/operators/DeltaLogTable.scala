@@ -37,11 +37,19 @@ class DeltaLogTable(
   def seed(snapshot: DataFrame): Unit =
     snapshot.write.mode("overwrite").parquet(basePath)
 
-  private def nextDeltaSeq(): Long = {
+  private def listSeqs(): Seq[Long] = {
     val dir = new Path(deltaPath)
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).count(_.getPath.getName.startsWith("seq=")).toLong
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("seq=")).map(_.stripPrefix("seq=").toLong)
   }
+
+  /** max(seq)+1, not directory count: survives sparse seq dirs left by a
+    * partial compaction or manual cleanup. Single-writer per table path is
+    * still assumed (same as the reference's one-migrator-per-table model).
+    */
+  private def nextDeltaSeq(): Long =
+    listSeqs().foldLeft(-1L)(math.max) + 1
 
   /** Append one change batch (unwrapped rows + `__op` + ordering cols).
     * No table read — constant-time in table size.
@@ -72,7 +80,7 @@ class DeltaLogTable(
       .select(rowCols.map(col): _*)
   }
 
-  def deltaCount: Long = nextDeltaSeq()
+  def deltaCount: Long = listSeqs().size.toLong
 
   /** Fold all deltas into a fresh base (one PK shuffle), then drop them. */
   def compact(): Unit = {

@@ -155,8 +155,16 @@ object Similarity {
     * quality gate for the ANN tier.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
-    val hit = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
-    val total = exact.count()
-    if (total == 0) 1.0 else hit.toDouble / total
+    // single action: left-join exact→approx and count total + hits in one
+    // aggregation (two separate counts would execute the exact plan twice —
+    // and the exact side is the expensive all-pairs baseline)
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .distinct().withColumn("__hit", lit(1))
+    val row = exact.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("total"), count(col("__hit")).as("hit"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0) 1.0 else row.getLong(1).toDouble / total
   }
 }
