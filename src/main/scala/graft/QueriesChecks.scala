@@ -92,7 +92,7 @@ object QueriesChecks {
     * non-empty. One zero-column count scan per table.
     */
   val c10CdcCoverage: Q = (s, d) =>
-    Validation.cdcCoverage(Tables.all, t => Some(Tables(s, d, t)))
+    Validation.cdcCoverage(s, Tables.all, t => Some(Tables(s, d, t)))
       .orderBy("table_name")
   val c10Sql: String =
     Tables.all.sorted.map(t =>

@@ -133,17 +133,23 @@ object CatalogDiscovery {
   }
 
   /** Timestamp column: reference patterns first (validation.py:251-258),
-    * then name conventions, then the first temporal-typed column in
-    * ordinal order.
+    * then name conventions restricted to temporal-TYPED columns, then any
+    * temporal-typed column in ordinal order, and only as a last resort a
+    * name-convention column of any other type (raw CDC string payloads,
+    * epoch longs). The loose `.*date$` suffix must not outrank a typed
+    * timestamp: a string column named "update" or "candidate" would
+    * otherwise win and cast to all nulls downstream.
     */
-  def detectTemporal(schema: StructType): Option[String] =
+  def detectTemporal(schema: StructType): Option[String] = {
+    def temporal(f: StructField): Boolean = f.dataType match {
+      case _: DateType | _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    }
     TableMeta.detectTsCol(schema)
+      .orElse(schema.fields.find(f => temporal(f) && TemporalNamePattern.matches(f.name)).map(_.name))
+      .orElse(schema.fields.find(temporal).map(_.name))
       .orElse(schema.fieldNames.find(n => TemporalNamePattern.matches(n)))
-      .orElse(schema.fields.collectFirst {
-        case f if f.dataType.isInstanceOf[DateType] ||
-          f.dataType.isInstanceOf[TimestampType] ||
-          f.dataType.isInstanceOf[TimestampNTZType] => f.name
-      })
+  }
 
   /** Introspect one parquet table (S5): footer schema → TableMeta. */
   def fromParquet(spark: SparkSession, dir: String, table: String): Option[TableMeta] = {

@@ -118,10 +118,14 @@ final case class ConnectorConfig(name: String, config: Map[String, String]) {
   def tableMetas(discover: String => Option[TableMeta]): Map[String, TableMeta] = {
     val boolRepairs = castRepairs.collect { case (c, BooleanType) => c }.toSeq
     val renames = toSmtChain.collect { case RenameIf(pat, r) => (pat, r) }
+    // each table's topic is built from ITS OWN database in the include
+    // list — using the head entry's db would mis-build topics for every
+    // other database and silently drop their conditional renames
+    val dbOf = includeList.map { case (db, tb) => tb -> db }.toMap
     tables.flatMap { t =>
       discover(t).map { m =>
         val applies = renames.filter { case (pat, _) =>
-          s"${topicPrefix.getOrElse("")}.${includeList.headOption.map(_._1).getOrElse("")}.$t"
+          s"${topicPrefix.getOrElse("")}.${dbOf.getOrElse(t, "")}.$t"
             .matches(pat) || t.matches(pat)
         }.flatMap(_._2).toMap
         // the config's cast spec spans the connector's whole table set

@@ -166,8 +166,18 @@ object Dedup {
     * 0.45–0.6 band this repo's test corpus plants, fewer bits + more
     * tables keep the miss probability ~1e-3 per pair (nBits=2,
     * nTables=12 → p≈0.44, miss≈(0.56)^12≈9e-4). Candidate volume is
-    * nTables·N²/2^nBits worst-case, bounded per bucket by
-    * `maxBucketSize` ([[Skew.capHotKeys]]).
+    * bounded by salt-splitting, below.
+    *
+    * Bucket bounding: over-large (t, bucket) groups are salt-split into
+    * sub-groups of ≤ `maxBucketSize` ([[Skew.saltOversized]]) rather
+    * than dropped — dropping a hot LSH bucket would silently zero the
+    * result once N/2^nBits crossed the cap, while salting only misses
+    * the cross-salt pairs of that one table, which the other nTables-1
+    * tables retry independently. Worst-case candidate volume is thereby
+    * ~nTables·N·maxBucketSize/2 pairs — linear in N at fixed cap, not
+    * the N²/2^nBits of unbounded buckets. At low thresholds with few
+    * bits the constant is still large: raise nBits alongside corpus
+    * size when the threshold allows.
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.45, nBits: Int = 2, nTables: Int = 12,
@@ -179,16 +189,16 @@ object Dedup {
       normSq(col(vecCol)).as("nsq")) ++ sigCols: _*)
     val tables = array((0 until nTables).map(t =>
       struct(lit(t).as("t"), col(s"__sig$t").as("b"))): _*)
-    val exploded = Skew.capHotKeys(
+    val exploded = Skew.saltOversized(
       sig.select(col("id"), col("vec"), col("nsq"), explode(tables).as("p"))
         .select(col("id"), col("vec"), col("nsq"),
           col("p.t").as("t"), col("p.b").as("b")),
-      Seq("t", "b"), maxBucketSize)
-    val a = exploded.select(col("t"), col("b"), col("id").as("id_a"),
+      Seq("t", "b"), maxBucketSize, saltOn = col("id"))
+    val a = exploded.select(col("t"), col("b"), col("__salt"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nsq").as("nsq_a"))
-    val b = exploded.select(col("t"), col("b"), col("id").as("id_b"),
+    val b = exploded.select(col("t"), col("b"), col("__salt"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nsq").as("nsq_b"))
-    a.join(b, Seq("t", "b"))
+    a.join(b, Seq("t", "b", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineFromParts(dot(col("vec_a"), col("vec_b")),

@@ -69,8 +69,12 @@ class ParquetUpsertTable(
   private def loadManifest(): Option[Manifest] = {
     val f = fs
     if (!f.exists(manifestDir)) return None
+    // numeric sort, not lexicographic: past v99999 the zero-padding no
+    // longer orders names ("v100000.json" < "v99998.json" as strings),
+    // which would resolve a stale snapshot and brick the next commit
     val names = f.listStatus(manifestDir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json")).sorted
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .sortBy(_.stripPrefix("v").stripSuffix(".json").toInt)
     names.lastOption.map { latest =>
       val p = new Path(manifestDir, latest)
       val len = f.getFileStatus(p).getLen.toInt

@@ -61,6 +61,33 @@ object Skew {
       .drop("__key_n")
   }
 
+  /** Split over-large key groups into `__salt` sub-groups of ≤ maxPerKey
+    * rows instead of dropping them (include `__salt` in the downstream
+    * join keys). Pairs split across sub-groups of ONE blocking table are
+    * missed, so use this under multi-table blocking (e.g. multi-table
+    * LSH) where every other table gives the pair an independent retry —
+    * recall degrades gracefully with bucket size instead of collapsing
+    * to zero the moment a bucket crosses the cap. Bounds candidate
+    * volume at ~N·maxPerKey/2 pairs per table. Use [[capHotKeys]] when
+    * the hot bucket carries no signal at all (boilerplate shingles);
+    * use this when it still does (dense LSH buckets of genuinely
+    * similar vectors).
+    */
+  def saltOversized(df: DataFrame, keys: Seq[String], maxPerKey: Int,
+      saltOn: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__key_n", count(lit(1)).over(w))
+      .withColumn("__salt",
+        when(col("__key_n") <= maxPerKey, lit(0L))
+          // salt on (row, KEY GROUP), not the row alone: hashed on the row
+          // only, a pair would land in the same sub-group in either EVERY
+          // table or NONE — the multi-table retry that makes salting
+          // recall-safe requires per-group-independent splits
+          .otherwise(pmod(xxhash64(saltOn +: keys.map(col): _*),
+            ceil(col("__key_n") / lit(maxPerKey)).cast("long"))))
+      .drop("__key_n")
+  }
+
   /** The keys [[capHotKeys]] dropped, with their sizes — surfaced so a
     * capped dedup run reports what it skipped instead of silently
     * under-matching.

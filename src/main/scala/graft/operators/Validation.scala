@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.catalog.TableMeta
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CDC validation suite — the Spark form of the reference's 6-check
@@ -112,8 +112,9 @@ object Validation {
     * actually materialized and non-empty? One tiny count-aggregate per
     * table (pruned scan of zero columns), unioned into a single report.
     */
-  def cdcCoverage(allowlisted: Seq[String],
+  def cdcCoverage(spark: SparkSession, allowlisted: Seq[String],
       sinkTable: String => Option[DataFrame]): DataFrame = {
+    val missing = spark.range(1) // session-anchored row for unmaterialized tables
     val reports = allowlisted.sorted.map { t =>
       sinkTable(t) match {
         case Some(df) =>
@@ -121,12 +122,13 @@ object Validation {
             .select(lit(t).as("table_name"), col("sink_rows"),
               (col("sink_rows") > 0).as("covered"))
         case None =>
-          allowlisted.headOption.flatMap(sinkTable).get.sparkSession.range(1)
-            .select(lit(t).as("table_name"), lit(0L).as("sink_rows"),
-              lit(false).as("covered"))
+          missing.select(lit(t).as("table_name"), lit(0L).as("sink_rows"),
+            lit(false).as("covered"))
       }
     }
-    reports.reduce(_ unionByName _)
+    reports.reduceOption(_ unionByName _)
+      .getOrElse(missing.limit(0).select(lit("").as("table_name"),
+        lit(0L).as("sink_rows"), lit(false).as("covered")))
   }
 
   /** A1 / check 2 — row-count smoke: WARN ≥ 0.1 %, FAIL ≥ 1 % drift

@@ -108,6 +108,22 @@ class ConnectorConfigSpec extends SparkSuite {
     assert(metas("T_LOCATION").renames.isEmpty) // predicate doesn't match
   }
 
+  test("detectTemporal: typed timestamp outranks a loose name-suffix match") {
+    import org.apache.spark.sql.types._
+    // "candidate" ends in the TemporalNamePattern's date$ suffix but is a
+    // free-text string; the typed timestamp later in the schema must win
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("candidate", StringType),
+      StructField("modified_ts_col", TimestampNTZType)))
+    assert(CatalogDiscovery.detectTemporal(schema).contains("modified_ts_col"))
+    // no temporal-typed column at all: the name convention is still the
+    // last-resort tier (raw CDC payloads, epoch longs like events.ts)
+    val untyped = StructType(Seq(
+      StructField("id", LongType), StructField("ts", LongType)))
+    assert(CatalogDiscovery.detectTemporal(untyped).contains("ts"))
+  }
+
   test("placeholder resolution substitutes ${VAR} from the env map") {
     val cfg = ConnectorConfig.parse(
       """{"name":"c","config":{"database.hostname":"${TRADING_HOST}","topic.prefix":"p"}}""")

@@ -60,6 +60,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("over-large LSH buckets are salt-split, not dropped (no empty-result cliff)") {
+    // every (table, bucket) group exceeds maxBucketSize here; the old
+    // capHotKeys drop returned ZERO pairs in this regime. Salting keeps
+    // sub-bucket pairs, and multi-table retry recovers cross-salt misses.
+    // more tables is the tuning lever that buys back salting's per-table
+    // recall loss: P(pair colliding) per table drops ~1/g under a split
+    // into g sub-groups, and extra tables retry independently
+    val emb = Tables.embeddings(spark, sf001)
+    val salted = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine, nTables = 36, maxBucketSize = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unconstrained = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unconstrained.nonEmpty)
+    val recall = salted.intersect(unconstrained).size.toDouble / unconstrained.size
+    assert(recall >= 0.6, s"salted recall $recall; got ${salted.size} of ${unconstrained.size}")
+  }
+
   test("LSH-blocked embedding near-dup equals exact all-pairs on real embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val v = emb.select($"vec_id", $"embedding",

@@ -108,9 +108,13 @@ class ValidationSpec extends SparkSuite {
       "orders" -> Tables.orders(spark, sf001),
       "customer" -> Tables.customer(spark, sf001),
       "empty_t" -> Tables.orders(spark, sf001).limit(0))
-    val rep = Validation.cdcCoverage(Seq("orders", "customer", "empty_t"), tables.get)
+    // "ghost" is allowlisted but never materialized (sinkTable -> None):
+    // must report covered=false, not crash — even when it sorts first
+    val rep = Validation.cdcCoverage(spark,
+      Seq("a_ghost", "orders", "customer", "empty_t"), tables.get)
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
-    assert(rep("orders") && rep("customer") && !rep("empty_t"))
+    assert(rep("orders") && rep("customer") && !rep("empty_t") && !rep("a_ghost"))
+    assert(Validation.cdcCoverage(spark, Nil, tables.get).count() == 0L)
   }
 
   test("runAllChecks now includes schema-shape and recent-activity rows") {
