@@ -43,6 +43,48 @@ object QueriesAnalytic {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Pivot (status × priority matrix): the idiomatic Spark form with
+    * EXPLICIT pivot values — `.pivot(col)` without values runs an extra
+    * distinct job over the whole table to discover them, which at 100 TB
+    * is a full scan spent learning three letters. Decimal sums cast to
+    * double for cross-engine bit parity.
+    */
+  val q7Pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,4)")).cast("double"))
+      .orderBy("o_orderpriority")
+  val q7Sql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O",
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F",
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Distribution windows: decile, percent_rank, cume_dist within each
+    * priority class (partitioned — a single global ORDER BY window would
+    * serialize onto one task at scale). The doubles are exact cross-engine:
+    * both engines compute the same integer-ratio divisions.
+    */
+  val w6Distribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      ntile(10).over(w).as("decile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+  val w6Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(10) OVER w AS INT) AS decile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Running (cumulative) value per user over event time — exact decimal
     * accumulation cast to double per row.
     */

@@ -66,6 +66,8 @@ object SparkEntry {
     "v0_validation_suite" -> Queries.validationSuite,
     "q1_agg" -> Queries.q1Agg,
     "q6_rollup" -> QueriesAnalytic.q6Rollup,
+    "q7_pivot" -> QueriesAnalytic.q7Pivot,
+    "w6_distribution" -> QueriesAnalytic.w6Distribution,
     "w3_running_sum" -> QueriesAnalytic.w3RunningSum,
     "w4_lead_lag" -> QueriesAnalytic.w4LeadLag,
     "w5_sessionize" -> QueriesAnalytic.w5Sessionize,
@@ -142,6 +144,8 @@ object SparkEntry {
     "x3_union" -> Queries.x3Sql,
     "q1_agg" -> Queries.q1Sql,
     "q6_rollup" -> QueriesAnalytic.q6Sql,
+    "q7_pivot" -> QueriesAnalytic.q7Sql,
+    "w6_distribution" -> QueriesAnalytic.w6Sql,
     "w3_running_sum" -> QueriesAnalytic.w3Sql,
     "w4_lead_lag" -> QueriesAnalytic.w4Sql,
     "w5_sessionize" -> QueriesAnalytic.w5Sql,

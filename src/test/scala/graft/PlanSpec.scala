@@ -41,6 +41,26 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q7_pivot reads only the 3 pivot columns and needs one agg shuffle") {
+    val df = SparkEntry.queries("q7_pivot")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "ReadSchema: struct<o_orderstatus:string,o_totalprice:double,o_orderpriority:string>"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    // Spark pivots via two-phase aggregation: pre-agg on (group, pivot)
+    // keys, then the pivot agg on the group key — 2 hash exchanges, the
+    // second over already-aggregated rows (tiny). Explicit pivot values
+    // mean no third job discovering distinct statuses.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles")
+  }
+
+  test("w6_distribution: all three window functions share one partitioning shuffle") {
+    val plan = planOf("w6_distribution")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
   test("a2/a3 single-scan multi-aggregate reads only the PK columns") {
     val df = SparkEntry.queries("a2_distinct_pk")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
