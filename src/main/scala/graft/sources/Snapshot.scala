@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    `WHERE pk BETWEEN a AND b` pushed to the database;
   *  - A7 range planning (migrate_v3.py:531-539) → `pkRange` below.
   *
-  * No database ships in this container, so these are exercised for plan
-  * construction only; the parquet path (`Tables`) is the tested store.
+  * Exercised live against an embedded Derby database (bundled with
+  * Spark) in `JdbcRoundTripSpec` — real reads, range-partitioned scans,
+  * and JDBC write-back; the parquet path (`Tables`) is the bulk-tested
+  * store.
   */
 object Snapshot {
 
