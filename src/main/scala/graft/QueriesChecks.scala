@@ -88,6 +88,57 @@ object QueriesChecks {
        |       WHEN k.n < s.n THEN 'WARN' ELSE 'PASS' END AS status
        |FROM s, k""".stripMargin
 
+  /** Check 6: delete semantics — a sink holding rows whose PK was
+    * deleted upstream (here: every 100th key "deleted" from the source;
+    * the full table plays the stale sink). Ghosts are the reversed J1
+    * anti-join.
+    */
+  val c6DeleteSemantics: Q = (s, d) => {
+    val sink = Tables.orders(s, d)
+    val source = sink.filter(col("o_orderkey") % 100 =!= 0)
+    val ghosts = Validation.ghostRows(sink, source, Seq("o_orderkey"))
+    ghosts.agg(count(lit(1)).cast("long").as("ghost_rows"))
+      .select(col("ghost_rows"),
+        when(col("ghost_rows") === 0, "PASS").otherwise("FAIL").as("status"))
+  }
+  val c6Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS ghost_rows,
+      |  CASE WHEN count(*) = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+      |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
+
+  /** Check 8: sample row content — deterministic md5-keyed sample of
+    * source rows compared column-by-column against a sink with a planted
+    * corruption (status overwritten on every 37th key).
+    */
+  val c8SampleContent: Q = (s, d) => {
+    val src = Tables.orders(s, d)
+    val sink = src.withColumn("o_orderstatus",
+      when(col("o_orderkey") % 37 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    Validation.sampleContent(src, sink, Seq("o_orderkey"), sampleSize = 500)
+  }
+  val c8Sql =
+    """WITH sink AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 37 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders),
+      |samp AS (
+      |  SELECT * FROM orders
+      |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 500),
+      |j AS (
+      |  SELECT (k.o_orderkey IS NULL
+      |       OR s.o_custkey       IS DISTINCT FROM k.o_custkey
+      |       OR s.o_orderstatus   IS DISTINCT FROM k.o_orderstatus
+      |       OR s.o_totalprice    IS DISTINCT FROM k.o_totalprice
+      |       OR s.o_orderdate     IS DISTINCT FROM k.o_orderdate
+      |       OR s.o_orderpriority IS DISTINCT FROM k.o_orderpriority) AS mismatch
+      |  FROM samp s LEFT JOIN sink k ON s.o_orderkey = k.o_orderkey)
+      |SELECT CAST(count(*) AS BIGINT) AS sampled_rows,
+      |  CAST(sum(CASE WHEN mismatch THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_rows,
+      |  CASE WHEN sum(CASE WHEN mismatch THEN 1 ELSE 0 END) = 0
+      |    THEN 'PASS' ELSE 'FAIL' END AS status
+      |FROM j""".stripMargin
+
   /** Check 10: CDC coverage — every allowlisted table materialized and
     * non-empty. One zero-column count scan per table.
     */

@@ -61,6 +61,8 @@ object SparkEntry {
     // reference checks 1/5/10 (schema shape, recent activity, coverage)
     "c1_schema_shape" -> QueriesChecks.c1SchemaShape,
     "c5_recent_activity" -> QueriesChecks.c5RecentActivity,
+    "c6_delete_semantics" -> QueriesChecks.c6DeleteSemantics,
+    "c8_sample_content" -> QueriesChecks.c8SampleContent,
     "c10_cdc_coverage" -> QueriesChecks.c10CdcCoverage,
     // analytic joins/aggs + snapshot scan
     "v0_validation_suite" -> Queries.validationSuite,
@@ -119,6 +121,8 @@ object SparkEntry {
     "c9_agg_invariants" -> Queries.c9Sql,
     "c1_schema_shape" -> QueriesChecks.c1Sql,
     "c5_recent_activity" -> QueriesChecks.c5Sql,
+    "c6_delete_semantics" -> QueriesChecks.c6Sql,
+    "c8_sample_content" -> QueriesChecks.c8Sql,
     "c10_cdc_coverage" -> QueriesChecks.c10Sql,
     "j1_anti_join" -> Queries.j1Sql,
     "j3_row_diff" -> Queries.j3Sql,

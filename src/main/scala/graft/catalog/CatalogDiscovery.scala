@@ -151,6 +151,16 @@ object CatalogDiscovery {
       .orElse(schema.fieldNames.find(n => TemporalNamePattern.matches(n)))
   }
 
+  /** Check 0 (reference: tests/README.md:17 "Metadata completeness"):
+    * every discovered table must carry a PK (CDC cannot key upserts
+    * without one) and reports whether a timestamp column exists
+    * (freshness/recent-activity checks degrade to skipped without it).
+    */
+  def metadataCompleteness(metas: Map[String, TableMeta]): Seq[(String, Boolean, Boolean)] =
+    metas.toSeq.sortBy(_._1).map { case (t, m) =>
+      (t, m.pkCols.nonEmpty, m.tsCol.isDefined)
+    }
+
   /** Introspect one parquet table (S5): footer schema → TableMeta. */
   def fromParquet(spark: SparkSession, dir: String, table: String): Option[TableMeta] = {
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema

@@ -107,6 +107,48 @@ object Validation {
       "source_recent" -> s.toString, "sink_recent" -> k.toString))
   }
 
+  /** Check 6 (reference: tests/README.md:24 "Delete semantics" —
+    * documented there, skipped as not-enabled): sink rows whose PK no
+    * longer exists in the source are deletes that never propagated
+    * ("ghosts"). The reversed anti-join of J1 — distributed, no row cap.
+    */
+  def ghostRows(sink: DataFrame, source: DataFrame, pkCols: Seq[String]): DataFrame =
+    sink.join(source.select(pkCols.map(col): _*), pkCols, "left_anti")
+
+  def deleteSemantics(source: DataFrame, sink: DataFrame, pkCols: Seq[String]): CheckResult = {
+    val ghosts = ghostRows(sink, source, pkCols).count()
+    CheckResult("delete_semantics", if (ghosts == 0) "PASS" else "FAIL",
+      Map("ghost_rows" -> ghosts.toString))
+  }
+
+  /** Check 8 (reference: tests/README.md:25 "Sample row content
+    * validation"): a deterministic md5-keyed sample of source rows is
+    * joined to the sink by PK and compared column-by-column, NULL-safe
+    * (<=>); a sink row that is missing entirely also counts as a
+    * mismatch. Sampling bounds the cost — content comparison at full
+    * scale is J3's row-diff; this is the cheap smoke version the
+    * reference runs continuously.
+    */
+  def sampleContent(source: DataFrame, sink: DataFrame, pkCols: Seq[String],
+      sampleSize: Int = 500): DataFrame = {
+    val cmpCols = source.columns.filterNot(pkCols.contains)
+      .filter(sink.columns.contains).toSeq
+    val sampled = source.orderBy(
+      md5(concat_ws("|", pkCols.map(c => col(c).cast("string")): _*)) +:
+        pkCols.map(col): _*)
+      .limit(sampleSize)
+    val k = sink.select((pkCols ++ cmpCols).map(c => col(c).as(s"__k_$c")): _*)
+    val joined = sampled.join(k,
+      pkCols.map(c => col(c) === col(s"__k_$c")).reduce(_ && _), "left")
+    val mismatch = cmpCols.map(c => !(col(c) <=> col(s"__k_$c")))
+      .reduce(_ || _) || col(s"__k_${pkCols.head}").isNull
+    joined.agg(
+      count(lit(1)).cast("long").as("sampled_rows"),
+      sum(when(mismatch, 1L).otherwise(0L)).cast("long").as("mismatched_rows"))
+      .select(col("sampled_rows"), col("mismatched_rows"),
+        when(col("mismatched_rows") === 0, "PASS").otherwise("FAIL").as("status"))
+  }
+
   /** Check 10 (reference: tests/README.md:27 "CDC coverage" —
     * documented, unimplemented there) — is every allowlisted table
     * actually materialized and non-empty? One tiny count-aggregate per
@@ -338,6 +380,8 @@ object Validation {
     val orphanCheck = CheckResult("anti_join_orphans",
       if (orphanCount == 0) "PASS" else "FAIL", Map("orphans" -> orphanCount.toString))
 
+    val deletes = deleteSemantics(source, sink, meta.pkCols)
+
     val fresh = meta.tsCol.map { _ =>
       val lagMin = (sp.maxTs, kp.maxTs) match {
         case (Some(s), Some(k)) => (s.getTime - k.getTime) / 60000.0
@@ -355,6 +399,7 @@ object Validation {
     val recent = meta.tsCol.map(ts => recentActivity(source, sink, ts))
 
     TableValidationReport(meta.name,
-      Seq(shape, smoke, distinct, dupCheck, orphanCheck) ++ fresh.toSeq ++ recent.toSeq)
+      Seq(shape, smoke, distinct, dupCheck, orphanCheck, deletes) ++
+        fresh.toSeq ++ recent.toSeq)
   }
 }

@@ -108,6 +108,15 @@ class ConnectorConfigSpec extends SparkSuite {
     assert(metas("T_LOCATION").renames.isEmpty) // predicate doesn't match
   }
 
+  test("check 0: metadata completeness over the discovered lake") {
+    val metas = CatalogDiscovery.discoverAll(spark, sf001)
+    // every bundled table carries a PK (CDC-keyable); ts presence varies
+    val full = CatalogDiscovery.metadataCompleteness(metas)
+    assert(full.nonEmpty)
+    assert(full.forall(_._2), s"PK-less tables: ${full.filterNot(_._2).map(_._1)}")
+    assert(full.exists(_._3)) // at least one ts-bearing table
+  }
+
   test("detectTemporal: typed timestamp outranks a loose name-suffix match") {
     import org.apache.spark.sql.types._
     // "candidate" ends in the TemporalNamePattern's date$ suffix but is a

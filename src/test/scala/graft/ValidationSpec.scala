@@ -117,11 +117,35 @@ class ValidationSpec extends SparkSuite {
     assert(Validation.cdcCoverage(spark, Nil, tables.get).count() == 0L)
   }
 
-  test("runAllChecks now includes schema-shape and recent-activity rows") {
+  test("check 6: ghosts are sink rows whose PK was deleted upstream") {
+    val sink = Tables.orders(spark, sf001)
+    val source = sink.filter(col("o_orderkey") % 100 =!= 0)
+    assert(Validation.deleteSemantics(source, sink, Seq("o_orderkey")).status == "FAIL")
+    // forward direction is clean: deletes, not orphans
+    assert(Validation.deleteSemantics(sink, source, Seq("o_orderkey")).status == "PASS")
+  }
+
+  test("check 8: sampled content diff finds a planted corruption, NULL-safe") {
+    val src = Tables.orders(spark, sf001)
+    val corrupted = src.withColumn("o_orderstatus",
+      when(col("o_orderkey") % 37 === 0, lit(null: String)) // NULL corruption too
+        .otherwise(col("o_orderstatus")))
+    val r = Validation.sampleContent(src, corrupted, Seq("o_orderkey"), 200).head()
+    assert(r.getLong(0) == 200L && r.getLong(1) > 0L && r.getString(2) == "FAIL")
+    val clean = Validation.sampleContent(src, src, Seq("o_orderkey"), 200).head()
+    assert(clean.getLong(1) == 0L && clean.getString(2) == "PASS")
+    // missing sink rows count as mismatches
+    val truncated = Validation.sampleContent(
+      src, src.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"), 200).head()
+    assert(truncated.getLong(1) > 0L)
+  }
+
+  test("runAllChecks now includes schema-shape, delete, and recent-activity rows") {
     val ev = Tables.events(spark, sf001)
     val report = Validation.runAllChecks(ev, ev, TableMeta.testTables("events"))
     val names = report.checks.map(_.check)
     assert(names.contains("schema_shape") && names.contains("recent_activity"))
+    assert(names.contains("delete_semantics"))
     assert(report.status == "PASS")
   }
 
