@@ -61,6 +61,17 @@ class PlanSpec extends SparkSuite {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("scale-safe dedup/similarity entries never plan an all-pairs join") {
+    // sim_cosine_topk/neardup are the exact baselines and legitimately
+    // cross-join; every blocked variant must stay bucket-local
+    for (q <- Seq("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
+        "dd_embed_neardup", "sim_ann_lsh")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
   test("a2/a3 single-scan multi-aggregate reads only the PK columns") {
     val df = SparkEntry.queries("a2_distinct_pk")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString

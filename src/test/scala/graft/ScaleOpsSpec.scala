@@ -123,6 +123,34 @@ class AsOfJoinSpec extends SparkSuite {
     assert(fast.values.exists(_.isEmpty)) // clicks before any purchase exist
   }
 
+  test("property: as-of equals the naive max-ts lookup on random data with NULLs") {
+    val rnd = new scala.util.Random(7)
+    // unique (k, ts) per state row — equal-ts states would make the
+    // winner order-dependent in both the operator and the naive oracle
+    val stateKeys = rnd.shuffle((0L until 20L).flatMap(k =>
+      (0L until 120L).map(t => (k, t))).toVector).take(300)
+    val states = stateKeys.map { case (k, t) =>
+      (k, t,
+        if (rnd.nextBoolean()) Option(rnd.nextInt(10).toDouble) else None,
+        if (rnd.nextBoolean()) Option(s"s${rnd.nextInt(5)}") else None)
+    }
+    val probes = (1 to 500).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(130).toLong))
+    val sdf = states.toDF("k", "ts", "price", "note")
+    val pdf = probes.toDF("probe_id", "k", "ts")
+    val got = AsOfJoin.asOf(pdf, sdf, "k", "ts", Seq("price", "note"))
+      .select("probe_id", "price", "note")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val byKey = states.groupBy(_._1)
+    probes.foreach { case (pid, k, ts) =>
+      val want = byKey.getOrElse(k, Vector.empty)
+        .filter(_._2 <= ts).sortBy(_._2).lastOption
+        .map(s => (s._3, s._4)).getOrElse((None, None))
+      assert(got(pid) == want, s"probe $pid (k=$k, ts=$ts)")
+    }
+  }
+
   test("as-of never stitches value columns across state versions (NULL fields)") {
     // state v2 has price set but note NULL; a probe after v2 must see
     // (20.0, null) — NOT v1's note filled in (per-column last(ignoreNulls)
