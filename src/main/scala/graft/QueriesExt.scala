@@ -278,4 +278,32 @@ object QueriesExt {
     Multimodal.extractFeatures(mediaFrom(docs(s, d)), nFeatures = 16)
       .select(col("media_id"), md5(to_json(col("features"))).as("features_md5"))
       .orderBy("media_id")
+
+  /** Resize through the codec path (8×8×3 = 192 target bytes): n_bytes
+    * and meta dims are fully graded; content md5 is graded for the
+    * truncation rows (docs ≥ 192 bytes) where SQL can mirror the stub's
+    * byte slice — padded rows carry NULL md5 on both sides.
+    */
+  val MmResizeW = 8; val MmResizeH = 8
+  val mmResize: Q = (s, d) => {
+    val target = MmResizeW * MmResizeH * 3
+    val media = mediaFrom(docs(s, d))
+      .withColumn("orig_bytes", octet_length(col("payload")).cast("long"))
+    Multimodal.resizeMedia(media, MmResizeW, MmResizeH)
+      .select(col("media_id"), col("orig_bytes"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        when(col("orig_bytes") >= target, md5(col("payload"))).as("trunc_md5"))
+      .orderBy("media_id")
+  }
+  val mmResizeSql: String = {
+    val target = MmResizeW * MmResizeH * 3
+    s"""SELECT doc_id AS media_id,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_bytes,
+       |  CAST($target AS BIGINT) AS n_bytes,
+       |  CAST($MmResizeW AS INT) AS width, CAST($MmResizeH AS INT) AS height,
+       |  CASE WHEN octet_length(CAST(text AS BLOB)) >= $target
+       |    THEN md5(substr(text, 1, $target)) END AS trunc_md5
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
 }

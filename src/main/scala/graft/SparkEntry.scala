@@ -102,6 +102,7 @@ object SparkEntry {
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
     "mm_frame_sample" -> QueriesExt.mmFrameSample,
+    "mm_resize" -> QueriesExt.mmResize,
     "mm_features" -> QueriesExt.mmFeatures)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,5 +172,6 @@ object SparkEntry {
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
     "mm_payload_stats" -> QueriesExt.mmPayloadStatsSql,
-    "mm_frame_sample" -> QueriesExt.mmFrameSampleSql)
+    "mm_frame_sample" -> QueriesExt.mmFrameSampleSql,
+    "mm_resize" -> QueriesExt.mmResizeSql)
 }

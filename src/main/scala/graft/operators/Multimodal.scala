@@ -90,6 +90,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize payloads to target (width × height) dims, partition-wise
+    * through the codec (stub: truncate/pad to w·h·3 bytes — a real impl
+    * rescales pixels); `meta` is rewritten to the target dims. Audio
+    * rows pass through unchanged. Schema-preserving, so it composes
+    * with the other media transforms.
+    */
+  def resizeMedia(df: DataFrame, width: Int, height: Int): DataFrame = {
+    val enc = Encoders.row(df.schema)
+    val pIdx = df.schema.fieldIndex("payload")
+    val mIdx = df.schema.fieldIndex("meta")
+    val kIdx = df.schema.fieldIndex("kind")
+    val target = width * height * 3
+    df.mapPartitions { rows =>
+      // real codec would initialize here, once per partition
+      rows.map { r =>
+        if (r.getString(kIdx) == "audio") r
+        else {
+          val vals = r.toSeq.toArray
+          vals(pIdx) = StubCodec.resize(r.getAs[Array[Byte]](pIdx), target)
+          val old = r.getAs[Row](mIdx)
+          vals(mIdx) =
+            if (old == null) null
+            else Row(Int.box(width), Int.box(height), old.get(2), old.get(3), old.get(4))
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Cheap metadata pass that needs no codec: byte length + content
     * fingerprint — pure Column expressions, fully pushed down.
     */

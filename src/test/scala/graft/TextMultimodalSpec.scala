@@ -82,6 +82,28 @@ class TextMultimodalSpec extends SparkSuite {
     assert(Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4), 2).toSeq == Seq[Byte](1, 2))
     assert(Multimodal.StubCodec.framePositions(7, 3).toSeq == Seq(0, 3, 6))
   }
+
+  test("multimodal: resizeMedia rewrites dims, pads/truncates, passes audio through") {
+    val media = Seq(
+      (1L, "video", "0123456789abcdef"), // 16 bytes -> truncated to 12
+      (2L, "image", "xy"),               // 2 bytes  -> zero-padded to 12
+      (3L, "audio", "wav-bytes"))        // untouched
+      .toDF("media_id", "kind", "s")
+      .select($"media_id", $"kind", $"s".cast("binary").as("payload"),
+        struct(lit(100).as("width"), lit(50).as("height"), lit(44100).as("sample_rate"),
+          lit(1).as("n_frames"), lit("m").as("mime")).as("meta"))
+    val out = Multimodal.resizeMedia(media, 2, 2) // 2*2*3 = 12 target bytes
+      .select($"media_id", $"kind", $"payload", $"meta.width", $"meta.height",
+        $"meta.sample_rate")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Array[Byte]](2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    assert(out(1L)._2.toSeq == "0123456789ab".getBytes.toSeq && out(1L)._3 == 2)
+    assert(out(2L)._2.length == 12 && out(2L)._2.drop(2).forall(_ == 0) && out(2L)._4 == 2)
+    assert(out(3L)._2.toSeq == "wav-bytes".getBytes.toSeq
+      && out(3L)._3 == 100 && out(3L)._4 == 50) // audio untouched
+    assert(out(1L)._5 == 44100) // non-dim meta preserved
+  }
 }
 
 class WinnowSpec extends SparkSuite {
