@@ -175,3 +175,46 @@ class LiveRoundTripSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+case class Ev(event_id: Long, ts_ms: Long, payload: String)
+
+class StreamDedupSpec extends SparkSuite {
+  import graft.streaming.StreamDedup
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("T1: redelivered events within the watermark horizon are dropped once") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val deduped = StreamDedup.dedupWithinWatermark(
+      stream.toDF(), Seq("event_id"), "ts_ms", horizon = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("t1_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData(Ev(1, t0, "a"), Ev(2, t0 + 1000, "b"),
+        Ev(1, t0, "a"))                       // duplicate in the same batch
+      q.processAllAvailable()
+      stream.addData(Ev(2, t0 + 1000, "b"),   // redelivery in a later batch
+        Ev(3, t0 + 2000, "c"))
+      q.processAllAvailable()
+      val got = spark.table("t1_dedup").as[Ev].collect().sortBy(_.event_id).toSeq
+      assert(got.map(_.event_id) == Seq(1L, 2L, 3L), got.toString)
+    } finally q.stop()
+  }
+
+  test("T1: dedup state is keyed, so distinct ids all pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val deduped = StreamDedup.dedupWithinWatermark(
+      stream.toDF(), Seq("event_id"), "ts_ms", horizon = "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("t1_dedup2")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData((1 to 50).map(i => Ev(i.toLong, t0 + i, s"p$i")): _*)
+      q.processAllAvailable()
+      assert(spark.table("t1_dedup2").count() == 50L)
+    } finally q.stop()
+  }
+}
