@@ -252,7 +252,7 @@ object Queries {
       Conversions.zeroDateToNull(
         when(col("o_orderkey") % 5 === 0, lit("0000-00-00 00:00:00"))
           .otherwise(col("o_orderdate").cast("string"))).as("fixed_date"),
-      Conversions.stripNul(concat(col("o_orderpriority"), lit(" "), lit("x")))
+      Conversions.stripNul(concat(col("o_orderpriority"), lit("\u0000"), lit("x")))
         .as("clean_text"))
       .orderBy("o_orderkey")
   val f1f4Sql =
