@@ -289,11 +289,18 @@ object QueriesExt {
     val target = MmResizeW * MmResizeH * 3
     val media = mediaFrom(docs(s, d))
       .withColumn("orig_bytes", octet_length(col("payload")).cast("long"))
+    // the md5 is graded only for single-byte (bytes == chars) payloads:
+    // SQL's substr slices CHARACTERS while the codec slices BYTES, so a
+    // multi-byte doc would diverge — the guard keeps the oracle honest
+    // if the data generator ever emits non-ASCII text
     Multimodal.resizeMedia(media, MmResizeW, MmResizeH)
+      .join(docs(s, d).select(col("doc_id").as("media_id"), col("n_chars")),
+        Seq("media_id"))
       .select(col("media_id"), col("orig_bytes"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         col("meta.width").as("width"), col("meta.height").as("height"),
-        when(col("orig_bytes") >= target, md5(col("payload"))).as("trunc_md5"))
+        when(col("orig_bytes") >= target && col("orig_bytes") === col("n_chars"),
+          md5(col("payload"))).as("trunc_md5"))
       .orderBy("media_id")
   }
   val mmResizeSql: String = {
@@ -303,6 +310,7 @@ object QueriesExt {
        |  CAST($target AS BIGINT) AS n_bytes,
        |  CAST($MmResizeW AS INT) AS width, CAST($MmResizeH AS INT) AS height,
        |  CASE WHEN octet_length(CAST(text AS BLOB)) >= $target
+       |        AND octet_length(CAST(text AS BLOB)) = n_chars
        |    THEN md5(substr(text, 1, $target)) END AS trunc_md5
        |FROM documents ORDER BY media_id""".stripMargin
   }

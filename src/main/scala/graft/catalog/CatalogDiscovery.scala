@@ -152,13 +152,21 @@ object CatalogDiscovery {
   }
 
   /** Check 0 (reference: tests/README.md:17 "Metadata completeness"):
-    * every discovered table must carry a PK (CDC cannot key upserts
-    * without one) and reports whether a timestamp column exists
-    * (freshness/recent-activity checks degrade to skipped without it).
+    * every LISTED table must have discovered metadata with a PK (CDC
+    * cannot key upserts without one) and reports whether a timestamp
+    * column exists (freshness/recent-activity checks degrade to skipped
+    * without it). Takes the table LISTING separately from the discovery
+    * result: discovery drops undiscoverable tables from its map, so a
+    * metas-only check could never flag exactly the tables it exists to
+    * catch — a listed table absent from `metas` reports (false, false).
     */
-  def metadataCompleteness(metas: Map[String, TableMeta]): Seq[(String, Boolean, Boolean)] =
-    metas.toSeq.sortBy(_._1).map { case (t, m) =>
-      (t, m.pkCols.nonEmpty, m.tsCol.isDefined)
+  def metadataCompleteness(tables: Seq[String],
+      metas: Map[String, TableMeta]): Seq[(String, Boolean, Boolean)] =
+    tables.sorted.map { t =>
+      metas.get(t) match {
+        case Some(m) => (t, m.pkCols.nonEmpty, m.tsCol.isDefined)
+        case None => (t, false, false)
+      }
     }
 
   /** Introspect one parquet table (S5): footer schema → TableMeta. */

@@ -101,6 +101,11 @@ object Multimodal {
     val pIdx = df.schema.fieldIndex("payload")
     val mIdx = df.schema.fieldIndex("meta")
     val kIdx = df.schema.fieldIndex("kind")
+    // resolve width/height positions from the struct's own schema so any
+    // field order / extra fields compose — never by hard-coded position
+    val metaSchema = df.schema(mIdx).dataType.asInstanceOf[StructType]
+    val wIdx = metaSchema.fieldIndex("width")
+    val hIdx = metaSchema.fieldIndex("height")
     val target = width * height * 3
     df.mapPartitions { rows =>
       // real codec would initialize here, once per partition
@@ -112,7 +117,8 @@ object Multimodal {
           val old = r.getAs[Row](mIdx)
           vals(mIdx) =
             if (old == null) null
-            else Row(Int.box(width), Int.box(height), old.get(2), old.get(3), old.get(4))
+            else Row.fromSeq(old.toSeq
+              .updated(wIdx, Int.box(width)).updated(hIdx, Int.box(height)))
           Row.fromSeq(vals.toIndexedSeq)
         }
       }

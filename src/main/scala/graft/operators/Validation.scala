@@ -140,11 +140,22 @@ object Validation {
     val k = sink.select((pkCols ++ cmpCols).map(c => col(c).as(s"__k_$c")): _*)
     val joined = sampled.join(k,
       pkCols.map(c => col(c) === col(s"__k_$c")).reduce(_ && _), "left")
-    val mismatch = cmpCols.map(c => !(col(c) <=> col(s"__k_$c")))
-      .reduce(_ || _) || col(s"__k_${pkCols.head}").isNull
-    joined.agg(
-      count(lit(1)).cast("long").as("sampled_rows"),
-      sum(when(mismatch, 1L).otherwise(0L)).cast("long").as("mismatched_rows"))
+    // PK-only schemas degrade to an existence check instead of crashing
+    // on an empty reduce
+    val contentDiffers = cmpCols.map(c => !(col(c) <=> col(s"__k_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val rowMatches = !contentDiffers && col(s"__k_${pkCols.head}").isNotNull
+    // aggregate per sampled KEY, not per join row: a duplicate-PK sink
+    // fans the left join out, which would inflate sampled_rows past the
+    // sample size and double-count mismatches. A key matches if at least
+    // one sink row carries identical content.
+    joined
+      .groupBy(pkCols.map(col): _*)
+      .agg(max(rowMatches.cast("int")).as("__matched"))
+      .agg(
+        count(lit(1)).cast("long").as("sampled_rows"),
+        sum(when(col("__matched") === 0, 1L).otherwise(0L))
+          .cast("long").as("mismatched_rows"))
       .select(col("sampled_rows"), col("mismatched_rows"),
         when(col("mismatched_rows") === 0, "PASS").otherwise("FAIL").as("status"))
   }
@@ -380,7 +391,12 @@ object Validation {
     val orphanCheck = CheckResult("anti_join_orphans",
       if (orphanCount == 0) "PASS" else "FAIL", Map("orphans" -> orphanCount.toString))
 
-    val deletes = deleteSemantics(source, sink, meta.pkCols)
+    // check 6 — in a keyed CDC mirror an unpropagated delete IS an orphan
+    // (both are the sink⟂source anti-join), so the one anti-join above
+    // feeds both report rows instead of running twice
+    val deletes = CheckResult("delete_semantics",
+      if (orphanCount == 0) "PASS" else "FAIL",
+      Map("ghost_rows" -> orphanCount.toString))
 
     val fresh = meta.tsCol.map { _ =>
       val lagMin = (sp.maxTs, kp.maxTs) match {

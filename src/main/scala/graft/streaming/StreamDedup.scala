@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamDedup {
 
+  /** The watermarked event-time column kept on the output so downstream
+    * event-time stateful operators (windowed aggs, further watermark-bounded
+    * ops) can reuse the watermark instead of re-deriving it; drop it if
+    * unwanted.
+    */
+  val EventTimeCol = "__dedup_event_time"
+
   /** Drop redelivered events within `horizon` of the watermark.
     *
     * @param idCols    event identity (e.g. PK + source ts/seq)
@@ -27,10 +34,12 @@ object StreamDedup {
     * @param horizon   watermark delay, e.g. "10 minutes"
     */
   def dedupWithinWatermark(stream: DataFrame, idCols: Seq[String],
-      tsMsCol: String, horizon: String): DataFrame =
+      tsMsCol: String, horizon: String): DataFrame = {
+    require(!stream.columns.contains(EventTimeCol),
+      s"input already carries $EventTimeCol — drop or rename it first")
     stream
-      .withColumn("__event_time", timestamp_millis(col(tsMsCol)))
-      .withWatermark("__event_time", horizon)
+      .withColumn(EventTimeCol, timestamp_millis(col(tsMsCol)))
+      .withWatermark(EventTimeCol, horizon)
       .dropDuplicatesWithinWatermark(idCols)
-      .drop("__event_time")
+  }
 }

@@ -109,12 +109,18 @@ class ConnectorConfigSpec extends SparkSuite {
   }
 
   test("check 0: metadata completeness over the discovered lake") {
+    val listed = CatalogDiscovery.discoverTables(spark, sf001)
     val metas = CatalogDiscovery.discoverAll(spark, sf001)
     // every bundled table carries a PK (CDC-keyable); ts presence varies
-    val full = CatalogDiscovery.metadataCompleteness(metas)
+    val full = CatalogDiscovery.metadataCompleteness(listed, metas)
     assert(full.nonEmpty)
     assert(full.forall(_._2), s"PK-less tables: ${full.filterNot(_._2).map(_._1)}")
     assert(full.exists(_._3)) // at least one ts-bearing table
+    // a listed table that discovery could NOT key must be flagged, not
+    // silently dropped — this is the failure check 0 exists to catch
+    val withGhost = CatalogDiscovery.metadataCompleteness(
+      listed :+ "keyless_table", metas)
+    assert(withGhost.exists(r => r._1 == "keyless_table" && !r._2 && !r._3))
   }
 
   test("detectTemporal: typed timestamp outranks a loose name-suffix match") {

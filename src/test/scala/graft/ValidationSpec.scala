@@ -138,6 +138,16 @@ class ValidationSpec extends SparkSuite {
     val truncated = Validation.sampleContent(
       src, src.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"), 200).head()
     assert(truncated.getLong(1) > 0L)
+    // duplicate-PK sink must not fan out the sample: a key with one clean
+    // and one corrupt copy still matches, and sampled_rows stays 200
+    val dupSink = src.unionByName(
+      src.withColumn("o_orderstatus", lit("X")))
+    val dup = Validation.sampleContent(src, dupSink, Seq("o_orderkey"), 200).head()
+    assert(dup.getLong(0) == 200L && dup.getLong(1) == 0L)
+    // PK-only schemas degrade to an existence check instead of crashing
+    val pkOnly = Validation.sampleContent(
+      src.select("o_orderkey"), src.select("o_orderkey"), Seq("o_orderkey"), 50).head()
+    assert(pkOnly.getLong(0) == 50L && pkOnly.getString(2) == "PASS")
   }
 
   test("runAllChecks now includes schema-shape, delete, and recent-activity rows") {
