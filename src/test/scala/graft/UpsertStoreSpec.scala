@@ -118,3 +118,72 @@ class UpsertStoreSpec extends SparkSuite {
     assert(t.read().as[KV].collect().toSeq == Seq(KV(1, "v6")))
   }
 }
+
+/** Model-based randomized test: a long random op sequence applied to both
+  * the MVCC store and an in-memory map model must agree after every
+  * merge. Covers upsert/delete interleavings, whole-bucket deletions,
+  * replayed (duplicate-key) batches, and an additive schema evolution
+  * mid-sequence — the compound behaviors targeted specs can miss.
+  */
+class UpsertStoreModelSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("random op sequences: store state equals the map model at every step") {
+    val rnd = new scala.util.Random(13)
+    val path = tmpDir("mvccmodel") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 8)
+
+    var model = Map.empty[Long, (String, Option[Long])] // k -> (v, extra)
+    var ts = 0L
+    val evolveAt = 6 // batch index where column "extra" appears
+
+    for (batch <- 0 until 12) {
+      val evolved = batch >= evolveAt
+      val nOps = 5 + rnd.nextInt(15)
+      val ops = (0 until nOps).map { _ =>
+        ts += 1
+        val k = rnd.nextInt(24).toLong // small domain -> heavy key reuse
+        val del = model.contains(k) && rnd.nextInt(4) == 0
+        if (del) (k, null: String, "d", ts, None: Option[Long])
+        else (k, s"v$ts", if (model.contains(k)) "u" else "c", ts,
+          if (evolved) Some(ts * 10) else None)
+      }
+      // apply to the model in ts order (last op per key wins)
+      ops.sortBy(_._4).foreach {
+        case (k, _, "d", _, _) => model -= k
+        case (k, v, _, _, extra) => model += k -> (v, extra)
+      }
+      val df =
+        if (evolved)
+          ops.map(o => (o._1, o._2, o._3, o._4, o._5.map(Long.box).orNull))
+            .toDF("k", "v", "__op", "__source_ts_ms", "extra")
+            .withColumn("extra", col("extra").cast("long"))
+            .withColumn("__seq", monotonically_increasing_id())
+        else
+          ops.map(o => (o._1, o._2, o._3, o._4))
+            .toDF("k", "v", "__op", "__source_ts_ms")
+            .withColumn("__seq", monotonically_increasing_id())
+      t.merge(df, Seq(col("__source_ts_ms"), col("__seq")))
+
+      val got = t.read()
+      val gotMap =
+        if (got.columns.contains("extra"))
+          got.select("k", "v", "extra").collect()
+            .map(r => r.getLong(0) ->
+              (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+            .toMap
+        else got.select("k", "v").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), None: Option[Long])).toMap
+      val want =
+        if (got.columns.contains("extra")) model
+        else model.map { case (k, (v, _)) => k -> (v, None: Option[Long]) }
+      assert(gotMap == want,
+        s"batch $batch diverged: missing=${want.keySet -- gotMap.keySet} " +
+          s"spurious=${gotMap.keySet -- want.keySet} " +
+          s"diff=${want.collect { case (k, v) if gotMap.get(k).exists(_ != v) => (k, v, gotMap(k)) }}")
+    }
+    // rows that existed before the evolution surface extra as NULL —
+    // covered because pre-evolution keys survive into evolved reads above
+    assert(t.schemaHistory().nonEmpty)
+  }
+}
