@@ -44,3 +44,27 @@ class CdcOrchestrator(spark: SparkSession, root: String) {
   def table(name: String): Option[graft.operators.ParquetUpsertTable] =
     pipelines.get(name).map(_.table)
 }
+
+object CdcOrchestrator {
+  import graft.catalog.ConnectorConfig
+
+  /** Stand up the orchestrator's table set from a deployed connector
+    * config file — the reference's whole ingestion surface is 18 such
+    * JSONs (reference: the connectors/sources/mariadb JSONs), so "run this
+    * config" has to be the entry point, not hand-built TableMetas. Keys
+    * and timestamp columns come from catalog discovery (S4/S5); bit
+    * repairs, casts, and conditional renames come from the config's SMT
+    * chain.
+    *
+    * Returns the orchestrator plus the per-table metas it will register
+    * with — the caller attaches each table's envelope stream (transport
+    * is deployment-specific: Kafka in production, file/memory in tests).
+    */
+  def fromConfig(spark: SparkSession, root: String, cfg: ConnectorConfig,
+      discover: String => Option[TableMeta]): (CdcOrchestrator, Map[String, TableMeta]) = {
+    val orch = new CdcOrchestrator(spark, root)
+    val metas = cfg.tableMetas(discover)
+    metas.values.foreach(orch.pipeline) // pre-create so table() resolves pre-start
+    (orch, metas)
+  }
+}

@@ -73,3 +73,34 @@ class OrchestratorSpec extends SparkSuite {
     assert(orch.table("tb").get.read().as[RowKV].collect().toSeq == Seq(RowKV(7, "b1")))
   }
 }
+
+class ConfigDrivenOrchestratorSpec extends SparkSuite {
+  import graft.catalog.{CatalogDiscovery, ConnectorConfig, TableMeta}
+  import graft.streaming.CdcOrchestrator
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  test("a deployed reference config stands up the whole table set end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = ConnectorConfig.load("/root/reference/connectors/sources/mariadb/live.json")
+    // catalog tier: a simple id PK per captured table (no MariaDB here)
+    val (orch, metas) = CdcOrchestrator.fromConfig(spark, tmpDir("cfgorch"), cfg,
+      t => Some(TableMeta(t, Seq("k"))))
+    assert(metas.keySet == cfg.tables.toSet && metas.size == 10)
+    // config semantics flow through: T_CARRIER carries the conditional rename
+    assert(metas("T_CARRIER").renames == Map("user" -> "owner_user_id"))
+    // every table's store resolves before any stream starts
+    assert(cfg.tables.forall(t => orch.table(t).isDefined))
+
+    // drive one configured table through its pipeline
+    val s1 = MemoryStream[Env]
+    orch.register(metas("T_CARRIER"), s1.toDF(),
+      snapshot = Some(Seq(RowKV(5, "seeded")).toDF()))
+    s1.addData(Env("u", 2, SrcMeta("xchangelive", "T_CARRIER", 2),
+      RowKV(5, "seeded"), RowKV(5, "updated")))
+    spark.streams.active.foreach(_.processAllAvailable())
+    orch.stopAll()
+    assert(orch.table("T_CARRIER").get.read().as[RowKV].collect().toSeq ==
+      Seq(RowKV(5, "updated")))
+  }
+}
