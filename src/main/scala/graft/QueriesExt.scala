@@ -229,8 +229,15 @@ object QueriesExt {
     // every recallAtK action re-runs the cross join
     val exact = Similarity.bruteForceTopK(probes, e, "vec_id", "embedding", k = 5)
       .persist()
-    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 5)
-    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5)
+    // the ANN tiers search only the sampled probes too (corpus stays
+    // full) — computing top-k for unsampled queries would be discarded
+    // by the recall join anyway
+    val sampled: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 4 === 0
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 5,
+      queryFilter = Some(sampled))
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
+      queryFilter = Some(sampled))
     import s.implicits._
     val out = Seq(("lsh", 5, Similarity.recallAtK(lsh, exact)),
       ("ivf", 5, Similarity.recallAtK(ivf, exact)))

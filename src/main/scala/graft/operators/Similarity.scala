@@ -61,11 +61,16 @@ object Similarity {
     * force.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
-      nBits: Int = 6, nTables: Int = 4, probeBits: Int = 1): DataFrame = {
+      nBits: Int = 6, nTables: Int = 4, probeBits: Int = 1,
+      queryFilter: Option[Column => Column] = None): DataFrame = {
     val sigCols = (0 until nTables).map(t =>
       hyperplaneSignature(col(vecCol), nBits, seed = 42L + 1000L * t).as(s"__sig$t"))
     val sig = df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq")) ++ sigCols: _*)
+    // searching a subset of queries (recall sampling, point lookups)
+    // narrows ONLY the probe side — the corpus stays full; the predicate
+    // receives the id column (post-rename)
+    val qSig = queryFilter.fold(sig)(f => sig.filter(f(col("id"))))
     // query side probes: own bucket per table (+ Hamming-1 neighbors)
     val qProbes = array((0 until nTables).flatMap { t =>
       val base = col(s"__sig$t")
@@ -78,7 +83,7 @@ object Similarity {
     }: _*)
     val cBuckets = array((0 until nTables).map(t =>
       struct(lit(t).as("t"), col(s"__sig$t").as("b"))): _*)
-    val q = sig.select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
+    val q = qSig.select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
       explode(qProbes).as("p")).select(col("query_id"), col("qv"), col("qn"),
       col("p.t").as("t"), col("p.b").as("b"))
     val c = sig.select(col("id").as("neighbor_id"), col("vec").as("cv"), col("nsq").as("cn"),
@@ -110,7 +115,8 @@ object Similarity {
     * nProbe/nLists of all pairs.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      queryFilter: Option[Column => Column] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -132,8 +138,10 @@ object Similarity {
     val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("list_id"))
     val assigned = scored.withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1).select(col("id"), col("vec"), col("nsq"), col("list_id"))
-    // queries probe their nProbe nearest lists
-    val probes = scored.withColumn("__r", row_number().over(w))
+    // queries probe their nProbe nearest lists; a query filter narrows
+    // only this side (clustering + corpus assignment stay full)
+    val probes = queryFilter.fold(scored)(f => scored.filter(f(col("id"))))
+      .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= nProbe)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
         col("list_id"))
