@@ -36,7 +36,8 @@ import org.json4s.jackson.JsonMethods
   * Single-writer by design (one CDC apply stream per table, matching the
   * reference's one-connector-per-table deployment); the atomic manifest
   * rename makes a second concurrent writer fail loudly instead of
-  * corrupting state.
+  * corrupting state. NULL-PK change events are dropped at the merge
+  * boundary (violations, surfaced by the P10/A3 checks — see merge()).
   *
   * Scale rationale: at 100 TB with e.g. 4096 buckets a CDC micro-batch
   * that touches 1% of keys rewrites ~1% of the table instead of all of
@@ -253,6 +254,15 @@ class ParquetUpsertTable(
     * on the previous snapshot are unaffected.
     */
   def merge(changes: DataFrame, orderCols: Seq[Column]): Unit = {
+    // NULL-PK events are violations, not keyable changes (the reference
+    // counts them in its PK-integrity check; P10/A3 surface them here):
+    // NULL never equals itself in the upsert anti-join, so such a row
+    // would append a fresh duplicate on EVERY batch instead of upserting
+    val keyed = changes.filter(pkCols.map(col(_).isNotNull).reduce(_ && _))
+    doMerge(keyed, orderCols)
+  }
+
+  private def doMerge(changes: DataFrame, orderCols: Seq[Column]): Unit = {
     if (changes.isEmpty) return
     val manifest = loadManifest() match {
       case Some(m) => m

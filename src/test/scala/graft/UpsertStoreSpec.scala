@@ -187,3 +187,23 @@ class UpsertStoreModelSpec extends SparkSuite {
     assert(t.schemaHistory().nonEmpty)
   }
 }
+
+class NullPkMergeSpec extends SparkSuite {
+  import graft.operators.ParquetUpsertTable
+  import spark.implicits._
+
+  test("NULL-PK change events are dropped, not appended once per batch") {
+    val path = tmpDir("nullpk") + "/t"
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 4)
+    t.seed(Seq((1L, "a")).toDF("k", "v"))
+    def batch(ts: Long) = Seq(
+      (Option(2L), "b", "c", ts), (Option.empty[Long], "ghost", "c", ts))
+      .toDF("k", "v", "__op", "__source_ts_ms")
+      .withColumn("__seq", monotonically_increasing_id())
+    t.merge(batch(1), Seq(col("__source_ts_ms"), col("__seq")))
+    t.merge(batch(2), Seq(col("__source_ts_ms"), col("__seq")))
+    val rows = t.read().as[(Option[Long], String)].collect().toSeq
+    assert(rows.count(_._1.isEmpty) == 0, s"null-PK rows leaked: $rows")
+    assert(rows.sortBy(_._1) == Seq((Some(1L), "a"), (Some(2L), "b")))
+  }
+}
