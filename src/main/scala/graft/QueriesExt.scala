@@ -224,7 +224,11 @@ object QueriesExt {
     // points (the corpus side stays full — only the probe set shrinks;
     // recallAtK joins on exact's query_ids, so approx rows for unsampled
     // queries simply don't count)
-    val probes = e.filter(col("vec_id") % 4 === 0)
+    // ONE sample predicate drives the baseline and both ANN tiers — a
+    // drifted copy would deflate recall silently
+    val sampled: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 4 === 0
+    val probes = e.filter(sampled(col("vec_id")))
     // the exact baseline feeds BOTH recall computations — persist it or
     // every recallAtK action re-runs the cross join
     val exact = Similarity.bruteForceTopK(probes, e, "vec_id", "embedding", k = 5)
@@ -232,8 +236,6 @@ object QueriesExt {
     // the ANN tiers search only the sampled probes too (corpus stays
     // full) — computing top-k for unsampled queries would be discarded
     // by the recall join anyway
-    val sampled: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      id => id % 4 === 0
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 5,
       queryFilter = Some(sampled))
     val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,

@@ -52,6 +52,21 @@ object CdcMerge {
     untouched.unionByName(survivors)
   }
 
+  /** Split a change batch into keyable rows and NULL-PK violations — the
+    * shared boundary guard for BOTH keyed stores (ParquetUpsertTable,
+    * DeltaLogTable): a NULL key never matches itself in the merge
+    * anti-join, so an admitted NULL-PK row is an un-upsertable,
+    * un-deletable ghost that duplicates on every replay. Callers must
+    * make the second frame observable (side-output + count), not drop it.
+    *
+    * Kept OUT of applyChanges itself: that operator's semantics are
+    * pinned by the SQL oracle (s7), where NULL keys behave the same on
+    * both engines.
+    */
+  def splitKeyed(changes: DataFrame, pkCols: Seq[String]): (DataFrame, DataFrame) = (
+    changes.filter(pkCols.map(col(_).isNotNull).reduce(_ && _)),
+    changes.filter(pkCols.map(col(_).isNull).reduce(_ || _)))
+
   /** Changelog statistics per op — insert/update/delete/read counts and
     * affected-key cardinality (monitoring surface of T1/T3).
     */

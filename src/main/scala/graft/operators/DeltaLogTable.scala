@@ -34,8 +34,20 @@ class DeltaLogTable(
 
   def exists: Boolean = fs.exists(new Path(basePath))
 
+  /** Same NULL-PK boundary policy as ParquetUpsertTable (the two stores
+    * share merge semantics): violations are quarantined to
+    * `<path>.nullpk/`, never admitted — a NULL key can't be upserted or
+    * deleted by any later batch.
+    */
+  private def quarantineNullPk(changes: DataFrame): DataFrame = {
+    val (keyed, ghosts) = CdcMerge.splitKeyed(changes, pkCols)
+    if (!ghosts.isEmpty)
+      ghosts.write.mode("append").parquet(s"$path.nullpk")
+    keyed
+  }
+
   def seed(snapshot: DataFrame): Unit =
-    snapshot.write.mode("overwrite").parquet(basePath)
+    quarantineNullPk(snapshot).write.mode("overwrite").parquet(basePath)
 
   private def listSeqs(): Seq[Long] = {
     val dir = new Path(deltaPath)
@@ -55,10 +67,11 @@ class DeltaLogTable(
     * No table read — constant-time in table size.
     */
   def append(changes: DataFrame, orderCols: Seq[Column]): Unit = {
+    val keyed = quarantineNullPk(changes)
     val seq = nextDeltaSeq()
     // keep only the batch-latest event per key; cross-batch order is
     // resolved at read time via __delta_seq
-    CdcMerge.latestPerKey(changes, pkCols, orderCols)
+    CdcMerge.latestPerKey(keyed, pkCols, orderCols)
       .withColumn("__delta_seq", lit(seq))
       .write.mode("overwrite").parquet(s"$deltaPath/seq=$seq")
   }

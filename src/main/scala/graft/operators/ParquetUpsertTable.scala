@@ -36,8 +36,8 @@ import org.json4s.jackson.JsonMethods
   * Single-writer by design (one CDC apply stream per table, matching the
   * reference's one-connector-per-table deployment); the atomic manifest
   * rename makes a second concurrent writer fail loudly instead of
-  * corrupting state. NULL-PK change events are dropped at the merge
-  * boundary (violations, surfaced by the P10/A3 checks — see merge()).
+  * corrupting state. NULL-PK rows are quarantined to `<path>.nullpk/`
+  * at both write boundaries (violations — see quarantineNullPk).
   *
   * Scale rationale: at 100 TB with e.g. 4096 buckets a CDC micro-batch
   * that touches 1% of keys rewrites ~1% of the table instead of all of
@@ -198,10 +198,13 @@ class ParquetUpsertTable(
     * batch load then stream from the recorded position).
     */
   def seed(snapshot: DataFrame): Unit = {
+    // a seeded NULL-PK row would be a PERMANENT ghost — no later merge
+    // could update or delete it — so the seed path quarantines too
+    val keyed = quarantineNullPk(snapshot)
     val version = loadManifest().map(_.version + 1).getOrElse(0)
-    val buckets = writeEpoch(snapshot.withColumn(BucketCol, bucketExpr), version)
-    commitManifest(Manifest(version, snapshot.schema, buckets))
-    recordSchemaVersion(snapshot.schema)
+    val buckets = writeEpoch(keyed.withColumn(BucketCol, bucketExpr), version)
+    commitManifest(Manifest(version, keyed.schema, buckets))
+    recordSchemaVersion(keyed.schema)
   }
 
   /** Write one immutable epoch dir; return bucket -> relative dir for the
@@ -254,12 +257,30 @@ class ParquetUpsertTable(
     * on the previous snapshot are unaffected.
     */
   def merge(changes: DataFrame, orderCols: Seq[Column]): Unit = {
-    // NULL-PK events are violations, not keyable changes (the reference
-    // counts them in its PK-integrity check; P10/A3 surface them here):
-    // NULL never equals itself in the upsert anti-join, so such a row
-    // would append a fresh duplicate on EVERY batch instead of upserting
-    val keyed = changes.filter(pkCols.map(col(_).isNotNull).reduce(_ && _))
-    doMerge(keyed, orderCols)
+    // NULL-PK events are violations, not keyable changes: NULL never
+    // equals itself in the upsert anti-join, so such a row would append
+    // a fresh duplicate on EVERY batch instead of upserting. They are
+    // quarantined (never silently dropped) — see quarantineNullPk.
+    doMerge(quarantineNullPk(changes), orderCols)
+  }
+
+  /** Side-write NULL-PK rows to `<path>.nullpk/` and return the keyable
+    * remainder. The quarantine dir is the observability surface for the
+    * drop (alongside the P10/A3 checks on the SOURCE side); zero-ghost
+    * batches cost one cheap isEmpty probe.
+    */
+  private def quarantineNullPk(changes: DataFrame): DataFrame = {
+    val (keyed, ghosts) = CdcMerge.splitKeyed(changes, pkCols)
+    if (!ghosts.isEmpty)
+      ghosts.write.mode("append").parquet(s"$path.nullpk")
+    keyed
+  }
+
+  /** NULL-PK rows quarantined by merge()/seed(), empty if none. */
+  def nullPkQuarantine(): DataFrame = {
+    val dir = new Path(s"$path.nullpk")
+    if (fs.exists(dir)) spark.read.parquet(dir.toString)
+    else spark.emptyDataFrame
   }
 
   private def doMerge(changes: DataFrame, orderCols: Seq[Column]): Unit = {

@@ -21,10 +21,18 @@ class CdcOrchestrator(spark: SparkSession, root: String) {
   private val pipelines = scala.collection.concurrent.TrieMap.empty[String, CdcPipeline]
   private val queries = scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
 
-  def pipeline(meta: TableMeta): CdcPipeline =
-    pipelines.getOrElseUpdate(meta.name,
+  def pipeline(meta: TableMeta): CdcPipeline = {
+    val p = pipelines.getOrElseUpdate(meta.name,
       new CdcPipeline(spark, meta, s"$root/tables/${meta.name}",
         s"$root/checkpoints/${meta.name}", dlqPath = Some(s"$root/dlq/${meta.name}")))
+    // pipelines are keyed by table name; silently reusing one built from
+    // a DIFFERENT meta would drop the caller's casts/renames on merged
+    // data — fail loudly instead
+    require(p.meta == meta,
+      s"pipeline for '${meta.name}' already exists with different metadata " +
+        s"(${p.meta}); stop it before re-registering with $meta")
+    p
+  }
 
   /** Register a table: optional snapshot seed (T2), then start its
     * change stream.

@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * output instead of failing the query (S10, reference:
   * connectors/sinks/postgres/performance.json:32-37).
   */
-class CdcPipeline(spark: SparkSession, meta: TableMeta, tablePath: String,
+class CdcPipeline(spark: SparkSession, val meta: TableMeta, tablePath: String,
     checkpointPath: String, dlqPath: Option[String] = None, numBuckets: Int = 64) {
 
   val table = new ParquetUpsertTable(spark, tablePath, meta.pkCols, numBuckets)

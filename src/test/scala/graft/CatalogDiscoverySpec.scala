@@ -67,8 +67,9 @@ class CatalogDiscoverySpec extends SparkSuite {
 
 class ConnectorConfigSpec extends SparkSuite {
 
-  private val refSource = "/root/reference/connectors/sources/mariadb/live.json"
-  private val refSink = "/root/reference/connectors/sinks/postgres/trading.json"
+  private val refRoot = sys.env.getOrElse("SPARK_GRAFT_REF_DIR", "/root/reference")
+  private val refSource = s"$refRoot/connectors/sources/mariadb/live.json"
+  private val refSink = s"$refRoot/connectors/sinks/postgres/trading.json"
 
   test("round-trip: the reference live source config loads to the hand-built chain") {
     // ScaleOpsSpec builds IncludeList -> Unwrap -> RenameIf(.*T_CARRIER,

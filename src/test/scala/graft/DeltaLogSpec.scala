@@ -75,14 +75,17 @@ class OrchestratorSpec extends SparkSuite {
 }
 
 class ConfigDrivenOrchestratorSpec extends SparkSuite {
-  import graft.catalog.{CatalogDiscovery, ConnectorConfig, TableMeta}
+  import graft.catalog.{ConnectorConfig, TableMeta}
   import graft.streaming.CdcOrchestrator
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   import spark.implicits._
 
   test("a deployed reference config stands up the whole table set end-to-end") {
     implicit val sqlCtx = spark.sqlContext
-    val cfg = ConnectorConfig.load("/root/reference/connectors/sources/mariadb/live.json")
+    val refCfg = s"${sys.env.getOrElse("SPARK_GRAFT_REF_DIR", "/root/reference")}" +
+      "/connectors/sources/mariadb/live.json"
+    assume(new java.io.File(refCfg).exists, s"reference config not present: $refCfg")
+    val cfg = ConnectorConfig.load(refCfg)
     // catalog tier: a simple id PK per captured table (no MariaDB here)
     val (orch, metas) = CdcOrchestrator.fromConfig(spark, tmpDir("cfgorch"), cfg,
       t => Some(TableMeta(t, Seq("k"))))

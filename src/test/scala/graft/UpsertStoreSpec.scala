@@ -192,10 +192,12 @@ class NullPkMergeSpec extends SparkSuite {
   import graft.operators.ParquetUpsertTable
   import spark.implicits._
 
-  test("NULL-PK change events are dropped, not appended once per batch") {
+  test("NULL-PK change events are quarantined, not appended once per batch") {
     val path = tmpDir("nullpk") + "/t"
     val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = 4)
-    t.seed(Seq((1L, "a")).toDF("k", "v"))
+    // the seed path quarantines too: a seeded NULL-PK row would be
+    // permanently un-upsertable
+    t.seed(Seq((Option(1L), "a"), (Option.empty[Long], "seedghost")).toDF("k", "v"))
     def batch(ts: Long) = Seq(
       (Option(2L), "b", "c", ts), (Option.empty[Long], "ghost", "c", ts))
       .toDF("k", "v", "__op", "__source_ts_ms")
@@ -205,5 +207,21 @@ class NullPkMergeSpec extends SparkSuite {
     val rows = t.read().as[(Option[Long], String)].collect().toSeq
     assert(rows.count(_._1.isEmpty) == 0, s"null-PK rows leaked: $rows")
     assert(rows.sortBy(_._1) == Seq((Some(1L), "a"), (Some(2L), "b")))
+    // the drop is observable: every violation landed in the quarantine
+    assert(t.nullPkQuarantine().count() == 3L) // 1 seed + 2 merges
+  }
+
+  test("DeltaLogTable applies the same NULL-PK quarantine policy") {
+    val path = tmpDir("nullpkdelta") + "/t"
+    val t = new graft.operators.DeltaLogTable(spark, path, Seq("k"))
+    t.seed(Seq((Option(1L), "a")).toDF("k", "v"))
+    t.append(Seq(
+      (Option(2L), "b", "c", 1L), (Option.empty[Long], "ghost", "c", 1L))
+      .toDF("k", "v", "__op", "__source_ts_ms")
+      .withColumn("__seq", monotonically_increasing_id()),
+      Seq(col("__source_ts_ms"), col("__seq")))
+    val rows = t.read().select("k", "v").as[(Option[Long], String)].collect().toSeq
+    assert(rows.count(_._1.isEmpty) == 0, s"null-PK rows leaked: $rows")
+    assert(spark.read.parquet(s"$path.nullpk").count() == 1L)
   }
 }
