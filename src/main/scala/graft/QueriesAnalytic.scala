@@ -43,6 +43,49 @@ object QueriesAnalytic {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Cube: revenue/count over every subset of (status, priority) — the
+    * 2-D drill-down matrix in ONE pass (Expand + a single agg shuffle,
+    * not 4 separate scans). NULL subtotal rows sort NULLS FIRST in both
+    * engines, same as q6_rollup; both grouping columns are NOT NULL in
+    * the data, so a NULL unambiguously marks a subtotal.
+    */
+  val q8Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(28,4)")).cast("double").as("revenue"),
+        count(lit(1)).cast("long").as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  val q8Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Sliding time-range window: per-user value total over the trailing
+    * hour at each event (RANGE frame over epoch-ms — value-based, so
+    * tie rows share a frame and the result is order-independent; decimal
+    * accumulation keeps the sum exact cross-engine). The time-bounded
+    * cousin of w3's running sum — rate limiting / rolling exposure, the
+    * shape a feature pipeline computes per entity.
+    */
+  val w7RangeWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__epoch_ms"))
+      .rangeBetween(-3600000L, 0L)
+    ev(s, d)
+      .withColumn("__epoch_ms", unix_millis(col("ts").cast("timestamp")))
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(28,6)")).over(w).cast("double").as("hour_value"))
+      .orderBy("user_id", "event_id")
+  }
+  val w7Sql =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+      |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   /** Pivot (status × priority matrix): the idiomatic Spark form with
     * EXPLICIT pivot values — `.pivot(col)` without values runs an extra
     * distinct job over the whole table to discover them, which at 100 TB

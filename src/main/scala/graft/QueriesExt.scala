@@ -249,6 +249,92 @@ object QueriesExt {
     out
   }
 
+  // ---------------------------------------------------------------- curation
+
+  /** Per-stratum sampling rates as 2-hex-char md5-prefix thresholds
+    * ('40' = 0x40/256 = 25%). One table drives the Spark plan AND the
+    * oracle SQL, so the two can't drift. Down-weights the
+    * over-represented stratum (en) the way a training mix rebalances
+    * languages.
+    */
+  val StratumRates: Seq[(String, String)] = Seq(
+    "en" -> "40", "de" -> "80", "fr" -> "80", "es" -> "80", "zh" -> "80")
+  private val DefaultRate = "80"
+
+  /** Stratified (per-language) Bernoulli sample, deterministic via hash
+    * threshold: a doc survives when the first 2 hex chars of
+    * md5(lang|doc_id) fall below its stratum's rate. SHUFFLE-FREE — at
+    * 100 TB this is a pushdown-friendly scan+filter, where the
+    * window-ranked quota alternative would shuffle every row to rank
+    * within strata; the trade is exact-rate (quota) for expected-rate
+    * (Bernoulli), which is what large-scale mixes use anyway.
+    */
+  val cuStratifiedSample: Q = (s, d) => {
+    val key = substring(
+      md5(concat_ws("|", col("lang"), col("doc_id").cast("string"))), 1, 2)
+    val thr = StratumRates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc) }
+    docs(s, d).filter(key < thr)
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+  }
+  val cuStratifiedSampleSql: String = {
+    val cases = StratumRates.map { case (l, r) => s"WHEN lang = '$l' THEN '$r'" }
+      .mkString("\n    ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+       |  (CASE $cases ELSE '$DefaultRate' END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * language-ID gate → quality gate → exact dedup (keep lowest doc_id
+    * per content hash) → token accounting. The scalar gates are all
+    * codegen'd scan-side (filters BEFORE the shuffle, so at 100 TB only
+    * gate survivors shuffle for the dedup window).
+    */
+  val CurateMinQuality = 0.6
+  val cuCorpusCurate: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d).select(col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).as("pred_lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("pred_lang") === "en" && col("quality") >= CurateMinQuality)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+  val cuCorpusCurateSql: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val scoreCols = langs.map(l => s"${duckLangScore(l)} AS s_$l").mkString(",\n  ")
+    val mx = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val cases = langs.init.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString("\n      ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |  $scoreCols,
+       |  CAST(LENGTH(text) AS DOUBLE) AS nc,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nt,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS np
+       |FROM documents),
+       |g AS (SELECT doc_id, text,
+       |  CASE WHEN $mx = 0 THEN 'und'
+       |      $cases
+       |      ELSE '${langs.last}' END AS pred_lang,
+       |  least(nc / 500.0, 1.0) * 0.3
+       |  + (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 10.0
+       |          THEN 1.0 ELSE 0.5 END) * 0.2
+       |  + (CASE WHEN np / greatest(nc, 1.0) <= 0.2 THEN 1.0
+       |          ELSE 1.0 - np / greatest(nc, 1.0) END) * 0.2
+       |  + least(CAST(s_en AS DOUBLE) / greatest(nt, 1.0) * 4.0, 1.0) * 0.3 AS quality,
+       |  CAST(nt AS BIGINT) AS n_tokens
+       |FROM t),
+       |f AS (SELECT doc_id, quality, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM g WHERE pred_lang = 'en' AND quality >= $CurateMinQuality)
+       |SELECT doc_id, quality, n_tokens FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   private def mediaFrom(docsDf: DataFrame): DataFrame =

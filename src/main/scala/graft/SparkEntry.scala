@@ -78,6 +78,8 @@ object SparkEntry {
     "h1_histogram" -> QueriesAnalytic.h1Histogram,
     "j5_enrich" -> QueriesAnalytic.j5Enrich,
     "j6_asof" -> QueriesAnalytic.j6Asof,
+    "q8_cube" -> QueriesAnalytic.q8Cube,
+    "w7_range_window" -> QueriesAnalytic.w7RangeWindow,
     "q3_topk_join" -> Queries.q3TopkJoin,
     "q5_star_join" -> Queries.q5StarJoin,
     "s2_snap_load" -> Queries.snapLoad,
@@ -99,6 +101,9 @@ object SparkEntry {
     "sim_ann_lsh" -> QueriesExt.simAnnLsh,
     "sim_ann_recall" -> QueriesExt.simAnnRecall,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardup,
+    // corpus curation
+    "cu_stratified_sample" -> QueriesExt.cuStratifiedSample,
+    "cu_corpus_curate" -> QueriesExt.cuCorpusCurate,
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
     "mm_frame_sample" -> QueriesExt.mmFrameSample,
@@ -158,6 +163,8 @@ object SparkEntry {
     "h1_histogram" -> QueriesAnalytic.h1Sql,
     "j5_enrich" -> QueriesAnalytic.j5Sql,
     "j6_asof" -> QueriesAnalytic.j6Sql,
+    "q8_cube" -> QueriesAnalytic.q8Sql,
+    "w7_range_window" -> QueriesAnalytic.w7Sql,
     "q3_topk_join" -> Queries.q3Sql,
     "q5_star_join" -> Queries.q5Sql,
     "s2_snap_load" -> Queries.snapLoadSql,
@@ -171,6 +178,8 @@ object SparkEntry {
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
+    "cu_stratified_sample" -> QueriesExt.cuStratifiedSampleSql,
+    "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,
     "mm_payload_stats" -> QueriesExt.mmPayloadStatsSql,
     "mm_frame_sample" -> QueriesExt.mmFrameSampleSql,
     "mm_resize" -> QueriesExt.mmResizeSql)

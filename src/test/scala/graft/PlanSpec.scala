@@ -72,6 +72,39 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("cu_stratified_sample is shuffle-free: a pure scan+filter plan") {
+    // the hash-threshold Bernoulli design exists precisely so the sample
+    // never shuffles — the final orderBy is presentation-only (range
+    // exchange), so assert no HASH partitioning anywhere
+    val plan = planOf("cu_stratified_sample")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"stratified sample should not shuffle:\n$plan")
+  }
+
+  test("q8_cube computes all four grouping sets in one Expand + one shuffle") {
+    val plan = planOf("q8_cube")
+    assert(plan.contains("Expand"), s"cube should plan via Expand:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("w7_range_window needs exactly one shuffle for the per-user frame") {
+    val plan = planOf("w7_range_window")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("cu_corpus_curate gates rows scan-side, before the dedup shuffle") {
+    // the lang/quality filters must run before the Exchange so only gate
+    // survivors shuffle — at 100 TB that's the difference between
+    // shuffling the whole corpus and a fraction of it
+    val plan = planOf("cu_corpus_curate")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val filterIdx = plan.lastIndexOf("Filter")
+    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      s"expected a Filter below (after, in plan text) the Exchange:\n$plan")
+  }
+
   test("a2/a3 single-scan multi-aggregate reads only the PK columns") {
     val df = SparkEntry.queries("a2_distinct_pk")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
