@@ -30,11 +30,13 @@ object QueriesExt {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** DuckDB expression for the whole-word stopword-hit score of `lang`. */
-  private def duckLangScore(lang: String): String =
-    TextAnalysis.stopwords.toMap.apply(lang)
-      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))")
-      .mkString("(", " + ", ")")
+  /** DuckDB expression for the whole-word stopword-hit score of `lang`
+    * (same single union-regex pass as TextAnalysis.langScore).
+    */
+  private def duckLangScore(lang: String): String = {
+    val union = TextAnalysis.stopwords.toMap.apply(lang).mkString("|")
+    s"len(regexp_extract_all(lower(text), '\\b(?:$union)\\b'))"
+  }
 
   val txLangId: Q = (s, d) =>
     docs(s, d).select(col("doc_id") +:
