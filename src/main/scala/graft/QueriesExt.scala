@@ -3,7 +3,7 @@ package graft
 import graft.functions.{TextAnalysis, VectorFunctions}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star extension queries: text analysis, dedup, similarity
@@ -336,6 +336,87 @@ object QueriesExt {
        |  FROM g WHERE pred_lang = 'en' AND quality >= $CurateMinQuality)
        |SELECT doc_id, quality, n_tokens FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
+
+  /** Chunk geometry: fixed token windows every `ChunkStride` tokens
+    * (8-token overlap) — the context-window packing shape a training
+    * pipeline emits. One pair of constants drives Spark and oracle.
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Token-window chunking with overlap: each doc becomes
+    * ceil(n_tokens/stride) chunks of up to `ChunkSize` tokens starting
+    * every `ChunkStride`. SHUFFLE-FREE — tokenize + generate are
+    * per-row (the explode is a Generate, not an Exchange), so at 100 TB
+    * chunking is a pure scan-side map with ~size/stride output
+    * amplification and no data movement.
+    */
+  val cuChunk: Q = (s, d) => {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    docs(s, d).select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")), lit(1)) - 1,
+          lit(ChunkStride))).as(Seq("chunk_id", "__start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(ChunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(ChunkSize), size(col("__toks")) - col("__start"))
+          .cast("long").as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+  val cuChunkSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |    unnest(range(0, greatest(len(toks), 1), $ChunkStride)) AS start FROM t)
+       |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+       |  array_to_string(toks[start+1:start+$ChunkSize], ' ') AS chunk_text,
+       |  CAST(least($ChunkSize, len(toks) - start) AS BIGINT) AS chunk_tokens
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Decontamination n-gram width (the published convention is 8-13
+    * word-grams) and the eval-set membership rule standing in for a
+    * held-out benchmark table.
+    */
+  val DecontamNgram = 8
+  val DecontamEvalMod = 20
+  private def isEval(id: Column): Column = id % DecontamEvalMod === 0
+
+  /** Benchmark decontamination: flag every training doc that shares ANY
+    * `DecontamNgram`-word-gram with the eval set. Scale shape: the eval
+    * set is tiny relative to the corpus, so its distinct grams BROADCAST
+    * and the contamination check is a broadcast semi-join on the
+    * exploded training grams — the corpus never shuffles; only the
+    * (small) contaminated-id set is made distinct before the flag join.
+    */
+  val cuDecontaminate: Q = (s, d) => {
+    val n = DecontamNgram
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    // per-doc n-grams; sequence() would DESCEND for size<n, hence the guard
+    val grams = docs(s, d).select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val evalGrams = grams.filter(isEval(col("doc_id"))).select("gram").distinct()
+    val contaminated = grams.filter(!isEval(col("doc_id")))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    docs(s, d).filter(!isEval(col("doc_id")))
+      .join(broadcast(contaminated.withColumn("__hit", lit(1))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__hit").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+  val cuDecontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |g AS (SELECT doc_id, array_to_string(toks[s+1:s+$DecontamNgram], ' ') AS gram
+       |      FROM t, unnest(range(0, greatest(len(toks) - ${DecontamNgram - 1}, 0))) u(s)),
+       |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % $DecontamEvalMod = 0),
+       |c AS (SELECT DISTINCT doc_id FROM g
+       |      WHERE doc_id % $DecontamEvalMod != 0 AND gram IN (SELECT gram FROM e))
+       |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+       |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+       |WHERE t.doc_id % $DecontamEvalMod != 0 ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- multimodal
 

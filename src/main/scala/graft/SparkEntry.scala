@@ -104,6 +104,8 @@ object SparkEntry {
     // corpus curation
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSample,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurate,
+    "cu_chunk" -> QueriesExt.cuChunk,
+    "cu_decontaminate" -> QueriesExt.cuDecontaminate,
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
     "mm_frame_sample" -> QueriesExt.mmFrameSample,
@@ -180,6 +182,8 @@ object SparkEntry {
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSampleSql,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,
+    "cu_chunk" -> QueriesExt.cuChunkSql,
+    "cu_decontaminate" -> QueriesExt.cuDecontaminateSql,
     "mm_payload_stats" -> QueriesExt.mmPayloadStatsSql,
     "mm_frame_sample" -> QueriesExt.mmFrameSampleSql,
     "mm_resize" -> QueriesExt.mmResizeSql)

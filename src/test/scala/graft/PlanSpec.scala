@@ -81,6 +81,20 @@ class PlanSpec extends SparkSuite {
       s"stratified sample should not shuffle:\n$plan")
   }
 
+  test("cu_chunk never shuffles: tokenize + window generation are scan-side") {
+    val plan = planOf("cu_chunk")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking should be a pure per-row Generate:\n$plan")
+  }
+
+  test("cu_decontaminate joins stay broadcast — the corpus never shuffles for a join") {
+    val plan = planOf("cu_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected all-pairs join:\n$plan")
+  }
+
   test("q8_cube computes all four grouping sets in one Expand + one shuffle") {
     val plan = planOf("q8_cube")
     assert(plan.contains("Expand"), s"cube should plan via Expand:\n$plan")

@@ -128,3 +128,52 @@ class WinnowSpec extends SparkSuite {
     assert(again == fps)
   }
 }
+
+class CurationSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  /** Write a controlled documents table and run a graded Q against it. */
+  private def withDocs(rows: Seq[(Long, String)])(f: String => Unit): Unit = {
+    val dir = tmpDir("curation")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+
+  test("cu_chunk: stride windows with overlap, exact boundaries, short docs") {
+    val toks50 = (1 to 50).map(i => s"t$i")
+    withDocs(Seq(1L -> toks50.mkString(" "), 2L -> "a b")) { dir =>
+      val out = QueriesExt.cuChunk(spark, dir)
+        .select($"doc_id", $"chunk_id", $"chunk_text", $"chunk_tokens")
+        .as[(Long, Long, String, Long)].collect()
+      val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+      // 50 tokens, size 32 / stride 24 -> starts 0,24,48
+      assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+      assert(d1(0)._3 == toks50.take(32).mkString(" ") && d1(0)._4 == 32L)
+      assert(d1(1)._3 == toks50.slice(24, 50).mkString(" ") && d1(1)._4 == 26L)
+      assert(d1(2)._3 == toks50.slice(48, 50).mkString(" ") && d1(2)._4 == 2L)
+      // consecutive full chunks overlap by size - stride tokens
+      assert(d1(0)._3.split(' ').drop(QueriesExt.ChunkStride).toSeq ==
+        d1(1)._3.split(' ').take(QueriesExt.ChunkSize - QueriesExt.ChunkStride).toSeq)
+      val d2 = out.filter(_._1 == 2L)
+      assert(d2.toSeq == Seq((2L, 0L, "a b", 2L))) // sub-size doc: one chunk
+    }
+  }
+
+  test("cu_decontaminate: any shared 8-gram flags the doc; 7-gram overlap does not") {
+    val evalToks = (1 to 10).map(i => s"w$i")
+    withDocs(Seq(
+      20L -> evalToks.mkString(" "),                    // eval doc (id % 20 == 0)
+      1L -> ("x " + evalToks.take(8).mkString(" ")),    // shares w1..w8 -> contaminated
+      2L -> (1 to 9).map(i => s"z$i").mkString(" "),    // disjoint vocabulary
+      3L -> ("y " + evalToks.take(7).mkString(" "))     // only a 7-gram overlap
+    )) { dir =>
+      val out = QueriesExt.cuDecontaminate(spark, dir)
+        .as[(Long, Boolean)].collect().toMap
+      assert(out == Map(1L -> true, 2L -> false, 3L -> false)) // eval doc excluded
+    }
+  }
+}
