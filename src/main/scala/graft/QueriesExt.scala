@@ -81,6 +81,50 @@ object QueriesExt {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition / boilerplate signals (the published quality-filter
+    * family): distinct-token ratio, most-frequent-token share, and
+    * most-frequent-bigram share. All scan-side array ops — per-doc
+    * O(distinct·len) worst case but zero data movement; empty docs give
+    * NULL ratios (0/0), single-token docs a NULL bigram share.
+    */
+  val txRepetition: Q = (s, d) => {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    // sequence() descends when stop < start, so bigrams need the >=2 guard
+    val bigrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat(element_at(col("__toks"), i), lit(" "),
+          element_at(col("__toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def topShare(arr: Column): Column =
+      array_max(transform(array_distinct(arr),
+        u => size(filter(arr, x => x === u)))).cast("double") /
+        nullif(size(arr).cast("double"), lit(0.0))
+    docs(s, d).select(col("doc_id"), toks.as("__toks"))
+      .withColumn("__bigrams", bigrams)
+      .select(col("doc_id"),
+        (size(array_distinct(col("__toks"))).cast("double") /
+          nullif(size(col("__toks")).cast("double"), lit(0.0))).as("distinct_ratio"),
+        topShare(col("__toks")).as("top_token_share"),
+        topShare(col("__bigrams")).as("top_bigram_share"))
+      .orderBy("doc_id")
+  }
+  val txRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |  list_transform(range(1, greatest(len(toks), 1)),
+      |    i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+      |FROM t)
+      |SELECT doc_id,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE)
+      |    / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS distinct_ratio,
+      |  CAST(list_max(list_transform(list_distinct(toks),
+      |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+      |    / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS top_token_share,
+      |  CAST(list_max(list_transform(list_distinct(bigrams),
+      |      u -> len(list_filter(bigrams, x -> x = u)))) AS DOUBLE)
+      |    / nullif(CAST(len(bigrams) AS DOUBLE), 0.0) AS top_bigram_share
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val txFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp64"))
@@ -336,6 +380,30 @@ object QueriesExt {
        |  FROM g WHERE pred_lang = 'en' AND quality >= $CurateMinQuality)
        |SELECT doc_id, quality, n_tokens FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
+
+  /** Corpus mix accounting — per-(lang, source) doc and token totals
+    * with each cell's share of the corpus token budget: the table a mix
+    * planner rebalances against. The groupBy keys are low-cardinality,
+    * so partial (map-side) aggregation shrinks the shuffle to a handful
+    * of rows and the global-share window runs over that handful, not
+    * the corpus.
+    */
+  val cuTokenMix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("token_share", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+      .orderBy("lang", "source")
+  }
+  val cuTokenMixSql: String =
+    """WITH m AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang, source)
+      |SELECT lang, source, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+      |FROM m ORDER BY lang, source""".stripMargin
 
   /** Chunk geometry: fixed token windows every `ChunkStride` tokens
     * (8-token overlap) — the context-window packing shape a training

@@ -106,6 +106,8 @@ object SparkEntry {
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurate,
     "cu_chunk" -> QueriesExt.cuChunk,
     "cu_decontaminate" -> QueriesExt.cuDecontaminate,
+    "cu_token_mix" -> QueriesExt.cuTokenMix,
+    "tx_repetition" -> QueriesExt.txRepetition,
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
     "mm_frame_sample" -> QueriesExt.mmFrameSample,
@@ -184,6 +186,8 @@ object SparkEntry {
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,
     "cu_chunk" -> QueriesExt.cuChunkSql,
     "cu_decontaminate" -> QueriesExt.cuDecontaminateSql,
+    "cu_token_mix" -> QueriesExt.cuTokenMixSql,
+    "tx_repetition" -> QueriesExt.txRepetitionSql,
     "mm_payload_stats" -> QueriesExt.mmPayloadStatsSql,
     "mm_frame_sample" -> QueriesExt.mmFrameSampleSql,
     "mm_resize" -> QueriesExt.mmResizeSql)

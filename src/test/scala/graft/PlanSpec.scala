@@ -87,6 +87,20 @@ class PlanSpec extends SparkSuite {
       s"chunking should be a pure per-row Generate:\n$plan")
   }
 
+  test("tx_repetition is shuffle-free: all array ops evaluate scan-side") {
+    val plan = planOf("tx_repetition")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"repetition signals should not shuffle:\n$plan")
+  }
+
+  test("cu_token_mix aggregates partially before its single shuffle") {
+    val plan = planOf("cu_token_mix")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange (the group-by), got $shuffles:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("cu_decontaminate joins stay broadcast — the corpus never shuffles for a join") {
     val plan = planOf("cu_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")

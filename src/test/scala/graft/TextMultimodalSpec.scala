@@ -163,6 +163,33 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("tx_repetition: degenerate, uniform, and sub-bigram docs") {
+    withDocs(Seq(
+      1L -> "a a a a",      // fully repeated
+      2L -> "a b c d",      // fully distinct
+      3L -> "x"             // no bigrams
+    )) { dir =>
+      val out = QueriesExt.txRepetition(spark, dir)
+        .as[(Long, Option[Double], Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(out(1L) == ((Some(0.25), Some(1.0), Some(1.0))))
+      assert(out(2L) == ((Some(1.0), Some(0.25), Some(1.0 / 3.0))))
+      assert(out(3L) == ((Some(1.0), Some(1.0), None))) // single token: NULL bigram share
+    }
+  }
+
+  test("cu_token_mix: per-stratum totals and shares summing to 1") {
+    val dir = tmpDir("mix")
+    Seq((1L, "a b c", "en", "web"), (2L, "d e", "en", "web"),
+      (3L, "f g h i j", "de", "book"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueriesExt.cuTokenMix(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(out == Set(("de", "book", 1L, 5L, 0.5), ("en", "web", 2L, 5L, 0.5)))
+  }
+
   test("cu_decontaminate: any shared 8-gram flags the doc; 7-gram overlap does not") {
     val evalToks = (1 to 10).map(i => s"w$i")
     withDocs(Seq(
