@@ -454,6 +454,19 @@ object Queries {
 
   private def decimal(c: String) = col(c).cast("decimal(18,4)")
 
+  /** Exact disc-price revenue sum, bit-reproducible as a double across
+    * engines AT SCALE: the raw SUM carries scale 8, and once its scaled
+    * integer passes 2^53 (~9e7 in revenue units — sf0.1 already does)
+    * DuckDB's int->double conversion rounds where Java's
+    * BigDecimal.doubleValue is correctly rounded, drifting the last ulp.
+    * The product price*(1-disc) has at most 4 real decimal places (2+2),
+    * so rescaling the sum to scale 4 is LOSSLESS and buys 4 more orders
+    * of magnitude of exact-integer headroom before the double cast.
+    */
+  private def discPriceSum: Column =
+    sum(decimal("l_extendedprice") * (lit(1) - decimal("l_discount")))
+      .cast("decimal(28,4)").cast("double")
+
   /** TPC-H Q1-shaped pricing summary (exact decimal arithmetic). */
   val q1Agg: Q = (s, d) =>
     li(s, d)
@@ -462,15 +475,14 @@ object Queries {
       .agg(
         sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double").as("sum_base_price"),
-        sum(decimal("l_extendedprice") * (lit(1) - decimal("l_discount")))
-          .cast("double").as("sum_disc_price"),
+        discPriceSum.as("sum_disc_price"),
         count(lit(1)).cast("long").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   val q1Sql =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
       |  CAST(COUNT(*) AS BIGINT) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -485,14 +497,13 @@ object Queries {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(decimal("l_extendedprice") * (lit(1) - decimal("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(discPriceSum.as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
   val q3Sql =
     """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -511,14 +522,13 @@ object Queries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(decimal("l_extendedprice") * (lit(1) - decimal("l_discount")))
-          .cast("double").as("revenue"),
+        discPriceSum.as("revenue"),
         count(lit(1)).cast("long").as("n_items"))
       .orderBy("r_name", "n_name")
   }
   val q5Sql =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
