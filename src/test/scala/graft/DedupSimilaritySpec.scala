@@ -154,10 +154,12 @@ class DedupSimilaritySpec extends SparkSuite {
   test("LSH ANN achieves reasonable recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
-    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
-      nBits = 6, nTables = 4, probeBits = 1)
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5)
     val recall = Similarity.recallAtK(approx, exact)
-    assert(recall > 0.25, s"recall@5 = $recall")
+    // measured 0.477 with the tuned defaults (nBits=5, nTables=8,
+    // adaptive Hamming-1 probe); the gate leaves margin for param drift
+    // but sits well above the round-3 floor of 0.25
+    assert(recall > 0.35, s"recall@5 = $recall")
   }
 
   test("cosine expression matches scalar computation") {
