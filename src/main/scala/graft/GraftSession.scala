@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // 64 MB broadcast ceiling (vs the 10 MB stock default): executors
+      // sized for analytics (multi-GB heaps) comfortably hold a 64 MB
+      // table, and the candidate-verification joins in the dedup
+      // operators hinge on the per-doc feature table (arrays of
+      // shingles) broadcasting instead of shuffling multi-GB candidate
+      // streams through a sort-merge join.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.parquet carries TIMESTAMP(NANOS), which Spark only reads

@@ -562,4 +562,78 @@ object Queries {
       |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
       |  CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Oracle for the full validation-suite report: the drift injection is
+    * deterministic (`% 97` drop, `% 31` duplicate), so every check row —
+    * status AND the rendered detail string — is computable in SQL from
+    * the same lineitem table. Reproduces `runAllChecks`'s semantics:
+    * thresholds (1%/0.1% drift, 15-min SLA with 80% WARN band), the
+    * shared anti-join feeding both orphan and delete rows, and the
+    * key-sorted `k=v; k=v` detail rendering.
+    */
+  val validationSuiteSql: String =
+    """WITH sink AS (
+      |  SELECT * FROM lineitem WHERE l_orderkey % 97 <> 0
+      |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 31 = 0
+      |),
+      |sp AS (
+      |  SELECT count(*) AS total, count(DISTINCT (l_orderkey, l_linenumber)) AS dpk,
+      |         coalesce(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END), 0) AS nullpk,
+      |         max(l_shipdate) AS maxts
+      |  FROM lineitem),
+      |kp AS (
+      |  SELECT count(*) AS total, count(DISTINCT (l_orderkey, l_linenumber)) AS dpk,
+      |         coalesce(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END), 0) AS nullpk,
+      |         max(l_shipdate) AS maxts
+      |  FROM sink),
+      |orph AS (
+      |  SELECT count(*) AS n FROM (
+      |    SELECT DISTINCT s.l_orderkey, s.l_linenumber FROM sink s
+      |    WHERE s.l_orderkey IS NOT NULL AND s.l_linenumber IS NOT NULL
+      |      AND NOT EXISTS (SELECT 1 FROM lineitem t
+      |        WHERE t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber))),
+      |drift AS (
+      |  SELECT CASE WHEN sp.total = 0 THEN (CASE WHEN kp.total = 0 THEN 0.0 ELSE 100.0 END)
+      |              ELSE abs(sp.total - kp.total) * 100.0 / sp.total END AS pct
+      |  FROM sp, kp),
+      |lagm AS (SELECT (epoch_ms(sp.maxts) - epoch_ms(kp.maxts)) / 60000.0 AS m FROM sp, kp),
+      |rec AS (
+      |  SELECT (SELECT count(*) FROM lineitem, sp WHERE l_shipdate > sp.maxts - INTERVAL 60 MINUTE) AS s,
+      |         (SELECT count(*) FROM sink, sp WHERE l_shipdate > sp.maxts - INTERVAL 60 MINUTE) AS k),
+      |ncols AS (SELECT count(*) AS n FROM (DESCRIBE SELECT * FROM lineitem))
+      |SELECT 'lineitem' AS table_name, 'schema_shape' AS "check", 'PASS' AS status,
+      |       'columns_checked=' || n || '; diffs=' AS details FROM ncols
+      |UNION ALL
+      |SELECT 'lineitem', 'row_count_smoke',
+      |       CASE WHEN pct >= 1.0 THEN 'FAIL' WHEN pct >= 0.1 THEN 'WARN' ELSE 'PASS' END,
+      |       'drift_pct=' || printf('%.4f', pct) || '; sink_rows=' || kp.total || '; source_rows=' || sp.total
+      |FROM drift, sp, kp
+      |UNION ALL
+      |SELECT 'lineitem', 'distinct_pk_cardinality',
+      |       CASE WHEN sp.dpk = kp.dpk THEN 'PASS' ELSE 'FAIL' END,
+      |       'sink_distinct=' || kp.dpk || '; source_distinct=' || sp.dpk || '; verdict=' ||
+      |         CASE WHEN kp.dpk > sp.dpk THEN 'phantom_rows' WHEN kp.dpk < sp.dpk THEN 'data_loss' ELSE 'ok' END
+      |FROM sp, kp
+      |UNION ALL
+      |SELECT 'lineitem', 'duplication_profile',
+      |       CASE WHEN kp.total - kp.dpk = 0 AND kp.nullpk = 0 THEN 'PASS' ELSE 'WARN' END,
+      |       'duplicate_rows=' || (kp.total - kp.dpk) || '; null_pk_rows=' || kp.nullpk || '; total_rows=' || kp.total
+      |FROM kp
+      |UNION ALL
+      |SELECT 'lineitem', 'anti_join_orphans', CASE WHEN n = 0 THEN 'PASS' ELSE 'FAIL' END,
+      |       'orphans=' || n FROM orph
+      |UNION ALL
+      |SELECT 'lineitem', 'delete_semantics', CASE WHEN n = 0 THEN 'PASS' ELSE 'FAIL' END,
+      |       'ghost_rows=' || n FROM orph
+      |UNION ALL
+      |SELECT 'lineitem', 'freshness_lag',
+      |       CASE WHEN m IS NULL THEN 'WARN' WHEN m > 15.0 THEN 'FAIL' WHEN m > 12.0 THEN 'WARN' ELSE 'PASS' END,
+      |       'lag_minutes=' || printf('%.4f', m) || '; sink_max_ts=' || strftime(kp.maxts, '%Y-%m-%d %H:%M:%S') ||
+      |         '; source_max_ts=' || strftime(sp.maxts, '%Y-%m-%d %H:%M:%S')
+      |FROM lagm, sp, kp
+      |UNION ALL
+      |SELECT 'lineitem', 'recent_activity',
+      |       CASE WHEN s > 0 AND k = 0 THEN 'FAIL' WHEN k < s THEN 'WARN' ELSE 'PASS' END,
+      |       'sink_recent=' || k || '; source_recent=' || s || '; window_minutes=60'
+      |FROM rec""".stripMargin
 }

@@ -163,32 +163,55 @@ object QueriesExt {
       |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
 
   val JaccardThreshold = 0.5
-  val ddNgramJaccard: Q = (s, d) =>
-    Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
-      shingleLen = 24, stride = 3, threshold = JaccardThreshold)
-      .orderBy("id_a", "id_b")
-  val ddNgramJaccardSql =
+
+  /** Exact all-pairs shingle-set Jaccard in DuckDB SQL — the shared
+    * oracle for every shingle-metric dedup entry; each Spark plan must
+    * equal it while doing only blocked (never all-pairs) joins.
+    */
+  private def shingleJaccardSql(len: Int, stride: Int, threshold: Double) =
     s"""WITH ex AS (SELECT doc_id,
-       |    unnest(list_transform(range(1, greatest(length(text) - 23, 1) + 1, 3),
-       |      i -> substr(text, CAST(i AS INT), 24))) AS sh
+       |    unnest(list_transform(range(1, greatest(length(text) - ${len - 1}, 1) + 1, $stride),
+       |      i -> substr(text, CAST(i AS INT), $len))) AS sh
        |  FROM documents),
-       |d AS (SELECT DISTINCT doc_id, sh FROM ex WHERE length(sh) = 24),
+       |d AS (SELECT DISTINCT doc_id, sh FROM ex WHERE length(sh) = $len),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
        |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
        |  FROM d a JOIN d b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $JaccardThreshold
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash-LSH near-dup (rows-only oracle: approximate by design). */
-  val ddMinhashLsh: Q = (s, d) =>
-    Dedup.minhashLshPairs(docs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+  val ddNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+      shingleLen = 24, stride = 3, threshold = JaccardThreshold)
+      .orderBy("id_a", "id_b")
+  val ddNgramJaccardSql = shingleJaccardSql(24, 3, JaccardThreshold)
 
-  /** SimHash near-dup (rows-only oracle: approximate by design). */
+  /** MinHash-LSH-blocked exact near-dup, graded against the exact
+    * all-pairs 8-gram Jaccard SQL: a green hash row certifies the banded
+    * candidate generation is lossless at the graded threshold (the
+    * signature estimate's error bound is gated in DedupSimilaritySpec).
+    */
+  val ddMinhashLsh: Q = (s, d) =>
+    Dedup.minhashNearDupPairs(docs(s, d), "text", "doc_id",
+      shingleLen = 8, threshold = JaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  val ddMinhashLshSql: String = shingleJaccardSql(8, 1, JaccardThreshold)
+
+  /** SimHash-chunk-blocked exact near-dup, graded against the SAME exact
+    * all-pairs SQL as `dd_minhash_lsh` — two independent blocking schemes
+    * certified lossless against one exact metric (the pairs' Hamming
+    * distances are gated in DedupSimilaritySpec).
+    */
   val ddSimhash: Q = (s, d) =>
-    Dedup.simhashPairs(docs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+    Dedup.simhashNearDupPairs(docs(s, d), "text", "doc_id",
+      shingleLen = 8, threshold = JaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  val ddSimhashSql: String = shingleJaccardSql(8, 1, JaccardThreshold)
 
   // ---------------------------------------------------------------- similarity
 

@@ -116,8 +116,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (dd_minhash_lsh, dd_simhash, sim_ann_lsh, mm_features) → the driver
-    * records a weaker rows-only check for those.
+    * (a2_distinct_pk_approx, sim_ann_lsh, sim_ann_recall, tx_winnow,
+    * mm_features) → the driver records a weaker rows-only check for
+    * those.
     */
   def oracleSql: Map[String, String] = Map(
     "a1_rowcount_smoke" -> Queries.a1Sql,
@@ -172,6 +173,7 @@ object SparkEntry {
     "q3_topk_join" -> Queries.q3Sql,
     "q5_star_join" -> Queries.q5Sql,
     "s2_snap_load" -> Queries.snapLoadSql,
+    "v0_validation_suite" -> Queries.validationSuiteSql,
     "tx_token_count" -> QueriesExt.txTokenCountSql,
     "tx_lang_id" -> QueriesExt.txLangIdSql,
     "tx_quality" -> QueriesExt.txQualitySql,
@@ -179,6 +181,8 @@ object SparkEntry {
     "dd_exact_keep" -> QueriesExt.ddExactKeepSql,
     "dd_exact_groups" -> QueriesExt.ddExactGroupsSql,
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccardSql,
+    "dd_minhash_lsh" -> QueriesExt.ddMinhashLshSql,
+    "dd_simhash" -> QueriesExt.ddSimhashSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,

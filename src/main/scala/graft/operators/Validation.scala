@@ -33,6 +33,18 @@ object Validation {
   private def pkCountDistinct(pkCols: Seq[String]): Column =
     countDistinct(col(pkCols.head), pkCols.tail.map(col): _*)
 
+  /** Engine-portable detail rendering: timestamps as `yyyy-MM-dd
+    * HH:mm:ss` and lag as a fixed 4-decimal string, so an external
+    * oracle (DuckDB `strftime`/`printf`) reproduces report rows
+    * byte-for-byte — `java.sql.Timestamp.toString`'s variable fraction
+    * digits and `Double.toString`'s shortest-representation rules don't
+    * exist outside the JVM.
+    */
+  private val TsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private def fmtTs(t: java.sql.Timestamp): String =
+    if (t == null) "null" else t.toLocalDateTime.format(TsFmt)
+  private def fmtLag(m: Double): String = if (m.isNaN) "NaN" else f"$m%.4f"
+
   /** Check 1 (reference: tests/README.md:19-20 "Table shape (schema
     * matching)" — documented, unimplemented there) — diff source vs sink
     * StructTypes under the sink identifier rules: configured renames
@@ -297,8 +309,8 @@ object Validation {
       else if (lagMin > slaMinutes * 0.8) "WARN"
       else "PASS"
     CheckResult("freshness_lag", status, Map(
-      "source_max_ts" -> String.valueOf(sMax), "sink_max_ts" -> String.valueOf(kMax),
-      "lag_minutes" -> lagMin.toString))
+      "source_max_ts" -> fmtTs(sMax), "sink_max_ts" -> fmtTs(kMax),
+      "lag_minutes" -> fmtLag(lagMin)))
   }
 
   /** A6 / drift — timestamp range profile [min, max, count] for
@@ -407,9 +419,9 @@ object Validation {
         if (lagMin.isNaN) "WARN"
         else if (lagMin > slaMinutes) "FAIL"
         else if (lagMin > slaMinutes * 0.8) "WARN" else "PASS",
-        Map("source_max_ts" -> String.valueOf(sp.maxTs.orNull),
-          "sink_max_ts" -> String.valueOf(kp.maxTs.orNull),
-          "lag_minutes" -> lagMin.toString))
+        Map("source_max_ts" -> fmtTs(sp.maxTs.orNull),
+          "sink_max_ts" -> fmtTs(kp.maxTs.orNull),
+          "lag_minutes" -> fmtLag(lagMin)))
     }
 
     val recent = meta.tsCol.map(ts => recentActivity(source, sink, ts))

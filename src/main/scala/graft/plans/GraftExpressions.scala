@@ -158,6 +158,96 @@ case class HyperplaneSig(child: Expression, nBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shingle set as a SORTED, DEDUPED array of 64-bit hashes: hash each
+  * string once (same base hash as [[MinHashSig]], so minhash signatures
+  * computed from this set are identical to string-fed ones), sort
+  * primitives, dedupe in place. Per-DOC cost, paid once — downstream
+  * pair verification then runs on primitive longs. Collision risk of
+  * treating hash equality as set equality: ~(elements²/2⁶⁴) per pair
+  * ≈ 1e-14 at 300-element sets — and the DuckDB oracle gate would
+  * surface any actual collision as a hash mismatch.
+  */
+case class HashedShingleSet(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = Hash64.utf8(arr.getUTF8String(i), seed); i += 1 }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Set-Jaccard of two sorted long arrays by merge-scan: intersection
+  * counted in one pass of primitive compares, union from sizes. The
+  * `array_intersect`+`array_union` formulation builds four hash
+  * structures and two result arrays PER PAIR — at ~1M candidate pairs ×
+  * ~300-element sets that allocation was the whole verify stage (7.8 s
+  * of 9.7 s at sf0.1); this runs the same decision in ~600 long
+  * comparisons per pair.
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val xa = x.getLong(i)
+      val yb = y.getLong(j)
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** MinHash signature from pre-hashed shingles (the [[HashedShingleSet]]
+  * base hashes): identical output to [[MinHashSig]] on the string set,
+  * without re-hashing the strings.
+  */
+case class MinHashSigL(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val base = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = Hash64.splitmix64(base ^ (j * 0xbf58476d1ce4e5b9L))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's MOSS
   * algorithm): Karp-Rabin ROLLING hash over character k-grams, then the
   * minimum hash of every window of `w` consecutive k-gram hashes
@@ -227,4 +317,9 @@ object GraftFunctions {
     col(HyperplaneSig(e(vec), nBits, seed))
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
     col(Winnow(e(text), k, w))
+  def hashedShingleSet(shingles: Column, seed: Long = 42L): Column =
+    col(HashedShingleSet(e(shingles), seed))
+  def sortedJaccard(a: Column, b: Column): Column = col(SortedLongJaccard(e(a), e(b)))
+  def minhashSigL(hashedSet: Column, numHashes: Int): Column =
+    col(MinHashSigL(e(hashedSet), numHashes))
 }

@@ -98,6 +98,52 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(exact.nonEmpty) // the corpus plants near-dups; the test is non-vacuous
   }
 
+  // shared exact baseline for the blocked-exact shingle dedup tests:
+  // all-pairs 8-gram Jaccard >= threshold on the real sf0.001 documents
+  private lazy val exactShinglePairs: Map[(Long, Long), Double] = {
+    import graft.functions.TextAnalysis
+    val sets = Tables.documents(spark, sf001).select($"doc_id",
+      array_distinct(TextAnalysis.charShingles($"text", 8)).as("sh"))
+    val a = sets.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sets.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    a.crossJoin(broadcast(b)).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")).cast("double")).as("j"))
+      .filter($"j" >= QueriesExt.JaccardThreshold)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+  }
+
+  test("minhash-banded near-dup equals exact all-pairs, and the estimate is tight") {
+    val got = Dedup.minhashNearDupPairs(Tables.documents(spark, sf001),
+      "text", "doc_id", threshold = QueriesExt.JaccardThreshold)
+      .as[(Long, Long, Double, Double)].collect()
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(gotPairs == exactShinglePairs.keySet,
+      s"missed: ${exactShinglePairs.keySet -- gotPairs}, spurious: ${gotPairs -- exactShinglePairs.keySet}")
+    assert(got.nonEmpty)
+    // estimate-vs-exact error bound: 32-hash minhash std at J~0.95 is
+    // ~0.04; 0.2 leaves margin while still catching a broken signature
+    val maxErr = got.map(p => math.abs(p._4 - p._3)).max
+    assert(maxErr <= 0.2, s"max |est_jaccard - jaccard| = $maxErr")
+  }
+
+  test("simhash-chunk-blocked near-dup equals exact all-pairs, with small hamming") {
+    val got = Dedup.simhashNearDupPairs(Tables.documents(spark, sf001),
+      "text", "doc_id", threshold = QueriesExt.JaccardThreshold)
+      .as[(Long, Long, Double, Int)].collect()
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(gotPairs == exactShinglePairs.keySet,
+      s"missed: ${exactShinglePairs.keySet -- gotPairs}, spurious: ${gotPairs -- exactShinglePairs.keySet}")
+    assert(got.nonEmpty)
+    // near-identical texts must land within a few simhash bit flips —
+    // the blocking only guarantees coverage up to hamming 7 (8-bit
+    // chunks), so the emitted pairs' distances double as a recall proof
+    val maxHam = got.map(_._4).max
+    assert(maxHam <= 7, s"max hamming among exact near-dups = $maxHam")
+  }
+
   test("hot LSH buckets are capped, and the cap is observable") {
     import graft.operators.Skew
     // 200 identical docs = one boilerplate cluster -> every band bucket
