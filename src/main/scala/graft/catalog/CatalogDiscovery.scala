@@ -69,6 +69,69 @@ object CatalogDiscovery {
        |WHERE TABLE_SCHEMA = '$schema' AND TABLE_NAME = '$table'
        |ORDER BY ORDINAL_POSITION""".stripMargin
 
+  /** The reference's FK query, verbatim semantics (migrate_v3.py:341-352):
+    * one row per FK column, grouped by constraint in ordinal order.
+    */
+  def foreignKeysSql(schema: String, table: String): String =
+    s"""SELECT CONSTRAINT_NAME, COLUMN_NAME,
+       |  REFERENCED_TABLE_NAME, REFERENCED_COLUMN_NAME
+       |FROM INFORMATION_SCHEMA.KEY_COLUMN_USAGE
+       |WHERE TABLE_SCHEMA = '$schema'
+       |  AND TABLE_NAME = '$table'
+       |  AND REFERENCED_TABLE_NAME IS NOT NULL
+       |ORDER BY CONSTRAINT_NAME, ORDINAL_POSITION""".stripMargin
+
+  /** Expected shape of an FK rows DataFrame (the [[foreignKeysSql]]
+    * result plus the owning table): one row per constraint column,
+    * `ordinal_position` ordering the columns within a constraint.
+    */
+  val FkSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType),
+    StructField("constraint_name", StringType),
+    StructField("column_name", StringType),
+    StructField("referenced_table_name", StringType),
+    StructField("referenced_column_name", StringType),
+    StructField("ordinal_position", IntegerType)))
+
+  /** Group FK rows into [[ForeignKey]] constraints per table — the Scala
+    * form of the reference's per-constraint accumulation loop
+    * (migrate_v3.py:355-369). Bounded catalog metadata: the collect is
+    * rows-per-constraint-column, never data.
+    */
+  def foreignKeysFromRows(fkRows: DataFrame): Map[String, Seq[ForeignKey]] = {
+    val rows = fkRows.select("table_name", "constraint_name", "column_name",
+      "referenced_table_name", "referenced_column_name", "ordinal_position").collect()
+    rows.groupBy(_.getString(0)).map { case (table, rs) =>
+      val fks = rs.groupBy(_.getString(1)).toSeq.sortBy(_._1).map { case (cname, cols) =>
+        val ordered = cols.sortBy(_.getInt(5))
+        ForeignKey(cname, ordered.map(_.getString(2)).toSeq,
+          ordered.head.getString(3), ordered.map(_.getString(4)).toSeq)
+      }
+      table -> fks
+    }
+  }
+
+  /** Live-JDBC FK discovery via `DatabaseMetaData.getImportedKeys` —
+    * engines whose INFORMATION_SCHEMA dialect differs (Derby, Postgres)
+    * surface the same constraint structure through the standard JDBC
+    * metadata API; rows come back in the [[FkSchema]] shape.
+    */
+  def foreignKeysFromJdbc(spark: SparkSession, url: String, table: String): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getImportedKeys(null, null, table)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (rs.next()) {
+        buf += Row(table, rs.getString("FK_NAME"), rs.getString("FKCOLUMN_NAME"),
+          rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME"),
+          rs.getInt("KEY_SEQ"))
+      }
+      rs.close()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(buf.toIndexedSeq, 1), FkSchema)
+    } finally conn.close()
+  }
+
   /** Expected shape of the catalog DataFrame consumed below — a join of
     * the two INFORMATION_SCHEMA queries: one row per column with
     * `pk_ordinal` null for non-key columns.
@@ -91,7 +154,16 @@ object CatalogDiscovery {
     * primary key; tables without one are dropped (reference logs an
     * error and returns None — validation.py:233-236).
     */
-  def fromInformationSchema(catalog: DataFrame): Map[String, TableMeta] = {
+  def fromInformationSchema(catalog: DataFrame): Map[String, TableMeta] =
+    fromInformationSchema(catalog, fkRows = None)
+
+  /** Strict discovery with FK metadata attached from an [[FkSchema]]-shaped
+    * DataFrame ([[foreignKeysSql]] against a live catalog, or
+    * [[foreignKeysFromJdbc]]).
+    */
+  def fromInformationSchema(catalog: DataFrame,
+      fkRows: Option[DataFrame]): Map[String, TableMeta] = {
+    val fksByTable = fkRows.map(foreignKeysFromRows).getOrElse(Map.empty)
     val rows = catalog.select("table_name", "column_name", "data_type",
       "column_type", "ordinal_position", "pk_ordinal").collect()
     rows.groupBy(_.getString(0)).flatMap { case (table, cols) =>
@@ -106,7 +178,8 @@ object CatalogDiscovery {
         }
         val bitCols = ordered.filter(r => !r.isNullAt(3) &&
           BitColumnTypes.contains(r.getString(3).toLowerCase)).map(_.getString(1)).toSeq
-        Some(table -> TableMeta(table, pks, tsCol, bitCols))
+        Some(table -> TableMeta(table, pks, tsCol, bitCols,
+          fks = fksByTable.getOrElse(table, Nil)))
       }
     }
   }

@@ -21,6 +21,11 @@ import org.apache.spark.sql.types._
   *                  (reference: connectors/sources/mariadb/live.json:70-79)
   * @param casts     per-column sink-side cast repairs (Cast$Value SMT,
   *                  reference: connectors/sinks/postgres/trading.json:36-38)
+  * @param fks       foreign-key constraints discovered on the source
+  *                  (reference: migrate_v3.py:338-369 — extracted for the
+  *                  catalog even though the sink skips creating them,
+  *                  migrate_v3.py:484-506; same here: metadata surface
+  *                  only, the parquet store enforces nothing)
   */
 case class TableMeta(
     name: String,
@@ -28,9 +33,20 @@ case class TableMeta(
     tsCol: Option[String] = None,
     bitCols: Seq[String] = Nil,
     renames: Map[String, String] = Map.empty,
-    casts: Map[String, DataType] = Map.empty) {
+    casts: Map[String, DataType] = Map.empty,
+    fks: Seq[ForeignKey] = Nil) {
   require(pkCols.nonEmpty, s"CDC validation requires explicit PK for $name")
 }
+
+/** One foreign-key constraint: multi-column keys keep `columns` and
+  * `refColumns` aligned in ordinal order (reference: migrate_v3.py:355-369
+  * accumulates both lists per CONSTRAINT_NAME in ORDINAL_POSITION order).
+  */
+case class ForeignKey(
+    name: String,
+    columns: Seq[String],
+    refTable: String,
+    refColumns: Seq[String])
 
 object TableMeta {
 

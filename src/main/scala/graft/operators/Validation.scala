@@ -100,8 +100,13 @@ object Validation {
     * column.
     */
   def recentActivity(source: DataFrame, sink: DataFrame, tsCol: String,
-      windowMinutes: Int = 60): CheckResult = {
-    val anchor = source.agg(max(col(tsCol)).cast("timestamp")).head().getTimestamp(0)
+      windowMinutes: Int = 60,
+      knownAnchor: Option[java.sql.Timestamp] = None): CheckResult = {
+    // the anchor is max(source.ts): when the caller already computed it
+    // (runAllChecks' side profile), reuse it — re-deriving would be a
+    // third scan of the source per table
+    val anchor = knownAnchor.getOrElse(
+      source.agg(max(col(tsCol)).cast("timestamp")).head().getTimestamp(0))
     if (anchor == null)
       return CheckResult("recent_activity", "WARN",
         Map("window_minutes" -> windowMinutes.toString, "reason" -> "empty_source"))
@@ -424,7 +429,10 @@ object Validation {
           "lag_minutes" -> fmtLag(lagMin)))
     }
 
-    val recent = meta.tsCol.map(ts => recentActivity(source, sink, ts))
+    // sp.maxTs is the anchor recentActivity needs — pass it through so
+    // the check costs one count per side, not an extra anchor scan
+    val recent = meta.tsCol.map(ts =>
+      recentActivity(source, sink, ts, knownAnchor = sp.maxTs))
 
     TableValidationReport(meta.name,
       Seq(shape, smoke, distinct, dupCheck, orphanCheck, deletes) ++

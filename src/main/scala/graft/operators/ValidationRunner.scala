@@ -45,6 +45,88 @@ object ValidationRunner {
     } finally pool.shutdown()
   }
 
+  /** Slack Block Kit JSON for a suite report — structural parity with
+    * the reference's notifier (reference: tests/validation.py:795-935):
+    * header with status emoji, a six-field summary section, a failure
+    * breakdown limited to 10 tables × 3 checks each with per-check
+    * metric summaries, and the "Common Causes" section on failure.
+    * Pure rendering: the caller owns delivery (the reference posts via
+    * WebClient; this engine only produces the payload), and the
+    * timestamp is injected for deterministic tests.
+    */
+  def renderSlackBlocks(suite: SuiteReport, database: Option[String] = None,
+      mentionUser: Option[String] = None,
+      timestamp: String = ""): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.JsonAST.JValue
+    import org.json4s.jackson.JsonMethods
+    val total = suite.reports.size
+    val passed = suite.reports.count(_.status == "PASS")
+    val warned = suite.reports.count(_.status == "WARN")
+    val failed = suite.reports.count(_.status == "FAIL")
+    val consistent = suite.reports.count(_.cdcConsistent)
+    val (emoji, statusText) =
+      if (failed > 0 || suite.errors.nonEmpty) (":x:", "FAILURES DETECTED")
+      else if (warned > 0) (":warning:", "WARNINGS DETECTED")
+      else (":white_check_mark:", "ALL PASSED")
+    val headerText = database match {
+      case Some(db) => s"$emoji CDC Validation Report - ${db.toUpperCase} - $statusText"
+      case None => s"$emoji CDC Validation Report - $statusText"
+    }
+    val header: JValue =
+      ("type" -> "header") ~ ("text" -> (("type" -> "plain_text") ~ ("text" -> headerText)))
+    val summary: JValue = ("type" -> "section") ~ ("fields" -> List(
+      ("type" -> "mrkdwn") ~ ("text" -> s"*Total Tables:*\n$total"),
+      ("type" -> "mrkdwn") ~ ("text" -> s"*CDC Consistent:*\n$consistent/$total"),
+      ("type" -> "mrkdwn") ~ ("text" -> s"*Passed:*\n$passed"),
+      ("type" -> "mrkdwn") ~ ("text" -> s"*Warned:*\n$warned"),
+      ("type" -> "mrkdwn") ~ ("text" -> s"*Failed:*\n$failed"),
+      ("type" -> "mrkdwn") ~ ("text" -> s"*Timestamp:*\n$timestamp")))
+    // per-check one-line metric summary (reference :884-905 pattern)
+    def metricSummary(c: Validation.CheckResult): Option[String] = c.check match {
+      case "row_count_smoke" =>
+        for {
+          s <- c.details.get("source_rows").map(_.toLong)
+          k <- c.details.get("sink_rows").map(_.toLong)
+          pct <- c.details.get("drift_pct")
+        } yield if (k >= s) s"${k - s} excess rows ($pct%)"
+          else s"${s - k} missing rows ($pct%)"
+      case "duplication_profile" =>
+        c.details.get("duplicate_rows").filter(_ != "0").map(d => s"$d duplicates")
+      case "anti_join_orphans" =>
+        c.details.get("orphans").filter(_ != "0").map(o => s"$o orphan rows")
+      case _ => None
+    }
+    val failedReports = suite.reports.filterNot(_.cdcConsistent)
+    val failureBlocks: List[JValue] =
+      if (failedReports.isEmpty) Nil
+      else {
+        val mention = mentionUser.map(m => s"$m ").getOrElse("")
+        val sb = new StringBuilder(
+          s"$mention*Failed Tables (${failedReports.size}):*\n\n")
+        failedReports.take(10).foreach { r =>
+          sb.append(s"• *${r.table}* (${r.status})\n")
+          r.checks.filter(c => c.status == "FAIL" || c.status == "WARN")
+            .take(3).foreach { c =>
+              val m = metricSummary(c).map(s => s" - $s").getOrElse("")
+              sb.append(s"  ◦ ${c.check}$m\n")
+            }
+          sb.append('\n')
+        }
+        if (failedReports.size > 10)
+          sb.append(s"_...and ${failedReports.size - 10} more_\n")
+        List(
+          ("type" -> "section") ~ ("text" -> (("type" -> "mrkdwn") ~ ("text" -> sb.toString))),
+          ("type" -> "section") ~ ("text" -> (("type" -> "mrkdwn") ~ ("text" ->
+            ("*Common Causes:*\n• Snapshot + streaming replay overlap\n" +
+              "• Connector restart without proper offset management\n" +
+              "• Missing primary key enforcement\n• Dirty database resets")))))
+      }
+    JsonMethods.compact(JsonMethods.render(
+      ("blocks" -> (List(header, summary) ++ failureBlocks)) ~
+        ("text" -> s"CDC Validation Report - $statusText")))
+  }
+
   /** Text report — the console-rendering analog of the reference's
     * report (reference: tests/validation.py:942-1072; Slack blocks
     * :795-935 reduce to the same text content).

@@ -63,6 +63,48 @@ class CatalogDiscoverySpec extends SparkSuite {
     val metas = CatalogDiscovery.fromInformationSchema(catalog)
     assert(metas("lineitem").pkCols == Seq("l_orderkey", "l_linenumber"))
   }
+
+  test("FK introspection round-trips a live Derby composite FK into TableMeta.fks") {
+    // reference parity: migrate_v3.py:338-369 extracts FK constraints
+    // (even though the sink skips creating them) — here via the standard
+    // JDBC metadata API against the embedded Derby tier
+    val url = "jdbc:derby:memory:graftfk;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE T_ORDER (
+          |  ORDER_ID BIGINT NOT NULL, LINE_NO INT NOT NULL,
+          |  PRIMARY KEY (ORDER_ID, LINE_NO))""".stripMargin)
+      st.execute(
+        """CREATE TABLE T_SHIPMENT (
+          |  SHIP_ID BIGINT NOT NULL PRIMARY KEY,
+          |  ORDER_ID BIGINT, LINE_NO INT,
+          |  CONSTRAINT FK_SHIP_ORDER FOREIGN KEY (ORDER_ID, LINE_NO)
+          |    REFERENCES T_ORDER (ORDER_ID, LINE_NO))""".stripMargin)
+      st.close()
+    } finally conn.close()
+    val fkRows = CatalogDiscovery.foreignKeysFromJdbc(spark, url, "T_SHIPMENT")
+    import org.apache.spark.sql.Row
+    val catalog = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("T_SHIPMENT", "SHIP_ID", "bigint", "bigint", 1, Integer.valueOf(1)),
+        Row("T_SHIPMENT", "ORDER_ID", "bigint", "bigint", 2, null),
+        Row("T_SHIPMENT", "LINE_NO", "int", "int", 3, null)), 1),
+      CatalogDiscovery.CatalogSchema)
+    val metas = CatalogDiscovery.fromInformationSchema(catalog, Some(fkRows))
+    val fks = metas("T_SHIPMENT").fks
+    assert(fks.size == 1)
+    val fk = fks.head
+    assert(fk.name == "FK_SHIP_ORDER")
+    assert(fk.columns == Seq("ORDER_ID", "LINE_NO")) // ordinal order kept
+    assert(fk.refTable == "T_ORDER")
+    assert(fk.refColumns == Seq("ORDER_ID", "LINE_NO"))
+    // the reference's MySQL-dialect FK query stays available verbatim
+    val sql = CatalogDiscovery.foreignKeysSql("xchange_trading", "T_DEAL")
+    assert(sql.contains("REFERENCED_TABLE_NAME IS NOT NULL")
+      && sql.contains("ORDER BY CONSTRAINT_NAME, ORDINAL_POSITION"))
+  }
 }
 
 class ConnectorConfigSpec extends SparkSuite {

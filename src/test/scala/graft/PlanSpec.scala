@@ -41,6 +41,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("j4 semi-join stays a broadcast hash semi-join") {
+    val plan = planOf("j4_semi_join")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("o1 pagination plans as a partial top-k with offset, no global sort") {
+    val plan = planOf("o1_pagination")
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("q7_pivot reads only the 3 pivot columns and needs one agg shuffle") {
     val df = SparkEntry.queries("q7_pivot")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString

@@ -196,4 +196,48 @@ class ValidationRunnerSpec extends SparkSuite {
     assert(suite.allConsistent && suite.exitCode == 0)
     assert(ValidationRunner.render(suite).contains("OVERALL: CONSISTENT"))
   }
+
+  test("Slack blocks render header/summary/failure-breakdown/common-causes for a FAIL suite") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val o = Tables.orders(spark, sf001)
+    val c = Tables.customer(spark, sf001)
+    // inject loss AND phantoms so the orphan metric line has content
+    val drifted = o.filter(col("o_orderkey") % 50 =!= 0)
+      .unionByName(o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    val suite = ValidationRunner.runAll(Seq(
+      (TableMeta.testTables("orders"), o, drifted),
+      (TableMeta.testTables("customer"), c, c)))
+    val json = ValidationRunner.renderSlackBlocks(suite,
+      database = Some("xchange_trading"), mentionUser = Some("<@U123>"),
+      timestamp = "2026-08-12 00:00:00 UTC")
+    val parsed = JsonMethods.parse(json)
+    val blocks = (parsed \ "blocks").asInstanceOf[JArray].arr
+    assert(blocks.size == 4) // header, summary, failures, common causes
+    val JString(header) = blocks(0) \ "text" \ "text"
+    assert(header.startsWith(":x:") && header.contains("XCHANGE_TRADING")
+      && header.endsWith("FAILURES DETECTED"))
+    val fields = (blocks(1) \ "fields").asInstanceOf[JArray].arr
+    assert(fields.size == 6)
+    val fieldTexts = fields.map(f => { val JString(t) = f \ "text"; t })
+    assert(fieldTexts.exists(_ == "*Total Tables:*\n2"))
+    assert(fieldTexts.exists(_ == "*CDC Consistent:*\n1/2"))
+    assert(fieldTexts.exists(_ == "*Timestamp:*\n2026-08-12 00:00:00 UTC"))
+    val JString(failures) = blocks(2) \ "text" \ "text"
+    assert(failures.startsWith("<@U123> *Failed Tables (1):*"))
+    assert(failures.contains("*orders*"))
+    assert(failures.contains("orphan rows")) // anti-join metric summary
+    val JString(causes) = blocks(3) \ "text" \ "text"
+    assert(causes.startsWith("*Common Causes:*")
+      && causes.contains("Snapshot + streaming replay overlap"))
+    // fallback text mirrors the status
+    val JString(fallback) = parsed \ "text"
+    assert(fallback == "CDC Validation Report - FAILURES DETECTED")
+    // a clean suite renders just header + summary, no failure sections
+    val clean = ValidationRunner.runAll(Seq((TableMeta.testTables("customer"), c, c)))
+    val cleanBlocks = (JsonMethods.parse(ValidationRunner.renderSlackBlocks(clean))
+      \ "blocks").asInstanceOf[JArray].arr
+    assert(cleanBlocks.size == 2)
+  }
 }
