@@ -29,7 +29,13 @@ object Bench {
     graft.sources.Tables.all.foreach { t =>
       try graft.sources.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    // optional arg list filters to named queries (dev loop: time one query)
+    // optional arg list filters to named queries (dev loop: time one query);
+    // an unknown name is a hard error so a typo can't silently produce an
+    // empty/partial result file
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.length == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
+        s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -538,15 +538,23 @@ object QueriesExt {
       |      FROM documents)
       |ORDER BY media_id, frame_idx""".stripMargin
 
-  /** Feature extraction through the stub codec (rows-only oracle:
-    * mapPartitions, not SQL-expressible). Graded column is an md5 digest
-    * of the feature vector (raw float arrays aren't hashable in the
-    * harness); the array itself stays available via `extractFeatures`.
+  /** Feature extraction through the stub codec, hash-graded end-to-end:
+    * the graded column is the codec's entropy-block hex (md5 chain over
+    * the payload bytes), which DuckDB recomputes natively — the float
+    * vector itself is a deterministic 16-bit-slice view of those blocks
+    * (not SQL-hashable as an array; its derivation is spec-gated in
+    * TextMultimodalSpec) and stays available via `extractFeatures`.
     */
+  val MmNFeatures = 16
   val mmFeatures: Q = (s, d) =>
-    Multimodal.extractFeatures(mediaFrom(docs(s, d)), nFeatures = 16)
-      .select(col("media_id"), md5(to_json(col("features"))).as("features_md5"))
+    Multimodal.extractFeatures(mediaFrom(docs(s, d)), nFeatures = MmNFeatures)
+      .select(col("media_id"), col("features_hex"))
       .orderBy("media_id")
+  val mmFeaturesSql: String = {
+    val blocks = (0 until (MmNFeatures + 7) / 8)
+      .map(k => s"md5(text || '$k')").mkString(" || ")
+    s"SELECT doc_id AS media_id, $blocks AS features_hex FROM documents ORDER BY media_id"
+  }
 
   /** Resize through the codec path (8×8×3 = 192 target bytes): n_bytes
     * and meta dims are fully graded; content md5 is graded for the

@@ -116,9 +116,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (a2_distinct_pk_approx, sim_ann_lsh, sim_ann_recall, tx_winnow,
-    * mm_features) → the driver records a weaker rows-only check for
-    * those.
+    * (a2_distinct_pk_approx, sim_ann_lsh, sim_ann_recall, tx_winnow)
+    * → the driver records a weaker rows-only check for those.
     */
   def oracleSql: Map[String, String] = Map(
     "a1_rowcount_smoke" -> Queries.a1Sql,
@@ -194,5 +193,6 @@ object SparkEntry {
     "tx_repetition" -> QueriesExt.txRepetitionSql,
     "mm_payload_stats" -> QueriesExt.mmPayloadStatsSql,
     "mm_frame_sample" -> QueriesExt.mmFrameSampleSql,
-    "mm_resize" -> QueriesExt.mmResizeSql)
+    "mm_resize" -> QueriesExt.mmResizeSql,
+    "mm_features" -> QueriesExt.mmFeaturesSql)
 }

@@ -39,29 +39,40 @@ object Multimodal {
     * "pixels"/"samples" from the payload bytes so tests are stable.
     */
   object StubCodec {
-    /** "Decode" a payload into nFeatures float features. Real impl:
-      * decode → resize → normalize → CNN/AST features.
+    /** Entropy blocks behind the stub features: concatenated lowercase
+      * md5 hex of (payload ++ blockIndex.toString bytes), one 32-char
+      * block per 8 features. md5 — not a custom mix — so an external
+      * system (the DuckDB oracle: `md5(text || '0') || md5(text || '1')`)
+      * can recompute the blocks bit-for-bit and hash-grade the codec
+      * path end-to-end.
       */
-    private def splitmix64(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+    def featureBlocksHex(payload: Array[Byte], nBlocks: Int): String = {
+      if (payload == null) return null
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder(nBlocks * 32)
+      var k = 0
+      while (k < nBlocks) {
+        md.reset()
+        md.update(payload)
+        md.update(String.valueOf(k).getBytes("UTF-8"))
+        md.digest().foreach(b => sb.append(f"${b & 0xff}%02x"))
+        k += 1
+      }
+      sb.toString
     }
 
+    /** "Decode" a payload into nFeatures float features in [0, 1): each
+      * feature is a 16-bit slice of the [[featureBlocksHex]] entropy
+      * scaled by 2^-16 (a dyadic rational — exact in Float). Real impl:
+      * decode → resize → normalize → CNN/AST features.
+      */
     def decodeFeatures(payload: Array[Byte], nFeatures: Int): Array[Float] = {
       if (payload == null) return null
-      val out = new Array[Float](nFeatures)
-      var h = 1125899906842597L // deterministic fold of the bytes
-      var i = 0
-      while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
-      var j = 0
-      while (j < nFeatures) {
-        val x = splitmix64(h + j) // full-avalanche mix per feature index
-        out(j) = ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat
-        j += 1
+      val hex = featureBlocksHex(payload, (nFeatures + 7) / 8)
+      Array.tabulate(nFeatures) { j =>
+        val off = 32 * (j / 8) + 4 * (j % 8)
+        Integer.parseInt(hex.substring(off, off + 4), 16) / 65536.0f
       }
-      out
     }
 
     /** "Resize": real impl rescales pixels; stub truncates/pads bytes. */
@@ -74,18 +85,29 @@ object Multimodal {
   }
 
   /** Decode payloads to feature vectors, partition-wise (codec init once
-    * per partition — the mapInPandas batch shape).
+    * per partition — the mapInPandas batch shape). Appends `features`
+    * (the float vector) and `features_hex` (the codec's raw entropy
+    * blocks, [[StubCodec.featureBlocksHex]]) — the hex column is the
+    * hash-gradable scalar witness for the non-SQL float array.
     */
   def extractFeatures(df: DataFrame, nFeatures: Int = 64): DataFrame = {
     val schema = StructType(df.schema.fields.toSeq :+
-      StructField("features", ArrayType(FloatType), nullable = true))
+      StructField("features", ArrayType(FloatType), nullable = true) :+
+      StructField("features_hex", StringType, nullable = true))
     val enc = Encoders.row(schema)
+    val nBlocks = (nFeatures + 7) / 8
     df.mapPartitions { rows =>
       // real codec would initialize here, once per partition
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val feats = StubCodec.decodeFeatures(payload, nFeatures)
-        Row.fromSeq(r.toSeq :+ feats)
+        val hex = StubCodec.featureBlocksHex(payload, nBlocks)
+        val feats =
+          if (hex == null) null
+          else Array.tabulate(nFeatures) { j =>
+            val off = 32 * (j / 8) + 4 * (j % 8)
+            Integer.parseInt(hex.substring(off, off + 4), 16) / 65536.0f
+          }
+        Row.fromSeq(r.toSeq :+ feats :+ hex)
       }
     }(enc)
   }

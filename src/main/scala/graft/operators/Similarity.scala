@@ -175,29 +175,53 @@ object Similarity {
   }
 
   /** Per-corpus-version centroid cache: keyed on the analyzed plan's
-    * semantic hash + training params, so the same corpus reuses trained
-    * centroids across calls (e.g. the recall harness, repeated bench
-    * iterations) and a changed corpus retrains. KMeans fits on a
-    * `trainCap`-bounded slice — sampled centroid quality is equivalent
-    * for IVF cell assignment, and the training cost stops scaling with
-    * the corpus.
+    * semantic hash + the corpus's file-listing signature + training
+    * params, so the same corpus reuses trained centroids across calls
+    * (e.g. the recall harness, repeated bench iterations) while a
+    * changed OR overwritten corpus retrains — a path overwritten with
+    * new data produces the same plan hash but different part-file names,
+    * which the listing signature catches. LRU-bounded so a long-lived
+    * session touching many corpora cannot grow the cache without limit.
+    * KMeans fits on a seeded uniform SAMPLE capped at `trainCap` rows
+    * (not `limit`, which takes the first rows in scan order and trains
+    * on one file's bias when the corpus is sorted or clustered on disk);
+    * sampled centroid quality is equivalent for IVF cell assignment, and
+    * the training cost stops scaling with the corpus.
     */
+  private val MaxCachedCentroids = 8
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
+    new java.util.LinkedHashMap[String, Array[(Int, Array[Float])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[(Int, Array[Float])]]): Boolean =
+        size() > MaxCachedCentroids
+    }
 
   private def trainedCentroids(df: DataFrame, vecCol: String, nLists: Int,
       seed: Long, trainCap: Int): Array[(Int, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val key = s"${df.queryExecution.analyzed.semanticHash()}|$vecCol|$nLists|$seed|$trainCap"
-    centroidCache.computeIfAbsent(key, _ => {
-      val train = df.select(array_to_vector(
-        col(vecCol).cast("array<double>")).as("features")).limit(trainCap)
+    // driver-side metadata only: part-file names change on overwrite
+    val corpusSig = java.util.Arrays.hashCode(
+      df.inputFiles.sorted.map(_.hashCode): Array[Int])
+    val key = s"${df.queryExecution.analyzed.semanticHash()}|$corpusSig|" +
+      s"$vecCol|$nLists|$seed|$trainCap"
+    centroidCache.synchronized(Option(centroidCache.get(key))).getOrElse {
+      val vecs = df.select(array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+      // unbiased bounded slice: count once per corpus version (training
+      // is cached, so this scan does not recur), sample to ~1.2*cap for
+      // slack against Bernoulli variance, hard-cap at trainCap
+      val n = vecs.count()
+      val train = if (n <= trainCap) vecs
+        else vecs.sample(withReplacement = false,
+          math.min(1.0, trainCap * 1.2 / n), seed).limit(trainCap)
       val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.map(_.toFloat))
       }
-    })
+      centroidCache.synchronized(centroidCache.put(key, centroids))
+      centroids
+    }
   }
 
   /** Recall@k of an approximate result against the exact one — the

@@ -239,6 +239,21 @@ class StatefulAnnSpec extends SparkSuite {
     assert(recall > 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("IVF training is unbiased on a partition-sorted corpus") {
+    // corpus sorted + repartitioned so the first trainCap rows in scan
+    // order are ONE cluster: limit-based training would fit all
+    // centroids there and recall on the other clusters would collapse;
+    // sample-based training must see every cluster
+    val emb = Tables.embeddings(spark, sf001)
+      .orderBy($"vec_id").coalesce(1).persist()
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 3, trainCap = 100)
+    val recall = Similarity.recallAtK(ivf, exact)
+    assert(recall > 0.5, s"IVF recall@5 on sorted corpus with trainCap=100: $recall")
+    emb.unpersist(blocking = false)
+  }
+
   test("stateful latest-per-key emits normalized changelog, swallows replays") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[KeyedChange]

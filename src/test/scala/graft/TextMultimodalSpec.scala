@@ -63,6 +63,19 @@ class TextMultimodalSpec extends SparkSuite {
     assert(f1 == f2)
     assert(f1(1L).length == 8 && f1(1L) != f1(2L))
     assert(f1.values.flatten.forall(v => v >= 0f && v <= 1f))
+    // the float vector is exactly the 16-bit-slice view of the graded
+    // entropy blocks — the contract that lets the hex column certify
+    // the codec path for the non-hashable array
+    val hx = Multimodal.extractFeatures(media, nFeatures = 8)
+      .select("media_id", "features_hex").as[(Long, String)].collect().toMap
+    for ((id, hex) <- hx) {
+      assert(hex == java.security.MessageDigest.getInstance("MD5")
+        .digest("payload-bytes-%d0".format(id).getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString)
+      val expected = (0 until 8).map(j =>
+        Integer.parseInt(hex.substring(4 * j, 4 * j + 4), 16) / 65536.0f)
+      assert(f1(id).toSeq == expected)
+    }
   }
 
   test("multimodal: payload stats and frame sampling") {
