@@ -111,10 +111,16 @@ object Validation {
       return CheckResult("recent_activity", "WARN",
         Map("window_minutes" -> windowMinutes.toString, "reason" -> "empty_source"))
     val lo = new java.sql.Timestamp(anchor.getTime - windowMinutes * 60000L)
-    def recent(df: DataFrame) = df
-      .filter(col(tsCol).cast("timestamp") > lit(lo))
-      .count()
-    val s = recent(source); val k = recent(sink)
+    // both sides in ONE action: a side-tagged union scanned as one job
+    // (two sequential counts would serialize two scheduler round-trips;
+    // the union's scans still run as parallel tasks)
+    val tagged = (df: DataFrame, tag: String) => df
+      .select(col(tsCol).cast("timestamp").as("__ts"))
+      .filter(col("__ts") > lit(lo)).select(lit(tag).as("__side"))
+    val counts = tagged(source, "s").unionByName(tagged(sink, "k"))
+      .groupBy("__side").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = counts.getOrElse("s", 0L); val k = counts.getOrElse("k", 0L)
     val status =
       if (s > 0 && k == 0) "FAIL" // source active, sink stalled
       else if (k < s) "WARN"      // partial flow
@@ -372,16 +378,43 @@ object Validation {
       meta.tsCol.flatMap(_ => Option(r.getTimestamp(3))))
   }
 
+  /** Small daemon pool for submitting a table's independent check
+    * actions as CONCURRENT Spark jobs — the scheduler interleaves their
+    * stages, so a suite's wall time tracks the slowest scan instead of
+    * the sum of scans. Shared across tables (ValidationRunner's
+    * per-table futures already fan out on their own pool; this bounds
+    * total in-flight jobs, not per-table).
+    */
+  private lazy val actionPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(6,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-validation-action")
+          t.setDaemon(true); t
+        }))
+
   /** Checks 1–6 — the reference's `run_all_checks` orchestration
-    * (reference: tests/validation.py:735-788), computed in three Spark
-    * actions total: one combined-aggregate scan per side plus the
-    * distributed anti-join.
+    * (reference: tests/validation.py:735-788), computed in four Spark
+    * actions — one combined-aggregate scan per side, the distributed
+    * anti-join, and the side-tagged recent-activity count — of which
+    * the first three run CONCURRENTLY (the recent-activity scan chains
+    * onto the source profile, whose max-ts is its anchor).
     */
   def runAllChecks(source: DataFrame, sink: DataFrame, meta: TableMeta,
       slaMinutes: Double = 15.0): TableValidationReport = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = actionPool
     val (shape, _) = schemaShape(source.schema, sink.schema, meta)
-    val sp = sideProfile(source, meta)
-    val kp = sideProfile(sink, meta)
+    val spF = Future(sideProfile(source, meta))
+    val kpF = Future(sideProfile(sink, meta))
+    val orphF = Future(orphans(sink, source, meta.pkCols).count())
+    // sp.maxTs is the anchor recentActivity needs — chain on the source
+    // profile so the check costs one tagged count, not an anchor re-scan
+    val recentF = spF.map(sp => meta.tsCol.map(ts =>
+      recentActivity(source, sink, ts, knownAnchor = sp.maxTs)))
+    val sp = Await.result(spF, Duration.Inf)
+    val kp = Await.result(kpF, Duration.Inf)
 
     val driftPct = if (sp.total == 0) (if (kp.total == 0) 0.0 else 100.0)
       else math.abs(sp.total - kp.total) * 100.0 / sp.total
@@ -404,7 +437,7 @@ object Validation {
         "duplicate_rows" -> dupRows.toString,
         "null_pk_rows" -> kp.nullPk.toString))
 
-    val orphanCount = orphans(sink, source, meta.pkCols).count()
+    val orphanCount = Await.result(orphF, Duration.Inf)
     val orphanCheck = CheckResult("anti_join_orphans",
       if (orphanCount == 0) "PASS" else "FAIL", Map("orphans" -> orphanCount.toString))
 
@@ -429,10 +462,7 @@ object Validation {
           "lag_minutes" -> fmtLag(lagMin)))
     }
 
-    // sp.maxTs is the anchor recentActivity needs — pass it through so
-    // the check costs one count per side, not an extra anchor scan
-    val recent = meta.tsCol.map(ts =>
-      recentActivity(source, sink, ts, knownAnchor = sp.maxTs))
+    val recent = Await.result(recentF, Duration.Inf)
 
     TableValidationReport(meta.name,
       Seq(shape, smoke, distinct, dupCheck, orphanCheck, deletes) ++
