@@ -132,6 +132,104 @@ object CatalogDiscovery {
     } finally conn.close()
   }
 
+  // ------------------------------------------------ S5c: secondary indexes
+
+  /** The reference's index query, verbatim (migrate_v3.py:310): MySQL's
+    * `SHOW INDEX` — one row per (index, column) with NON_UNIQUE,
+    * SEQ_IN_INDEX and INDEX_TYPE fields.
+    */
+  def showIndexSql(table: String): String = s"SHOW INDEX FROM $table"
+
+  /** The same rows through standard INFORMATION_SCHEMA (`SHOW` verbs
+    * can't ride a `spark.read.jdbc` dbtable subquery; STATISTICS can).
+    * PRIMARY is excluded here, matching the reference's skip
+    * (migrate_v3.py:322-324) — the PK is introspected separately.
+    */
+  def statisticsSql(schema: String, table: String): String =
+    s"""SELECT TABLE_NAME, INDEX_NAME, NON_UNIQUE, SEQ_IN_INDEX,
+       |  COLUMN_NAME, INDEX_TYPE
+       |FROM INFORMATION_SCHEMA.STATISTICS
+       |WHERE TABLE_SCHEMA = '$schema'
+       |  AND TABLE_NAME = '$table'
+       |  AND INDEX_NAME <> 'PRIMARY'
+       |ORDER BY INDEX_NAME, SEQ_IN_INDEX""".stripMargin
+
+  /** Expected shape of an index rows DataFrame ([[statisticsSql]] /
+    * [[indexesFromJdbc]] result): one row per (index, column),
+    * `seq_in_index` ordering columns within an index.
+    */
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType),
+    StructField("index_name", StringType),
+    StructField("non_unique", IntegerType),
+    StructField("seq_in_index", IntegerType),
+    StructField("column_name", StringType),
+    StructField("index_type", StringType)))
+
+  /** Group index rows into [[SecondaryIndex]] per table — the Scala form
+    * of the reference's per-key accumulation (migrate_v3.py:326-336).
+    * Bounded catalog metadata: the collect is rows-per-index-column,
+    * never data.
+    */
+  def indexesFromRows(idxRows: DataFrame): Map[String, Seq[SecondaryIndex]] = {
+    val rows = idxRows.select("table_name", "index_name", "non_unique",
+      "seq_in_index", "column_name", "index_type").collect()
+    rows.groupBy(_.getString(0)).map { case (table, rs) =>
+      val idxs = rs.filter(_.getString(1) != "PRIMARY")
+        .groupBy(_.getString(1)).toSeq.sortBy(_._1).map { case (name, cols) =>
+          val ordered = cols.sortBy(_.getInt(3))
+          SecondaryIndex(name, ordered.map(_.getString(4)).toSeq,
+            unique = ordered.head.getInt(2) == 0,
+            indexType = Option(ordered.head.getString(5)).getOrElse("BTREE"))
+        }
+      table -> idxs
+    }
+  }
+
+  /** Live-JDBC index discovery via `DatabaseMetaData.getIndexInfo` — the
+    * engine-portable form of `SHOW INDEX`. The PK's backing index is
+    * excluded by COLUMN LIST (an index over exactly the PK columns in
+    * order), not by name: engines like Derby give the PK conglomerate a
+    * generated name, never the literal 'PRIMARY' the reference skips on.
+    */
+  def indexesFromJdbc(spark: SparkSession, url: String, table: String): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val pkRs = md.getPrimaryKeys(null, null, table)
+      val pkCols = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      while (pkRs.next()) pkCols += ((pkRs.getShort("KEY_SEQ"), pkRs.getString("COLUMN_NAME")))
+      pkRs.close()
+      val pk = pkCols.sortBy(_._1).map(_._2).toSeq
+      val rs = md.getIndexInfo(null, null, table, false, false)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (rs.next()) {
+        val name = rs.getString("INDEX_NAME")
+        if (name != null) // statistics rows (TYPE tableIndexStatistic) have none
+          buf += Row(table, name,
+            if (rs.getBoolean("NON_UNIQUE")) 1 else 0,
+            rs.getShort("ORDINAL_POSITION").toInt,
+            rs.getString("COLUMN_NAME"),
+            Option(rs.getString("ASC_OR_DESC")).map(_ => "BTREE").getOrElse("BTREE"))
+      }
+      rs.close()
+      val byIdx = buf.groupBy(_.getString(1))
+      val keep = byIdx.filter { case (_, rows) =>
+        rows.sortBy(_.getInt(3)).map(_.getString(4)).toSeq != pk
+      }.values.flatten.toIndexedSeq.sortBy(r => (r.getString(1), r.getInt(3)))
+      spark.createDataFrame(spark.sparkContext.parallelize(keep, 1), IndexSchema)
+    } finally conn.close()
+  }
+
+  /** Sink-side DDL for one discovered index — lowercased identifiers,
+    * the reference's phase-3 rebuild shape (migrate_v3.py:459-481).
+    */
+  def renderCreateIndex(schema: String, table: String, idx: SecondaryIndex): String = {
+    val unique = if (idx.unique) "UNIQUE " else ""
+    val cols = idx.columns.map(c => s""""${c.toLowerCase}"""").mkString(", ")
+    s"""CREATE ${unique}INDEX ${idx.name.toLowerCase} ON $schema.${table.toLowerCase} ($cols)"""
+  }
+
   /** Expected shape of the catalog DataFrame consumed below — a join of
     * the two INFORMATION_SCHEMA queries: one row per column with
     * `pk_ordinal` null for non-key columns.
@@ -162,8 +260,16 @@ object CatalogDiscovery {
     * [[foreignKeysFromJdbc]]).
     */
   def fromInformationSchema(catalog: DataFrame,
-      fkRows: Option[DataFrame]): Map[String, TableMeta] = {
+      fkRows: Option[DataFrame]): Map[String, TableMeta] =
+    fromInformationSchema(catalog, fkRows, idxRows = None)
+
+  /** Strict discovery with FK and secondary-index metadata attached
+    * ([[statisticsSql]]/[[showIndexSql]] rows or [[indexesFromJdbc]]).
+    */
+  def fromInformationSchema(catalog: DataFrame, fkRows: Option[DataFrame],
+      idxRows: Option[DataFrame]): Map[String, TableMeta] = {
     val fksByTable = fkRows.map(foreignKeysFromRows).getOrElse(Map.empty)
+    val idxByTable = idxRows.map(indexesFromRows).getOrElse(Map.empty)
     val rows = catalog.select("table_name", "column_name", "data_type",
       "column_type", "ordinal_position", "pk_ordinal").collect()
     rows.groupBy(_.getString(0)).flatMap { case (table, cols) =>
@@ -179,7 +285,8 @@ object CatalogDiscovery {
         val bitCols = ordered.filter(r => !r.isNullAt(3) &&
           BitColumnTypes.contains(r.getString(3).toLowerCase)).map(_.getString(1)).toSeq
         Some(table -> TableMeta(table, pks, tsCol, bitCols,
-          fks = fksByTable.getOrElse(table, Nil)))
+          fks = fksByTable.getOrElse(table, Nil),
+          indexes = idxByTable.getOrElse(table, Nil)))
       }
     }
   }

@@ -34,7 +34,8 @@ case class TableMeta(
     bitCols: Seq[String] = Nil,
     renames: Map[String, String] = Map.empty,
     casts: Map[String, DataType] = Map.empty,
-    fks: Seq[ForeignKey] = Nil) {
+    fks: Seq[ForeignKey] = Nil,
+    indexes: Seq[SecondaryIndex] = Nil) {
   require(pkCols.nonEmpty, s"CDC validation requires explicit PK for $name")
 }
 
@@ -47,6 +48,22 @@ case class ForeignKey(
     columns: Seq[String],
     refTable: String,
     refColumns: Seq[String])
+
+/** One secondary index (the PRIMARY key is never represented here —
+  * it lives in [[TableMeta.pkCols]], mirroring the reference's
+  * `SHOW INDEX` loop that skips `key_name == 'PRIMARY'`,
+  * migrate_v3.py:322-324). `columns` is ordinal-ordered
+  * (SEQ_IN_INDEX); `indexType` is the engine's access-method string
+  * ("BTREE" unless the catalog says otherwise — migrate_v3.py:321).
+  * Metadata surface only: the parquet store has no index structures,
+  * but a migration user sees (and a relational sink rebuilds,
+  * migrate_v3.py:459-481) exactly this shape.
+  */
+case class SecondaryIndex(
+    name: String,
+    columns: Seq[String],
+    unique: Boolean,
+    indexType: String = "BTREE")
 
 object TableMeta {
 

@@ -105,6 +105,50 @@ class CatalogDiscoverySpec extends SparkSuite {
     assert(sql.contains("REFERENCED_TABLE_NAME IS NOT NULL")
       && sql.contains("ORDER BY CONSTRAINT_NAME, ORDINAL_POSITION"))
   }
+
+  test("secondary-index introspection round-trips live Derby indexes into TableMeta.indexes") {
+    // reference parity: migrate_v3.py:307-336 extracts secondary indexes
+    // via SHOW INDEX (skipping PRIMARY) and phase 3 rebuilds them on the
+    // sink (migrate_v3.py:459-481) — here via JDBC metadata against the
+    // embedded Derby tier, with the PK's backing index excluded by
+    // column list (Derby names it a generated conglomerate, not PRIMARY)
+    val url = "jdbc:derby:memory:graftidx;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE T_DEAL (
+          |  DEAL_ID BIGINT NOT NULL PRIMARY KEY,
+          |  BUYER_ID BIGINT, SELLER_ID BIGINT, STATE VARCHAR(16))""".stripMargin)
+      st.execute("CREATE INDEX IX_DEAL_PARTIES ON T_DEAL (BUYER_ID, SELLER_ID)")
+      st.execute("CREATE UNIQUE INDEX UX_DEAL_STATE ON T_DEAL (STATE)")
+      st.close()
+    } finally conn.close()
+    val idxRows = CatalogDiscovery.indexesFromJdbc(spark, url, "T_DEAL")
+    import org.apache.spark.sql.Row
+    val catalog = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("T_DEAL", "DEAL_ID", "bigint", "bigint", 1, Integer.valueOf(1)),
+        Row("T_DEAL", "BUYER_ID", "bigint", "bigint", 2, null),
+        Row("T_DEAL", "SELLER_ID", "bigint", "bigint", 3, null),
+        Row("T_DEAL", "STATE", "varchar", "varchar(16)", 4, null)), 1),
+      CatalogDiscovery.CatalogSchema)
+    val metas = CatalogDiscovery.fromInformationSchema(catalog, None, Some(idxRows))
+    val idxs = metas("T_DEAL").indexes
+    assert(idxs.map(_.name).toSet == Set("IX_DEAL_PARTIES", "UX_DEAL_STATE"),
+      s"got: $idxs") // PK backing index excluded
+    val parties = idxs.find(_.name == "IX_DEAL_PARTIES").get
+    assert(parties.columns == Seq("BUYER_ID", "SELLER_ID") && !parties.unique)
+    val state = idxs.find(_.name == "UX_DEAL_STATE").get
+    assert(state.columns == Seq("STATE") && state.unique)
+    // sink rebuild DDL renders the reference's phase-3 shape
+    assert(CatalogDiscovery.renderCreateIndex("trading", "T_DEAL", parties) ==
+      """CREATE INDEX ix_deal_parties ON trading.t_deal ("buyer_id", "seller_id")""")
+    // the reference's literal catalog queries stay available
+    assert(CatalogDiscovery.showIndexSql("T_DEAL") == "SHOW INDEX FROM T_DEAL")
+    assert(CatalogDiscovery.statisticsSql("xchange_trading", "T_DEAL")
+      .contains("INDEX_NAME <> 'PRIMARY'"))
+  }
 }
 
 class ConnectorConfigSpec extends SparkSuite {
