@@ -218,3 +218,64 @@ class StreamDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+/** Kafka wire-record fixture — field-for-field the connector's
+  * post-`.load()` shape (ChangeEventSource.KafkaRecordSchema).
+  */
+case class KafkaRec(key: Array[Byte], value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: java.sql.Timestamp, timestampType: Int)
+
+class KafkaTransportSpec extends SparkSuite {
+  import graft.catalog.TableMeta
+  import graft.streaming.{CdcPipeline, ChangeEventSource}
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+
+  // no Kafka jars ship in this container, so a live broker round-trip
+  // cannot run here; this drives the full post-transport path — the
+  // value bytes are REAL serialized envelopes, decoded by the same
+  // fromKafkaRecords the production reader uses after `.load()` — with
+  // wire-shaped records, and pins the reader's subscription options
+  test("kafka-wire round trip: serialized envelopes decode, route by topic, merge by offset order") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("kafkawire")
+    val rowSchema = Encoders.product[RowKV].schema
+    def rec(topic: String, off: Long, env: Env): KafkaRec =
+      KafkaRec(s"""{"k":${Option(env.after).getOrElse(env.before).k}}""".getBytes("UTF-8"),
+        spark.createDataset(Seq(env)).toJSON.head().getBytes("UTF-8"),
+        topic, 0, off, new java.sql.Timestamp(1700000000000L + off), 0)
+
+    val stream = MemoryStream[KafkaRec]
+    // the MemoryStream presents exactly the connector's wire schema
+    assert(stream.toDF().schema.map(f => (f.name, f.dataType)).toSet ==
+      ChangeEventSource.KafkaRecordSchema.map(f => (f.name, f.dataType)).toSet)
+    val envelopes = ChangeEventSource.fromKafkaRecords(stream.toDF(), rowSchema)
+      // P2: emulates the broker-side subscribePattern subscription
+      .filter(col("__topic").rlike("^xchange\\.trading\\..*"))
+      // T4: the broker offset is the monotonic per-partition order
+      .withColumn("__seq", col("__kafka_offset"))
+    val meta = TableMeta("kw", Seq("k"))
+    val pipe = new CdcPipeline(spark, meta, s"$base/table", s"$base/ckpt")
+    val q = pipe.start(envelopes)
+    try {
+      stream.addData(
+        rec("xchange.trading.T_KW", 0, Env("c", 1, SrcMeta("db", "t", 1), null, RowKV(1, "a"))),
+        rec("xchange.trading.T_KW", 1, Env("c", 1, SrcMeta("db", "t", 1), null, RowKV(2, "b"))),
+        // off-subscription topic: must never reach the sink
+        rec("other.cluster.T_X", 2, Env("c", 1, SrcMeta("db", "t", 1), null, RowKV(9, "IGNORED"))),
+        // same source ts → the kafka offset breaks the tie (T4)
+        rec("xchange.trading.T_KW", 3, Env("u", 2, SrcMeta("db", "t", 2), RowKV(1, "a"), RowKV(1, "a2"))),
+        rec("xchange.trading.T_KW", 5, Env("u", 2, SrcMeta("db", "t", 2), RowKV(1, "a2"), RowKV(1, "a3"))),
+        rec("xchange.trading.T_KW", 4, Env("d", 2, SrcMeta("db", "t", 2), RowKV(2, "b"), null)))
+      q.processAllAvailable()
+      assert(pipe.table.read().as[RowKV].collect().toSeq.sortBy(_.k) == Seq(RowKV(1, "a3")))
+    } finally q.stop()
+    // the production reader's subscription wiring (P2 regex, T9 replay)
+    val opts = ChangeEventSource.kafkaOptions("broker:9092", "xchange\\.trading\\..*")
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribePattern") == "xchange\\.trading\\..*")
+    assert(opts("startingOffsets") == "earliest")
+  }
+}
