@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   * round-over-round comparison meaningless.
   */
 object Bench {
-  val Passes = 3
+  /** Default 3 (median); `SPARK_GRAFT_BENCH_PASSES=1` for one-shot runs
+    * like the sf1 soak where a pass is minutes, not seconds.
+    */
+  val Passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of the driver-generated test data: replicates
+  * sf0.1 `copies`× with key-shifted ids so FK joins stay intact inside
+  * each copy, producing an sf1-equivalent corpus for the scale soak
+  * (VERDICT r4 ask #3). The soak's question is "does any blocked/bucketed
+  * operator go super-linear?", so the replication is engineered to keep
+  * per-copy structure identical while NOT creating cross-copy duplicate
+  * or near-duplicate structure (which would quadratically inflate every
+  * pair-emitting dedup query and measure data pathology, not operator
+  * scaling):
+  *
+  *  - fact/dim tables: PK and FK columns shifted by `copy * stride`
+  *    (stride > any source key), everything else unchanged — aggregates
+  *    and joins scale exactly linearly by construction;
+  *  - documents: every whitespace token of copies ≥ 1 gets a per-copy
+  *    suffix, so within-copy shingle-set Jaccard relationships are
+  *    preserved (both sides of a near-dup pair are rewritten by the same
+  *    token map) while cross-copy char-shingle overlap collapses far
+  *    below the graded 0.5 threshold;
+  *  - embeddings: vectors of copy c are circularly rotated by c
+  *    dimensions — norms and within-copy cosines are exactly preserved,
+  *    cross-copy cosines decorrelate.
+  *
+  * Writes to `SPARK_GRAFT_OUT_DIR` (default `target/testdata/sf1`), one
+  * `<table>.parquet` directory per table, readable by [[graft.sources.Tables]]
+  * exactly like the driver's flat files. Never touches /root/testdata.
+  */
+object ScaleDataGen {
+  val Stride = 1000000000L // > every source key; copy c adds c*Stride
+
+  private def shifted(df: DataFrame, copies: Int, keyCols: Seq[String]): DataFrame = {
+    val exploded = df.withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
+    keyCols.foldLeft(exploded) { (d, k) =>
+      d.withColumn(k, (col(k) + col("__c") * Stride).cast(df.schema(k).dataType))
+    }.drop("__c")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "target/testdata/sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.get(s"local[$cpus]")
+
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // dimensions stay as-is: at every SF the reference schema has 5
+    // regions / 25 nations, and scaled facts keep referencing them
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(shifted(read("customer"), copies, Seq("c_custkey")), "customer", 4)
+    write(shifted(read("supplier"), copies, Seq("s_suppkey")), "supplier", 1)
+    write(shifted(read("part"), copies, Seq("p_partkey")), "part", 4)
+    write(shifted(read("orders"), copies, Seq("o_orderkey", "o_custkey")), "orders", 8)
+    write(shifted(read("lineitem"), copies,
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 32)
+    // events.ts reads as long (TIMESTAMP_NANOS under nanosAsLong) and is
+    // written back as long — Tables.events converts either encoding.
+    write(shifted(read("events"), copies, Seq("event_id", "user_id")), "events", 16)
+
+    val docs = read("documents")
+      .withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
+      .withColumn("doc_id", col("doc_id") + col("__c") * Stride)
+      .withColumn("text", when(col("__c") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1~"), col("__c")))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__c")
+    write(docs, "documents", 8)
+
+    val dim = read("embeddings").select(size(col("embedding"))).first().getInt(0)
+    val emb = read("embeddings")
+      .withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
+      .withColumn("vec_id", col("vec_id") + col("__c") * Stride)
+      .withColumn("embedding", when(col("__c") === 0, col("embedding"))
+        .otherwise(concat(
+          slice(col("embedding"), col("__c") + 1, lit(dim) - col("__c")),
+          slice(col("embedding"), lit(1), col("__c")))))
+      .drop("__c")
+    write(emb, "embeddings", 4)
+
+    graft.sources.Tables.all.foreach { t =>
+      println(f"$t%-12s ${spark.read.parquet(s"$out/$t.parquet").count()}%,d rows")
+    }
+    spark.stop()
+  }
+}
