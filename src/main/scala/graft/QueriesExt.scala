@@ -168,20 +168,23 @@ object QueriesExt {
     * oracle for every shingle-metric dedup entry; each Spark plan must
     * equal it while doing only blocked (never all-pairs) joins.
     */
-  private def shingleJaccardSql(len: Int, stride: Int, threshold: Double) =
-    s"""WITH ex AS (SELECT doc_id,
+  private def shingleJaccardCte(len: Int, stride: Int, threshold: Double) =
+    s"""ex AS (SELECT doc_id,
        |    unnest(list_transform(range(1, greatest(length(text) - ${len - 1}, 1) + 1, $stride),
        |      i -> substr(text, CAST(i AS INT), $len))) AS sh
        |  FROM documents),
        |d AS (SELECT DISTINCT doc_id, sh FROM ex WHERE length(sh) = $len),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
        |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-       |  FROM d a JOIN d b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-       |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |  FROM d a JOIN d b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b,
+       |    CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |  FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $threshold)""".stripMargin
+
+  private def shingleJaccardSql(len: Int, stride: Int, threshold: Double) =
+    s"""WITH ${shingleJaccardCte(len, stride, threshold)}
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
   val ddNgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
@@ -212,6 +215,38 @@ object QueriesExt {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")
   val ddSimhashSql: String = shingleJaccardSql(8, 1, JaccardThreshold)
+
+  /** Near-dup CLUSTERING: connected components over the exact
+    * minhash-blocked pair list ([[Dedup.connectedComponents]],
+    * large-star/small-star) — every document labeled with the minimum
+    * doc_id of its duplicate cluster, singletons labeling themselves.
+    * The oracle recomputes components in DuckDB with a recursive
+    * reachability CTE over the same exact all-pairs edge set, so the
+    * hash row certifies the iterative Spark contraction end-to-end.
+    */
+  val ddCluster: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDupPairs(docs(s, d), "text", "doc_id",
+      shingleLen = 8, threshold = JaccardThreshold)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    docs(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+  val ddClusterSql: String =
+    s"""WITH RECURSIVE ${shingleJaccardCte(8, 1, JaccardThreshold)},
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n),
+       |comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+       |SELECT dd.doc_id, CAST(COALESCE(c.cluster_id, dd.doc_id) AS BIGINT) AS cluster_id
+       |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- similarity
 
@@ -268,6 +303,15 @@ object QueriesExt {
   /** LSH-bucketed ANN (rows-only oracle; recall gated in ScalaTest). */
   val simAnnLsh: Q = (s, d) =>
     Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+
+  /** IVF ANN (rows-only oracle; recall + unbiased-training gated in
+    * ScalaTest — the centroid assignment isn't SQL-expressible). The
+    * scale tier for high-recall ANN: probes scan nProbe/nLists of the
+    * corpus instead of hyperplane buckets.
+    */
+  val simAnnIvf: Q = (s, d) =>
+    Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
 
   /** Scale-safe near-dup: multi-table LSH blocking + exact cosine filter,
@@ -427,6 +471,46 @@ object QueriesExt {
       |SELECT lang, source, n_docs, n_tokens,
       |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
       |FROM m ORDER BY lang, source""".stripMargin
+
+  /** Sequence packing for pretraining batches: documents stream into
+    * fixed `PackBudget`-token packs per language in doc_id order, pack
+    * boundaries splitting documents chunk-style (the concat-then-chunk
+    * packing standard pretraining loaders use), so every token position
+    * lands in exactly one pack. Emits each document's pack id and
+    * in-pack offset of its first token — the index a loader needs to
+    * materialize packed sequences without re-tokenizing.
+    *
+    * Scale: one window shuffle partitioned by `lang`. Language is the
+    * natural pack boundary (packs never mix languages) but a coarse
+    * parallelism key; at 100 TB add a shard column to the partition
+    * (pack within `(lang, shard)`) — the pack ids just gain a shard
+    * prefix and the window stays embarrassingly parallel.
+    */
+  val PackBudget = 2048L
+  val cuPack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"start_tok div $PackBudget").as("pack_id"),
+        (col("start_tok") % lit(PackBudget)).cast("long").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+  val cuPackSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |st AS (SELECT doc_id, lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(start_tok // $PackBudget AS BIGINT) AS pack_id,
+       |  CAST(start_tok % $PackBudget AS BIGINT) AS pack_offset
+       |FROM st ORDER BY doc_id""".stripMargin
 
   /** Chunk geometry: fixed token windows every `ChunkStride` tokens
     * (8-token overlap) — the context-window packing shape a training

@@ -95,10 +95,12 @@ object SparkEntry {
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccard,
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLsh,
     "dd_simhash" -> QueriesExt.ddSimhash,
+    "dd_cluster" -> QueriesExt.ddCluster,
     // similarity search
     "sim_cosine_topk" -> QueriesExt.simCosineTopk,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardup,
     "sim_ann_lsh" -> QueriesExt.simAnnLsh,
+    "sim_ann_ivf" -> QueriesExt.simAnnIvf,
     "sim_ann_recall" -> QueriesExt.simAnnRecall,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardup,
     // corpus curation
@@ -107,6 +109,7 @@ object SparkEntry {
     "cu_chunk" -> QueriesExt.cuChunk,
     "cu_decontaminate" -> QueriesExt.cuDecontaminate,
     "cu_token_mix" -> QueriesExt.cuTokenMix,
+    "cu_pack" -> QueriesExt.cuPack,
     "tx_repetition" -> QueriesExt.txRepetition,
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
@@ -116,7 +119,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (a2_distinct_pk_approx, sim_ann_lsh, sim_ann_recall, tx_winnow)
+    * (a2_distinct_pk_approx, sim_ann_lsh, sim_ann_ivf, sim_ann_recall,
+    * tx_winnow)
     * → the driver records a weaker rows-only check for those.
     */
   def oracleSql: Map[String, String] = Map(
@@ -182,6 +186,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccardSql,
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLshSql,
     "dd_simhash" -> QueriesExt.ddSimhashSql,
+    "dd_cluster" -> QueriesExt.ddClusterSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
@@ -190,6 +195,7 @@ object SparkEntry {
     "cu_chunk" -> QueriesExt.cuChunkSql,
     "cu_decontaminate" -> QueriesExt.cuDecontaminateSql,
     "cu_token_mix" -> QueriesExt.cuTokenMixSql,
+    "cu_pack" -> QueriesExt.cuPackSql,
     "tx_repetition" -> QueriesExt.txRepetitionSql,
     "mm_payload_stats" -> QueriesExt.mmPayloadStatsSql,
     "mm_frame_sample" -> QueriesExt.mmFrameSampleSql,

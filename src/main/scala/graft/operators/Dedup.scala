@@ -330,6 +330,93 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate pair list, by
+    * alternating large-star / small-star contraction (the published
+    * MapReduce formulation — Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — chosen over plain label
+    * propagation because it converges in O(log²·) rounds on ANY graph
+    * shape, where propagation needs O(diameter) rounds and a single
+    * 100 TB boilerplate chain can have huge diameter).
+    *
+    * Input: an edge list (undirected; direction and duplicates
+    * ignored). Output: one row per node appearing in any edge —
+    * `(id, component)` with `component` = the minimum node id of its
+    * connected component. Callers label singletons by left-joining and
+    * coalescing to the node's own id.
+    *
+    * Scale: each round is a fixed number of hash/window shuffles over
+    * the current edge list, which contracts toward the final star
+    * graph; nothing is ever collected to the driver. Convergence is
+    * detected by an order-independent (count, bit_xor of pair hashes)
+    * checksum — one tiny aggregate action per round. A checksum
+    * collision (same count AND same 64-bit xor for a different edge
+    * set) could only end the loop one round early; with xxhash64 that
+    * is a ~2⁻⁶⁴ event, and the alternation is monotone (each round only
+    * contracts components), so it cannot oscillate.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // large-star: every node u points its LARGER neighbors at the
+    // minimum of its neighborhood (incl. itself) — long chains collapse
+    // exponentially while edge count never grows
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+      val w = Window.partitionBy("u")
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: every node u points its smaller neighbors (and
+    // itself) at their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+      val w = Window.partitionBy("u")
+      val withMin = or.withColumn("m", min(col("v")).over(w))
+      withMin.select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+        count(lit(1))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    // localCheckpoint (not a plain persist): each round's plan embeds
+    // the previous round's TWICE (the symmetric/star unions), so without
+    // lineage truncation the logical plan doubles per round and the
+    // per-action plan stringification alone OOMs by ~round 15. On a
+    // fault-tolerant cluster use a reliable checkpoint dir instead —
+    // same call shape, recomputation-safe.
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var prev = checksum(e)
+    var converged = prev._2 == 0L
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cs = checksum(next)
+      e.unpersist()
+      e = next
+      converged = cs == prev
+      prev = cs
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged edge list is a star forest: (u, root) for every
+    // non-root member; roots label themselves
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by
     * multi-table hyperplane-LSH so only bucket-colliding pairs are
     * compared — the scale-safe form of the exact all-pairs cosine join.

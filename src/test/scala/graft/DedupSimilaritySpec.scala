@@ -129,6 +129,45 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(maxErr <= 0.2, s"max |est_jaccard - jaccard| = $maxErr")
   }
 
+  test("connected components: chains, triangles, singletons, id order") {
+    // component {1,2,3,9} via a chain, {4,5,6} via a triangle, {7,8}
+    // as a pair; edge direction and duplicates must not matter
+    val edges = Seq((3L, 1L), (2L, 3L), (9L, 2L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (8L, 7L), (7L, 8L), (1L, 3L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connected components: long path converges within the round budget") {
+    // a 64-node path is the worst diameter-per-edge shape — label
+    // propagation would need 64 rounds; star contraction must stay
+    // inside the default maxIter
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+    val empty = Dedup.connectedComponents(path.filter(lit(false)), "a", "b")
+    assert(empty.isEmpty)
+  }
+
+  test("dd_cluster labels every doc with its duplicate cluster minimum") {
+    val got = QueriesExt.ddCluster(spark, sf001).as[(Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf001).count()
+    assert(got.length == nDocs)
+    // reconstruct expected components from the exact pair list
+    val adj = exactShinglePairs.keySet.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    adj.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expect = got.map { case (id, _) => id -> find(id) }.toMap
+    assert(got.toMap == expect)
+  }
+
   test("simhash-chunk-blocked near-dup equals exact all-pairs, with small hamming") {
     val got = Dedup.simhashNearDupPairs(Tables.documents(spark, sf001),
       "text", "doc_id", threshold = QueriesExt.JaccardThreshold)
