@@ -442,32 +442,104 @@ object Dedup {
     * bits the constant is still large: raise nBits alongside corpus
     * size when the threshold allows.
     */
+  /** LSH table parameters for [[embeddingNearDupPairs]], derived from
+    * corpus size + threshold + recall bound instead of fixed constants
+    * (the r5 sf1 soak caught fixed nBits=2 going quadratic: buckets grow
+    * linearly with N, so within-bucket pairs grow as N²).
+    *
+    *  - `nBits` targets ~2k-vector buckets: ceil(log2(n/2048)), so
+    *    bucket size stays bounded as the corpus grows;
+    *  - `nTables` restores the recall contract at that selectivity: a
+    *    qualifying pair collides per table with p₁ = (1-θ/π)^nBits, so
+    *    tables = ln(maxMiss)/ln(1-p₁) keeps the analytic miss ≤ maxMiss.
+    *
+    * Honest scale physics: hyperplane LSH prunes by the per-bit gap
+    * between p at the threshold angle and p = ½ for orthogonal pairs —
+    * at cosine ≥ 0.8 the gap is wide and candidates stay ~linear in N;
+    * at low thresholds (the 0.45 this repo's test corpus plants) the
+    * gap is thin (0.65 vs 0.5), the optimal exponent is N^(1+ρ) with
+    * ρ ≈ 0.62, and no parameter choice makes an EXACT-recall blocked
+    * join linear — the knobs here minimize the constant and keep the
+    * degradation graceful instead of cliff-shaped.
+    */
+  def embeddingLshTablesFor(nBits: Int, threshold: Double,
+      maxMiss: Double = 1e-4): Int = {
+    val p1 = math.pow(1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi, nBits)
+    math.max(8, math.ceil(math.log(maxMiss) / math.log1p(-p1)).toInt)
+  }
+
+  /** (bits, tables) minimizing a unit-cost model of the blocked join at
+    * corpus size n, subject to the analytic miss bound ≤ `maxMiss` at
+    * the threshold angle. The three cost terms, in "row ops":
+    * index explosion n·T; pre-dedup candidate rows (n²/2)·T·2^-bits
+    * (orthogonal pairs collide per table with 2^-bits); and verify work
+    * 2·(n²/2)·P(any-table collision) for the two vector joins on
+    * distinct pairs. More bits cut candidates but demand exponentially
+    * more tables for the same recall — the model finds the knee instead
+    * of hard-coding either side. Table count is capped (explosion
+    * rows + bucket-key space); the cap binds only at corpus sizes
+    * where the low-threshold regime is already super-linear.
+    */
+  def embeddingLshParamsFor(n: Long, threshold: Double,
+      maxMiss: Double = 1e-4, maxTables: Int = 4096): (Int, Int) = {
+    val pairs = n.toDouble * n / 2
+    var best = (2, embeddingLshTablesFor(2, threshold, maxMiss))
+    var bestCost = Double.MaxValue
+    for (b <- 2 to 20) {
+      val t = embeddingLshTablesFor(b, threshold, maxMiss)
+      if (t <= maxTables) {
+        val p2 = math.pow(0.5, b)
+        val cost = n.toDouble * t + pairs * t * p2 +
+          2.0 * pairs * (1.0 - math.pow(1.0 - p2, t))
+        if (cost < bestCost) { bestCost = cost; best = (b, t) }
+      }
+    }
+    best
+  }
+
+  /** `nBits`/`nTables` ≤ 0 → auto via [[embeddingLshParamsFor]] (one
+    * count() of the corpus; pass explicit values to skip it).
+    *
+    * Plan shape (all three r5-soak lessons applied):
+    *  - bucket keys come from ONE bit-pool sketch per vector
+    *    ([[graft.plans.HyperplanePoolBuckets]]): poolBits projections,
+    *    then `tables` cheap bit-subset keys, so high table counts cost
+    *    bit-ops, not projections;
+    *  - the candidate join is ids-only — (bucketKey, id) rows, pairs
+    *    deduplicated BEFORE any vector work, float arrays re-attached
+    *    to distinct pairs only, one dot per distinct pair;
+    *  - oversized buckets are salt-split, never dropped.
+    */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.45, nBits: Int = 2, nTables: Int = 12,
-      maxBucketSize: Int = 100000): DataFrame = {
+      threshold: Double = 0.45, nBits: Int = 0, nTables: Int = 0,
+      maxBucketSize: Int = 100000, poolBits: Int = 2048): DataFrame = {
     import graft.functions.VectorFunctions._
-    val sigCols = (0 until nTables).map(t =>
-      hyperplaneSignature(col(vecCol), nBits, seed = 42L + 1000L * t).as(s"__sig$t"))
-    val sig = df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
-      normSq(col(vecCol)).as("nsq")) ++ sigCols: _*)
-    val tables = array((0 until nTables).map(t =>
-      struct(lit(t).as("t"), col(s"__sig$t").as("b"))): _*)
+    val bits = if (nBits > 0) nBits
+      else embeddingLshParamsFor(df.count(), threshold)._1
+    val tabs = if (nTables > 0) nTables
+      else embeddingLshTablesFor(bits, threshold)
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      normSq(col(vecCol)).as("nsq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val exploded = Skew.saltOversized(
-      sig.select(col("id"), col("vec"), col("nsq"), explode(tables).as("p"))
-        .select(col("id"), col("vec"), col("nsq"),
-          col("p.t").as("t"), col("p.b").as("b")),
-      Seq("t", "b"), maxBucketSize, saltOn = col("id"))
-    val a = exploded.select(col("t"), col("b"), col("__salt"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("nsq").as("nsq_a"))
-    val b = exploded.select(col("t"), col("b"), col("__salt"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("nsq").as("nsq_b"))
-    a.join(b, Seq("t", "b", "__salt"))
+      sig.select(col("id"),
+        explode(graft.plans.GraftFunctions.hyperplanePoolBuckets(
+          col("vec"), poolBits, bits, tabs)).as("bk")),
+      Seq("bk"), maxBucketSize, saltOn = col("id"))
+    val a = exploded.select(col("bk"), col("__salt"), col("id").as("id_a"))
+    val b = exploded.select(col("bk"), col("__salt"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("bk", "__salt"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // dedup multi-table collisions BEFORE vector work
+    cand
+      .join(sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nsq").as("nsq_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nsq").as("nsq_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineFromParts(dot(col("vec_a"), col("vec_b")),
           col("nsq_a"), col("nsq_b")).as("cosine"))
-      .groupBy(col("id_a"), col("id_b")) // dedup multi-table collisions
-      .agg(first(col("cosine")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

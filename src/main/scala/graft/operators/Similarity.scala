@@ -63,15 +63,23 @@ object Similarity {
     * shuffle moves ~24-byte rows instead of 2 KB float arrays and cosine
     * is computed once per pair instead of once per bucket collision.
     *
-    * Scale: at corpus size N, bucket size ~ N/2^nBits per table; raise
-    * nBits with N (16+ at 100 TB) and keep nTables fixed — the candidate
-    * set stays ~nTables·N/2^nBits per query, vs N for brute force.
+    * Scale: at corpus size N, bucket size ~ N/2^nBits per table; by
+    * default nBits scales with N (buckets pinned at ~64 vectors) and
+    * nTables stays fixed — the candidate set stays ~nTables·64 per
+    * query at every corpus size, vs N for brute force.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
-      nBits: Int = 5, nTables: Int = 8, probeBits: Int = 1,
+      nBits: Int = 0, nTables: Int = 8, probeBits: Int = 1,
       queryFilter: Option[Column => Column] = None): DataFrame = {
+    // nBits ≤ 0 → scale with the corpus so buckets stay ~64 vectors:
+    // fixed bits let buckets (and per-query candidates) grow linearly
+    // with N, which the r5 sf1 soak measured as 45× cost at 10× data.
+    // Costs one count() — pass nBits explicitly to skip it.
+    val bits = if (nBits > 0) nBits
+      else math.max(5, math.ceil(math.log(math.max(1.0,
+        df.count() / 64.0)) / math.log(2.0)).toInt)
     val sigCols = (0 until nTables).map(t =>
-      hyperplaneSignature(col(vecCol), nBits, seed = 42L + 1000L * t).as(s"__sig$t"))
+      hyperplaneSignature(col(vecCol), bits, seed = 42L + 1000L * t).as(s"__sig$t"))
     val sig = df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq")) ++ sigCols: _*)
     // searching a subset of queries (recall sampling, point lookups)
@@ -94,7 +102,7 @@ object Similarity {
           .select(col("query_id").as("id"))
         val starvedSig = qSig.join(satisfied, Seq("id"), "left_anti")
         val probeBuckets = array((0 until nTables).flatMap { t =>
-          (0 until nBits).map(bit => struct(lit(t).as("t"),
+          (0 until bits).map(bit => struct(lit(t).as("t"),
             col(s"__sig$t").bitwiseXOR(shiftleft(lit(1L), bit)).as("b")))
         }: _*)
         val qProbe = starvedSig
@@ -136,11 +144,20 @@ object Similarity {
     * same corpus never retrain.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      nLists: Int = 0, nProbe: Int = 0, seed: Long = 42L,
       queryFilter: Option[Column => Column] = None,
       trainCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
-    val centroids = trainedCentroids(df, vecCol, nLists, seed, trainCap)
+    // nLists ≤ 0 → √N lists (the standard IVF sizing: candidates per
+    // query = nProbe·N/nLists = nProbe·√N, total work N^1.5 instead of
+    // the N²/4 a FIXED list count degrades to — the r5 sf1 soak measured
+    // that as 66 s at 20k vectors). nProbe ≤ 0 → nLists/16, floor 4, so
+    // the probed corpus fraction shrinks as the corpus grows instead of
+    // pinning at nProbe/nLists of everything.
+    val lists = if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    val probe = if (nProbe > 0) nProbe else math.max(4, lists / 16)
+    val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
 
     // assign each corpus vector to its nearest centroid (one pass)
@@ -157,15 +174,17 @@ object Similarity {
     // only this side (clustering + corpus assignment stay full)
     val probes = queryFilter.fold(scored)(f => scored.filter(f(col("id"))))
       .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nProbe)
+      .filter(col("__r") <= probe)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
         col("list_id"))
+    // no pair-dedup needed: each corpus vector lives in exactly ONE
+    // list and a query's probe lists are distinct, so (query, neighbor)
+    // appears at most once — a groupBy here would re-shuffle the whole
+    // candidate stream for nothing
     val pairs = probes.join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq")).as("cosine"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("cosine")).as("cosine"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("__rank", row_number().over(rankW))

@@ -304,6 +304,88 @@ case class Winnow(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bit-pool hyperplane LSH buckets: ONE `poolBits`-bit hyperplane
+  * sketch per vector (the expensive part — `poolBits` signed
+  * projections against a precomputed ±1 matrix), then `tables` bucket
+  * keys formed by sampling `bits` pool positions per table (cheap bit
+  * selects). Output element t = (t << bits) | bucket — table id packed
+  * into the high bits so one long is the whole join key.
+  *
+  * Why: independent per-table hyperplanes cost tables×bits projections
+  * per row, which is what makes high-table-count LSH (the recall
+  * requirement at low cosine thresholds) infeasible — at 4096 tables ×
+  * 14 bits that is 57k projections/row vs the pool's 2048. Sharing the
+  * pool correlates tables: two random `bits`-subsets of the pool share
+  * ~bits²/poolBits positions (≈0.1 at the defaults), and the per-pair
+  * agreement rate concentrates within ±1σ = sqrt(p(1-p)/poolBits) ≈
+  * ±0.011 of its mean, so the independent-table miss bound holds to
+  * within a small constant; the exactness gates (all-pairs oracle at
+  * sf0.01, crafted-geometry specs) check the realized candidate sets.
+  */
+case class HyperplanePoolBuckets(child: Expression, poolBits: Int, bits: Int,
+    tables: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // per-table pool positions: deterministic from the seed, sampled once
+  // per expression instance, not per row
+  @transient private lazy val tableIdx: Array[Array[Int]] = {
+    val rnd = new java.util.Random(seed ^ 0x5deece66d1ce4e5bL)
+    Array.fill(tables) {
+      val seen = new java.util.LinkedHashSet[Integer]()
+      while (seen.size < bits) seen.add(rnd.nextInt(poolBits))
+      val it = seen.iterator(); Array.fill(bits)(it.next().intValue())
+    }
+  }
+  // ±1 hyperplane matrix, materialized on first eval once the dimension
+  // is known (poolBits × dim floats; 512 KB at the 2048×64 defaults)
+  @transient private var signs: Array[Float] = _
+  @transient private var signDim: Int = -1
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (signDim != n) {
+      val s = new Array[Float](poolBits * n)
+      var j = 0
+      while (j < poolBits) {
+        var i = 0
+        while (i < n) {
+          val h = Hash64.splitmix64(seed ^ (j * 0x9e3779b97f4a7c15L) ^ (i * 0xc2b2ae3d27d4eb4fL))
+          s(j * n + i) = if ((h & 1L) == 0L) 1.0f else -1.0f
+          i += 1
+        }
+        j += 1
+      }
+      signs = s; signDim = n
+    }
+    val pool = new Array[Long]((poolBits + 63) >> 6)
+    var j = 0
+    while (j < poolBits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += arr.getFloat(i).toDouble * signs(j * n + i); i += 1 }
+      if (proj >= 0.0) pool(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val idx = tableIdx(t)
+      var b = 0L
+      var k = 0
+      while (k < idx.length) {
+        val p = idx(k)
+        b |= ((pool(p >> 6) >>> (p & 63)) & 1L) << k
+        k += 1
+      }
+      out(t) = (t.toLong << bits) | b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers. */
 object GraftFunctions {
   private def e(c: Column): Expression = GraftSqlShim.expression(c)
@@ -320,6 +402,9 @@ object GraftFunctions {
   def hashedShingleSet(shingles: Column, seed: Long = 42L): Column =
     col(HashedShingleSet(e(shingles), seed))
   def sortedJaccard(a: Column, b: Column): Column = col(SortedLongJaccard(e(a), e(b)))
+  def hyperplanePoolBuckets(vec: Column, poolBits: Int, bits: Int,
+      tables: Int, seed: Long = 42L): Column =
+    col(HyperplanePoolBuckets(e(vec), poolBits, bits, tables, seed))
   def minhashSigL(hashedSet: Column, numHashes: Int): Column =
     col(MinHashSigL(e(hashedSet), numHashes))
 }
