@@ -249,29 +249,41 @@ object Dedup {
     * pigeonhole guarantee (7) and the observed near-dup band; raise it
     * — at quadratic verify cost — if your corpus pairs high-Jaccard
     * docs with unusually divergent token distributions. Hot index
-    * values are capped ([[Skew.capHotKeys]]) — at the default cap
-    * nothing fires below ~10k docs per 16-bit value, i.e. never at test
-    * scale; raise `chunkBits` via [[simhashChunkBitsFor]] as the corpus
-    * grows so buckets stay small.
+    * values are TRUNCATED to the first `maxBucketSize` ids
+    * ([[Skew.truncateHotKeys]]), never dropped — an identical-content
+    * flood saturates every chunk position at once, so a drop would
+    * silently zero its pairs; truncation keeps survivors pairing with
+    * each other (run exact dedup first, as a pipeline should, and the
+    * cap never fires). At the default cap nothing truncates below ~10k
+    * docs per 16-bit value, i.e. never at test scale; `chunkBits`
+    * auto-scales via [[simhashChunkBitsFor]] as the corpus grows so
+    * buckets stay small.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 8, threshold: Double = 0.5, chunkBits: Int = 16,
+      shingleLen: Int = 8, threshold: Double = 0.5, chunkBits: Int = 0,
       maxBucketSize: Int = 10000, hammingRadius: Int = 12): DataFrame = {
-    val nChunks = 64 / chunkBits
-    val mask = (1L << chunkBits) - 1
+    // chunkBits ≤ 0 → derive from corpus size (one count()) so the
+    // docstring's 100 TB guidance is enforced by code, not by the reader
+    val cb = if (chunkBits > 0) chunkBits else simhashChunkBitsFor(df.count())
+    val nChunks = 64 / cb
+    val mask = (1L << cb) - 1
     // persisted: feeds the index, the probes, and both verify-side joins
     val sets = df.select(col(idCol).as("id"),
       graft.plans.GraftFunctions.hashedShingleSet(
         charShingles(col(textCol), shingleLen)).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val idx = Skew.capHotKeys(sets.select(col("id"), col("sim"),
+    // truncate (not drop) hot index values: an identical-content flood
+    // saturates EVERY chunk position at once, so dropping hot buckets
+    // would zero its pairs with no retry path; truncation keeps the
+    // deterministic first maxBucketSize ids pairing with each other
+    val idx = Skew.truncateHotKeys(sets.select(col("id"), col("sim"),
       posexplode(array((0 until nChunks).map(c =>
-        shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
+        shiftright(col("sim"), c * cb).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val"))),
-      Seq("chunk", "chunk_val"), maxBucketSize)
+      Seq("chunk", "chunk_val"), maxBucketSize, col("id"))
     val probes = idx.select(col("id"), col("sim"), col("chunk"),
-      explode(array(col("chunk_val") +: (0 until chunkBits).map(b =>
+      explode(array(col("chunk_val") +: (0 until cb).map(b =>
         col("chunk_val").bitwiseXOR(lit(1L << b))): _*)).as("chunk_val"))
     // d(chunk_x, chunk_y) ≤ 1 ⟺ x's probe set hits y's exact value AND
     // vice versa, so the asymmetric probe→index join still sees every

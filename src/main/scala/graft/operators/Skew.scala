@@ -88,6 +88,28 @@ object Skew {
       .drop("__key_n")
   }
 
+  /** Keep a deterministic first `maxPerKey` rows (ordered by `ord`) of
+    * each key group instead of dropping the whole group. For a blocked
+    * index where EVERY key of a hot cluster saturates at once (simhash
+    * chunks: an identical-content flood is hot in all 64/chunkBits
+    * positions, so [[capHotKeys]] would zero its pairs with no retry
+    * path), truncation degrades to pairs-among-survivors: the flood's
+    * survivors still pair with each other, exact-dedup-first pipelines
+    * and transitive clustering recover the cluster, and only cross
+    * pairs to truncated rows are lost. Costs a per-group sort (vs the
+    * count-only window of [[capHotKeys]]) — use where the hot group
+    * still carries signal.
+    */
+  def truncateHotKeys(df: DataFrame, keys: Seq[String], maxPerKey: Int,
+      ord: Column): DataFrame = {
+    if (maxPerKey == Int.MaxValue) return df
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(ord)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey)
+      .drop("__rn")
+  }
+
   /** The keys [[capHotKeys]] dropped, with their sizes — surfaced so a
     * capped dedup run reports what it skipped instead of silently
     * under-matching.

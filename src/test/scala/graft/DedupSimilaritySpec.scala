@@ -129,6 +129,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(maxErr <= 0.2, s"max |est_jaccard - jaccard| = $maxErr")
   }
 
+  test("simhash: chunk width scales with corpus size; saturated buckets stay bounded") {
+    assert(Dedup.simhashChunkBitsFor(1000L) == 16)
+    assert(Dedup.simhashChunkBitsFor(100000000L) == 16)
+    assert(Dedup.simhashChunkBitsFor(200000000L) == 32)
+    // 400 identical docs saturate every (chunk, value) bucket; the hot-key
+    // cap must bound the candidate join instead of emitting all C(400,2)
+    // pairs, while within-cap pairs survive
+    val same = (0L until 400L).map(i => (i, "identical boilerplate text " * 8))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(same, "text", "doc_id",
+      maxBucketSize = 50)
+    val n = pairs.count()
+    assert(n > 0, "within-cap pairs must survive saturation")
+    assert(n < 40000, s"candidates not bounded under saturated buckets: $n")
+  }
+
   test("connected components: chains, triangles, singletons, id order") {
     // component {1,2,3,9} via a chain, {4,5,6} via a triangle, {7,8}
     // as a pair; edge direction and duplicates must not matter

@@ -156,6 +156,22 @@ class CurationSpec extends SparkSuite {
     f(dir)
   }
 
+  test("cu_pack: budget boundaries split exactly, offsets stay inside the pack") {
+    val budget = QueriesExt.PackBudget // 2048
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    withDocs(Seq(1L -> doc(1000), 2L -> doc(1500), 3L -> doc(600),
+      4L -> doc(2048), 5L -> doc(1))) { dir =>
+      val got = QueriesExt.cuPack(spark, dir)
+        .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+        .as[(Long, Long, Long, Long)].collect().toList
+      // start tokens: 0, 1000, 2500, 3100, 5148
+      assert(got == List((1L, 1000L, 0L, 0L), (2L, 1500L, 0L, 1000L),
+        (3L, 600L, 1L, 2500L % budget), (4L, 2048L, 1L, 3100L % budget),
+        (5L, 1L, 2L, 5148L % budget)))
+      got.foreach { case (_, _, _, off) => assert(off >= 0 && off < budget) }
+    }
+  }
+
   test("cu_chunk: stride windows with overlap, exact boundaries, short docs") {
     val toks50 = (1 to 50).map(i => s"t$i")
     withDocs(Seq(1L -> toks50.mkString(" "), 2L -> "a b")) { dir =>
