@@ -144,6 +144,125 @@ object QueriesExt {
         .as("fingerprints_csv"))
       .orderBy("doc_id")
 
+  /** Top-`VocabK` corpus vocabulary with rank, share of all tokens, and
+    * cumulative coverage — the tokenizer-design / Zipf-audit query.
+    * Scale: the count is one map-side-combined groupBy shuffle; ranking
+    * happens AFTER a TakeOrdered top-K, so the window sees K rows, never
+    * the vocabulary.
+    */
+  val VocabK = 100
+  val txVocab: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d).select(
+      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).cast("long").as("n"))
+    val total = counts.agg(sum(col("n")).as("t"))
+    val top = counts.orderBy(col("n").desc, col("term").asc).limit(VocabK)
+    val w = Window.orderBy(col("n").desc, col("term").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("share", col("n").cast("double") / col("t").cast("double"))
+      .withColumn("cum_share",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("t").cast("double"))
+      .select("term", "n", "rank", "share", "cum_share")
+      .orderBy("rank")
+  }
+  val txVocabSql: String =
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents),
+       |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS t FROM c),
+       |top AS (SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT $VocabK)
+       |SELECT term, n,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank,
+       |  CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+       |  CAST(SUM(n) OVER (ORDER BY n DESC, term ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |    / CAST(t AS DOUBLE) AS cum_share
+       |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin
+
+  /** Per-document top-`TfidfK` terms by tf·idf with the RATIONAL idf
+    * N/df (not log(N/df)): transcendental functions are the one place
+    * Spark's and DuckDB's doubles can drift by an ulp, and the rational
+    * form keeps every arithmetic step an IEEE-exact-parity division or
+    * multiply so the oracle hash-compares bit-for-bit. Ranking within a
+    * document is invariant to the monotone log anyway.
+    * Scale: shuffles by (doc, term) and by term (df join) — the
+    * standard distributed tf-idf shape; the per-doc window is keyed.
+    */
+  val TfidfK = 3
+  val txTfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("term"))
+    val c = tok.groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("c"))
+    val m = c.groupBy("doc_id").agg(sum(col("c")).as("m"))
+    val df = c.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    c.join(m, Seq("doc_id")).join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("c").cast("double") / col("m").cast("double")) *
+          (col("n").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= TfidfK)
+      .select("doc_id", "term", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+  val txTfidfSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents),
+       |c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+       |m AS (SELECT doc_id, SUM(c) AS m FROM c GROUP BY 1),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |sc AS (SELECT c.doc_id, c.term,
+       |    (CAST(c.c AS DOUBLE) / CAST(m.m AS DOUBLE)) *
+       |    (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+       |  FROM c JOIN m USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT doc_id, term, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+       |  FROM sc)
+       |SELECT doc_id, term, score, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= $TfidfK ORDER BY doc_id, rank""".stripMargin
+
+  /** Deterministic mixture downsampling: equalize SOURCE token shares by
+    * keeping each doc of an over-represented source with probability
+    * rate = min(1, total/(k·source_tokens)) — the data-mixing step of a
+    * training pipeline, as a pure deterministic filter (md5-keyed, the
+    * `o3_sample` device) so replays and the oracle agree row-for-row.
+    * Scale: one partial-agg shuffle for the per-source totals (k rows,
+    * broadcast back), then a scan-side filter — the corpus itself never
+    * shuffles.
+    */
+  val cuMixSample: Q = (s, d) => {
+    val dd = docs(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val st = dd.groupBy("source").agg(sum(col("n_tokens")).as("st"))
+    val tot = st.agg(sum(col("st")).as("tot"), count(lit(1)).as("k"))
+    val rates = st.crossJoin(tot).select(col("source"),
+      least(lit(1.0), col("tot").cast("double") /
+        (col("k").cast("double") * col("st").cast("double"))).as("rate"))
+    dd.join(broadcast(rates), Seq("source"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") < col("rate") * lit(16777216.0))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"))
+      .orderBy("doc_id")
+  }
+  val cuMixSampleSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT source, SUM(n_tokens) AS st FROM d GROUP BY 1),
+      |t AS (SELECT SUM(st) AS tot, COUNT(*) AS k FROM s),
+      |r AS (SELECT source,
+      |    least(1.0, CAST(tot AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(st AS DOUBLE))) AS rate
+      |  FROM s CROSS JOIN t)
+      |SELECT d.doc_id, d.source, d.n_tokens, r.rate
+      |FROM d JOIN r USING (source)
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+      |  < r.rate * 16777216.0
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dedup
 
   val ddExactKeep: Q = (s, d) =>

@@ -89,6 +89,8 @@ object SparkEntry {
     "tx_quality" -> QueriesExt.txQuality,
     "tx_fingerprint" -> QueriesExt.txFingerprint,
     "tx_winnow" -> QueriesExt.txWinnow,
+    "tx_vocab" -> QueriesExt.txVocab,
+    "tx_tfidf" -> QueriesExt.txTfidf,
     // dedup
     "dd_exact_keep" -> QueriesExt.ddExactKeep,
     "dd_exact_groups" -> QueriesExt.ddExactGroups,
@@ -110,6 +112,7 @@ object SparkEntry {
     "cu_decontaminate" -> QueriesExt.cuDecontaminate,
     "cu_token_mix" -> QueriesExt.cuTokenMix,
     "cu_pack" -> QueriesExt.cuPack,
+    "cu_mix_sample" -> QueriesExt.cuMixSample,
     "tx_repetition" -> QueriesExt.txRepetition,
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
@@ -181,6 +184,9 @@ object SparkEntry {
     "tx_lang_id" -> QueriesExt.txLangIdSql,
     "tx_quality" -> QueriesExt.txQualitySql,
     "tx_fingerprint" -> QueriesExt.txFingerprintSql,
+    "tx_vocab" -> QueriesExt.txVocabSql,
+    "tx_tfidf" -> QueriesExt.txTfidfSql,
+    "cu_mix_sample" -> QueriesExt.cuMixSampleSql,
     "dd_exact_keep" -> QueriesExt.ddExactKeepSql,
     "dd_exact_groups" -> QueriesExt.ddExactGroupsSql,
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccardSql,
