@@ -74,6 +74,24 @@ class PlanSpec extends SparkSuite {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("cu_pack needs exactly one hash shuffle (the per-lang window)") {
+    val plan = planOf("cu_pack")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("cu_mix_sample joins rates by broadcast — the corpus never shuffles for the join") {
+    val plan = planOf("cu_mix_sample")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("tx_vocab ranks after a top-k, never sorting the vocabulary globally") {
+    val plan = planOf("tx_vocab")
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(10).mkString("\n"))
+  }
+
   test("scale-safe dedup/similarity entries never plan an all-pairs join") {
     // sim_cosine_topk/neardup are the exact baselines and legitimately
     // cross-join; every blocked variant must stay bucket-local
