@@ -77,6 +77,36 @@ class ScaleOpsSpec extends SparkSuite {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("bit-pool LSH buckets: shape, determinism, table packing, angle sensitivity") {
+    import graft.plans.GraftFunctions.hyperplanePoolBuckets
+    val bits = 6; val tables = 24
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.04f, 0f, 0f)), // ~2.3° from vec 1
+      (3L, Array(0f, 0f, 0f, 1f)))        // orthogonal to vec 1
+      .toDF("id", "vec")
+      .select($"id", hyperplanePoolBuckets($"vec", 256, bits, tables).as("bk"))
+    val rows = df.as[(Long, Seq[Long])].collect().toMap
+    // shape: one bucket per table, table id packed in the high bits
+    rows.values.foreach { bks =>
+      assert(bks.length == tables)
+      bks.zipWithIndex.foreach { case (bk, t) =>
+        assert(bk >> bits == t, s"table prefix wrong: $bk at $t")
+        assert((bk & ((1L << bits) - 1)) >= 0)
+      }
+    }
+    // determinism across invocations
+    val again = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("id", "vec")
+      .select(hyperplanePoolBuckets($"vec", 256, bits, tables).as("bk"))
+      .as[Seq[Long]].head()
+    assert(again == rows(1L))
+    // a near-identical pair shares most buckets; an orthogonal pair few
+    val near = rows(1L).toSet.intersect(rows(2L).toSet).size
+    val far = rows(1L).toSet.intersect(rows(3L).toSet).size
+    assert(near > far, s"near=$near far=$far")
+    assert(near >= tables / 2, s"near-identical pair shares only $near/$tables buckets")
+  }
+
   test("custom expressions callable from SQL after registration") {
     graft.plans.GraftExtensions.registerAll(spark)
     Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")

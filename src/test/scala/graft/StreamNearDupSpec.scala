@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.StreamNearDup
+import graft.streaming.StreamNearDup.CandidatePair
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 6
+  private val docs = Seq(
+    0L -> base,
+    1L -> (base + " tail"), // near-dup of 0
+    2L -> "completely different content about spark catalyst optimizer rules and tungsten codegen",
+    3L -> base.replace("quick", "rapid")) // near-dup of 0 (and of 1)
+
+  test("streaming near-dup: cross-batch match, within-batch match, redelivery swallowed") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamNearDup.candidatePairs(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: base doc + unrelated + a within-batch near-dup pair
+    stream.addData(docs(0), docs(2), docs(1))
+    q.processAllAvailable()
+    val afterB1 = spark.table("neardup").as[CandidatePair].collect()
+      .map(p => (p.id_a, p.id_b)).toSet
+    assert(afterB1.contains((0L, 1L)), s"within-batch pair missing: $afterB1")
+    assert(!afterB1.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc matched")
+    // batch 2: a near-dup of a doc indexed in batch 1, plus a replay of doc 1
+    stream.addData(docs(3), docs(1))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("neardup").as[CandidatePair].collect()
+    val pairs = all.map(p => (p.id_a, p.id_b)).toSet
+    assert(pairs.contains((0L, 3L)), s"cross-batch pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // replayed doc 1 must not pair with itself or re-emit anything new
+    assert(!pairs.contains((1L, 1L)))
+    // every emitted pair is a true near-dup under the batch operator
+    val batch = Dedup.minhashNearDupPairs(docs.toDF("doc_id", "text"),
+      "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(batch),
+      s"stream emitted pairs the batch operator rejects: ${pairs -- batch}")
+    assert(pairs == batch,
+      s"stream missed batch pairs: ${batch -- pairs}")
+  }
+
+  test("streaming near-dup: saturated buckets keep matching, stop growing") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamNearDup.candidatePairs(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      maxBucketSize = 2)
+    val q = out.writeStream.format("memory").queryName("neardup_sat")
+      .outputMode(OutputMode.Append).start()
+    // four identical docs, cap 2: docs 10,11 fill the bucket; 12,13 still
+    // match the held two but are not indexed (no 12-13 pair)
+    val same = "identical saturation corpus text " * 8
+    stream.addData(10L -> same, 11L -> same)
+    q.processAllAvailable()
+    stream.addData(12L -> same, 13L -> same)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_sat").as[CandidatePair].collect()
+      .map(p => (p.id_a, p.id_b)).toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(pairs.contains((10L, 12L)) && pairs.contains((11L, 13L)),
+      s"saturated bucket stopped matching: $pairs")
+    assert(!pairs.contains((12L, 13L)), "saturated bucket kept growing")
+  }
+}
