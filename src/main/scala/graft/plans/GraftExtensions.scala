@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *   SELECT graft_minhash(shingles, 32, 42)              -- array<bigint>
   *   SELECT graft_simhash(tokens, 42)                    -- bigint
   *   SELECT graft_hyperplane_sig(embedding, 8, 42)       -- bigint
+  *   SELECT graft_lsh_buckets(embedding, 2048, 12, 64)   -- array<bigint>
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -49,7 +50,11 @@ object GraftExtensions {
       SimHash64(es(0), if (es.size > 1) longLit(es(1), "seed") else 42L)),
     "graft_hyperplane_sig" -> (es =>
       HyperplaneSig(es(0), intLit(es(1), "nBits"),
-        if (es.size > 2) longLit(es(2), "seed") else 42L)))
+        if (es.size > 2) longLit(es(2), "seed") else 42L)),
+    "graft_lsh_buckets" -> (es =>
+      HyperplanePoolBuckets(es(0), intLit(es(1), "poolBits"),
+        intLit(es(2), "bits"), intLit(es(3), "tables"),
+        if (es.size > 4) longLit(es(4), "seed") else 42L)))
 
   /** Register into an already-running session. */
   def registerAll(spark: SparkSession): Unit =

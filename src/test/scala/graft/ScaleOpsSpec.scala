@@ -117,6 +117,9 @@ class ScaleOpsSpec extends SparkSuite {
     val mh = spark.sql("SELECT graft_minhash(array('ab','cd'), 4) AS m FROM v")
       .head().getSeq[Long](0)
     assert(mh.length == 4)
+    val bk = spark.sql("SELECT graft_lsh_buckets(a, 256, 6, 24) AS b FROM v")
+      .head().getSeq[Long](0)
+    assert(bk.length == 24 && bk.zipWithIndex.forall { case (b, t) => (b >> 6) == t })
   }
 }
 
