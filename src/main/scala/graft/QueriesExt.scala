@@ -263,6 +263,46 @@ object QueriesExt {
       |  < r.rate * 16777216.0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** PII-style scrubbing: redact emails / URLs / IPv4s with typed
+    * placeholders and report per-doc hit counts — the standard
+    * training-corpus hygiene pass. Patterns use only constructs Java
+    * regex and DuckDB's RE2 interpret identically (character classes,
+    * bounded repetition — no lookaround/backrefs), so the redacted text
+    * itself is hash-graded, not just the counts. Shuffle-free scan-side
+    * plan.
+    */
+  val RedactEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val RedactUrl = "https?://[^\\s]+"
+  val RedactIp = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val txRedact: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), RedactUrl, "<URL>"),
+          RedactEmail, "<EMAIL>"),
+        RedactIp, "<IP>").as("redacted"),
+      regexp_count(col("text"), lit(RedactUrl)).cast("long").as("n_urls"),
+      regexp_count(regexp_replace(col("text"), RedactUrl, "<URL>"),
+        lit(RedactEmail)).cast("long").as("n_emails"),
+      regexp_count(
+        regexp_replace(regexp_replace(col("text"), RedactUrl, "<URL>"),
+          RedactEmail, "<EMAIL>"),
+        lit(RedactIp)).cast("long").as("n_ips"))
+      .orderBy("doc_id")
+  val txRedactSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$RedactUrl', '<URL>', 'g'),
+       |    '$RedactEmail', '<EMAIL>', 'g'),
+       |    '$RedactIp', '<IP>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '$RedactUrl')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(regexp_replace(text, '$RedactUrl', '<URL>', 'g'),
+       |    '$RedactEmail')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+       |    '$RedactUrl', '<URL>', 'g'), '$RedactEmail', '<EMAIL>', 'g'),
+       |    '$RedactIp')) AS BIGINT) AS n_ips
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dedup
 
   val ddExactKeep: Q = (s, d) =>

@@ -91,6 +91,7 @@ object SparkEntry {
     "tx_winnow" -> QueriesExt.txWinnow,
     "tx_vocab" -> QueriesExt.txVocab,
     "tx_tfidf" -> QueriesExt.txTfidf,
+    "tx_redact" -> QueriesExt.txRedact,
     // dedup
     "dd_exact_keep" -> QueriesExt.ddExactKeep,
     "dd_exact_groups" -> QueriesExt.ddExactGroups,
@@ -186,6 +187,7 @@ object SparkEntry {
     "tx_fingerprint" -> QueriesExt.txFingerprintSql,
     "tx_vocab" -> QueriesExt.txVocabSql,
     "tx_tfidf" -> QueriesExt.txTfidfSql,
+    "tx_redact" -> QueriesExt.txRedactSql,
     "cu_mix_sample" -> QueriesExt.cuMixSampleSql,
     "dd_exact_keep" -> QueriesExt.ddExactKeepSql,
     "dd_exact_groups" -> QueriesExt.ddExactGroupsSql,

@@ -375,10 +375,12 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
         .filter(col("u") =!= col("v"))
       val w = Window.partitionBy("u")
+      // no distinct here: duplicate edges don't change small-star's
+      // per-group minima, and the round's single dedup happens there —
+      // one shuffle per round instead of two on the tiny edge list
       sym.withColumn("m", least(min(col("v")).over(w), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     // small-star: every node u points its smaller neighbors (and
     // itself) at their minimum
