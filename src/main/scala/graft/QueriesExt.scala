@@ -394,7 +394,7 @@ object QueriesExt {
         coalesce(col("component"), col("doc_id")).cast("long").as("cluster_id"))
       .orderBy("doc_id")
   }
-  val ddClusterSql: String =
+  private val ddClusterCte: String =
     s"""WITH RECURSIVE ${shingleJaccardCte(8, 1, JaccardThreshold)},
        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -402,10 +402,36 @@ object QueriesExt {
        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
        |  UNION
        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n),
-       |comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
-       |SELECT dd.doc_id, CAST(COALESCE(c.cluster_id, dd.doc_id) AS BIGINT) AS cluster_id
-       |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
-       |ORDER BY dd.doc_id""".stripMargin
+       |comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+       |labeled AS (SELECT dd.doc_id,
+       |    CAST(COALESCE(c.cluster_id, dd.doc_id) AS BIGINT) AS cluster_id
+       |  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id)""".stripMargin
+
+  val ddClusterSql: String =
+    s"""$ddClusterCte
+       |SELECT doc_id, cluster_id FROM labeled ORDER BY doc_id""".stripMargin
+
+  /** Cluster-size histogram + dedup savings: how many duplicate clusters
+    * of each size exist and how many documents near-dup removal would
+    * drop (keep one per cluster) — the capacity-planning readout on top
+    * of [[ddCluster]]. Two small aggregations over the labeled docs.
+    */
+  val ddClusterStats: Q = (s, d) =>
+    ddCluster(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).cast("long").as("docs_in"),
+        (count(lit(1)) * (col("cluster_size") - 1)).cast("long").as("docs_removable"))
+      .orderBy("cluster_size")
+  val ddClusterStatsSql: String =
+    s"""$ddClusterCte,
+       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM labeled GROUP BY cluster_id)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) * cluster_size AS BIGINT) AS docs_in,
+       |  CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   // ---------------------------------------------------------------- similarity
 

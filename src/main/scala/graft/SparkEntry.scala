@@ -99,6 +99,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLsh,
     "dd_simhash" -> QueriesExt.ddSimhash,
     "dd_cluster" -> QueriesExt.ddCluster,
+    "dd_cluster_stats" -> QueriesExt.ddClusterStats,
     // similarity search
     "sim_cosine_topk" -> QueriesExt.simCosineTopk,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardup,
@@ -195,6 +196,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLshSql,
     "dd_simhash" -> QueriesExt.ddSimhashSql,
     "dd_cluster" -> QueriesExt.ddClusterSql,
+    "dd_cluster_stats" -> QueriesExt.ddClusterStatsSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
