@@ -327,11 +327,12 @@ object QueriesExt {
     * oracle for every shingle-metric dedup entry; each Spark plan must
     * equal it while doing only blocked (never all-pairs) joins.
     */
-  private def shingleJaccardCte(len: Int, stride: Int, threshold: Double) =
+  private def shingleJaccardCte(len: Int, stride: Int, threshold: Double,
+      table: String = "documents") =
     s"""ex AS (SELECT doc_id,
        |    unnest(list_transform(range(1, greatest(length(text) - ${len - 1}, 1) + 1, $stride),
        |      i -> substr(text, CAST(i AS INT), $len))) AS sh
-       |  FROM documents),
+       |  FROM $table),
        |d AS (SELECT DISTINCT doc_id, sh FROM ex WHERE length(sh) = $len),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
        |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -432,6 +433,101 @@ object QueriesExt {
        |  CAST(COUNT(*) * cluster_size AS BIGINT) AS docs_in,
        |  CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** The full curation dedup flow a corpus actually runs, as ONE query:
+    * exact dedup (md5, keep lowest id) → near-dup clustering over the
+    * exact-deduped corpus (minhash-blocked exact pairs → connected
+    * components) → keep only each cluster's canonical (minimum) doc.
+    * Output: surviving docs with token counts. The oracle recomputes
+    * the whole composition in SQL — exact-dedup window, all-pairs
+    * Jaccard over the SURVIVORS, recursive reachability — so the graded
+    * row certifies the stages compose correctly, not just each stage.
+    */
+  val cuDedupPipeline: Q = (s, d) => {
+    val kept1 = Dedup.exactDedup(docs(s, d), "text", "doc_id")
+    val pairs = Dedup.minhashNearDupPairs(kept1, "text", "doc_id",
+      shingleLen = 8, threshold = JaccardThreshold)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    kept1.join(comp, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+  val cuDedupPipelineSql: String =
+    s"""WITH RECURSIVE k1 AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |${shingleJaccardCte(8, 1, JaccardThreshold, table = "k1")},
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n),
+       |comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+       |SELECT k1.doc_id,
+       |  CAST(len(regexp_extract_all(k1.text, '\\S+')) AS BIGINT) AS n_tokens
+       |FROM k1 LEFT JOIN comp c ON k1.doc_id = c.doc_id
+       |WHERE COALESCE(c.cluster_id, k1.doc_id) = k1.doc_id
+       |ORDER BY k1.doc_id""".stripMargin
+
+  /** Int8 scalar quantization of the embedding column — the 4×-storage
+    * compression a 100 TB embedding store runs before indexing. Per
+    * vector: (min, max) → scale=(max-min)/255 → q_i = floor((x_i-min)/
+    * scale + 0.5) — floor, not round(), because floor's parity across
+    * engines is exact while round()'s half-even/half-up conventions
+    * differ. Graded: the quantized codes (as a CSV digest), the scale/
+    * offset, and the reconstruction MSE via the same sequential fold
+    * both engines use. Shuffle-free scan-side plan.
+    */
+  val simQuantizeInt8: Q = (s, d) =>
+    emb(s, d).select(col("vec_id"),
+      aggregate(col("embedding"), lit(Double.MaxValue),
+        (acc, x) => least(acc, x.cast("double"))).as("mn"),
+      aggregate(col("embedding"), lit(Double.MinValue),
+        (acc, x) => greatest(acc, x.cast("double"))).as("mx"),
+      col("embedding"))
+      .withColumn("scale",
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise((col("mx") - col("mn")) / lit(255.0)))
+      .withColumn("q", transform(col("embedding"), x =>
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((x.cast("double") - col("mn")) / col("scale") + lit(0.5)))))))
+      .select(col("vec_id"), col("mn"), col("scale"),
+        md5(array_join(transform(col("q"), _.cast("string")), ",")
+          .cast("binary")).as("q_digest"),
+        aggregate(
+          zip_with(col("embedding"), col("q"), (x, q) =>
+            (x.cast("double") - (col("mn") + q.cast("double") * col("scale"))) *
+              (x.cast("double") - (col("mn") + q.cast("double") * col("scale")))),
+          lit(0.0), (acc, v) => acc + v).as("sq_err"))
+      .orderBy("vec_id")
+  val simQuantizeInt8Sql: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |      (a, x) -> least(a, x)) AS mn,
+      |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |      (a, x) -> greatest(a, x)) AS mx
+      |  FROM embeddings),
+      |sc AS (SELECT vec_id, embedding, mn,
+      |    CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS scale
+      |  FROM b),
+      |q AS (SELECT vec_id, embedding, mn, scale,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
+      |      ELSE CAST(least(255, greatest(0,
+      |        floor((CAST(x AS DOUBLE) - mn) / scale + 0.5))) AS BIGINT) END) AS qv
+      |  FROM sc)
+      |SELECT vec_id, mn, scale,
+      |  md5(array_to_string(qv, ',')) AS q_digest,
+      |  list_reduce(list_transform(list_zip(embedding, qv),
+      |    p -> (CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * scale)) *
+      |         (CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * scale))),
+      |    (acc, v) -> acc + v) AS sq_err
+      |FROM q ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- similarity
 

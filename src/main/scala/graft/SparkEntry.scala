@@ -115,6 +115,8 @@ object SparkEntry {
     "cu_token_mix" -> QueriesExt.cuTokenMix,
     "cu_pack" -> QueriesExt.cuPack,
     "cu_mix_sample" -> QueriesExt.cuMixSample,
+    "cu_dedup_pipeline" -> QueriesExt.cuDedupPipeline,
+    "sim_quantize_int8" -> QueriesExt.simQuantizeInt8,
     "tx_repetition" -> QueriesExt.txRepetition,
     // multimodal
     "mm_payload_stats" -> QueriesExt.mmPayloadStats,
@@ -190,6 +192,8 @@ object SparkEntry {
     "tx_tfidf" -> QueriesExt.txTfidfSql,
     "tx_redact" -> QueriesExt.txRedactSql,
     "cu_mix_sample" -> QueriesExt.cuMixSampleSql,
+    "cu_dedup_pipeline" -> QueriesExt.cuDedupPipelineSql,
+    "sim_quantize_int8" -> QueriesExt.simQuantizeInt8Sql,
     "dd_exact_keep" -> QueriesExt.ddExactKeepSql,
     "dd_exact_groups" -> QueriesExt.ddExactGroupsSql,
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccardSql,
