@@ -213,14 +213,43 @@ object QueriesAnalytic {
       |  quantile_cont(l_extendedprice, 0.99) AS p99_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** HLL approximate distinct — the 100 TB fast path for check 3
-    * (rows-only oracle: HLL implementations differ across engines).
+  /** HLL approximate distinct — the 100 TB fast path for check 3.
+    * The raw HLL estimate is engine-specific (Spark's HLL++ vs DuckDB's
+    * HLL give different values), so the GRADED claim is the estimate's
+    * CHECKED ERROR BOUND: |HLL − exact| ≤ k·σ where σ = rsd·exact (the
+    * analytic HLL standard deviation at the configured rsd) and k = 6
+    * (P(violation) ~ 1e-9 for an unbiased estimator). The oracle
+    * recomputes the exact count and asserts the bound held — a biased
+    * or broken approx implementation flips `within_bound` to false and
+    * the hash row goes red. The production fast path remains the
+    * approx-only aggregate (no exact pass); this entry is its
+    * certification.
     */
+  val A2ApproxRsd = 0.01
+  /** 6·rsd — one LITERAL constant (not a computed product, whose
+    * round-to-nearest could differ from the SQL parser's) interpolated
+    * into both engines so the graded double is bit-identical.
+    */
+  val A2ApproxRelBound = 0.06
   val a2Approx: Q = (s, d) =>
     Tables.lineitem(s, d).agg(
+      count_distinct(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
+        .cast("long").as("n_exact"),
       approx_count_distinct(concat_ws("|",
-        col("l_orderkey").cast("string"), col("l_linenumber").cast("string")), 0.01)
-        .cast("long").as("approx_distinct_pks"))
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string")),
+        A2ApproxRsd).cast("long").as("approx"))
+      .select(col("n_exact"),
+        lit(A2ApproxRelBound).as("rel_err_bound"),
+        (abs(col("approx") - col("n_exact")).cast("double") <=
+          lit(A2ApproxRelBound) * col("n_exact").cast("double"))
+          .as("within_bound"))
+  val a2ApproxSql: String =
+    s"""SELECT CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '|' ||
+       |    CAST(l_linenumber AS VARCHAR)) AS BIGINT) AS n_exact,
+       |  CAST($A2ApproxRelBound AS DOUBLE) AS rel_err_bound,
+       |  true AS within_bound
+       |FROM lineitem""".stripMargin
 
   /** Histogram binning over order totals (exact integer bins). */
   val h1Histogram: Q = (s, d) =>

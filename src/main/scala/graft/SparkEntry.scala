@@ -175,6 +175,7 @@ object SparkEntry {
     "w4_lead_lag" -> QueriesAnalytic.w4Sql,
     "w5_sessionize" -> QueriesAnalytic.w5Sql,
     "a9_percentiles" -> QueriesAnalytic.a9Sql,
+    "a2_distinct_pk_approx" -> QueriesAnalytic.a2ApproxSql,
     "h1_histogram" -> QueriesAnalytic.h1Sql,
     "j5_enrich" -> QueriesAnalytic.j5Sql,
     "j6_asof" -> QueriesAnalytic.j6Sql,

@@ -248,7 +248,20 @@ object Dedup {
     * radius 12 for ~50-word docs). The default (12) sits above both the
     * pigeonhole guarantee (7) and the observed near-dup band; raise it
     * — at quadratic verify cost — if your corpus pairs high-Jaccard
-    * docs with unusually divergent token distributions. Hot index
+    * docs with unusually divergent token distributions.
+    *
+    * 32-BIT REGIME CAVEAT: when the auto-switch (corpus > 10⁸ rows,
+    * [[simhashChunkBitsFor]]) selects 32-bit chunks, nChunks drops to 2
+    * and the pigeonhole guarantee weakens to Hamming ≤ 2·2-1 = 3 —
+    * pairs at simhash distance 4..hammingRadius are then found only
+    * probabilistically (each needs some 32-bit chunk to land within 1
+    * bit, which distance-d pairs satisfy unless their d errors split 2+2
+    * or worse across both chunks). Near-dup mass concentrates well
+    * inside distance 3 at that scale too, but a caller needing the
+    * full guaranteed radius on a 10⁸+ corpus should pass chunkBits = 16
+    * explicitly and raise maxBucketSize, or add 2-bit probe variants
+    * (C(32,2) = 496 extra probes/chunk) — the trade this operator
+    * deliberately does not default to. Hot index
     * values are TRUNCATED to the first `maxBucketSize` ids
     * ([[Skew.truncateHotKeys]]), never dropped — an identical-content
     * flood saturates every chunk position at once, so a drop would
@@ -365,6 +378,17 @@ object Dedup {
     * set) could only end the loop one round early; with xxhash64 that
     * is a ~2⁻⁶⁴ event, and the alternation is monotone (each round only
     * contracts components), so it cannot oscillate.
+    *
+    * Storage lifecycle: every per-round checkpoint is released as soon
+    * as the next round materializes (and on a non-convergence failure,
+    * in the finally block) — `Dataset.unpersist` does NOT touch
+    * checkpoint blocks, so release goes through
+    * [[org.apache.spark.sql.GraftSqlShim.releaseCheckpoint]]. The
+    * returned label frame is itself eagerly checkpointed (one row per
+    * node — the only storage the call leaves behind), so callers can
+    * reuse it across any number of downstream aggregations without
+    * re-running the contraction, and release it with [[release]] when
+    * done.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -411,25 +435,41 @@ object Dedup {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    var prev = checksum(e)
-    var converged = prev._2 == 0L
-    var rounds = 0
-    while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val cs = checksum(next)
-      e.unpersist()
-      e = next
-      converged = cs == prev
-      prev = cs
-      rounds += 1
+    try {
+      var prev = checksum(e)
+      var converged = prev._2 == 0L
+      var rounds = 0
+      while (!converged && rounds < maxIter) {
+        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        val cs = checksum(next)
+        org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(e)
+        e = next
+        converged = cs == prev
+        prev = cs
+        rounds += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      // converged edge list is a star forest: (u, root) for every
+      // non-root member; roots label themselves. Checkpointed eagerly so
+      // the edge checkpoint can be released before returning.
+      e.select(col("u").as("id"), col("v").as("component"))
+        .union(e.select(col("v").as("id"), col("v").as("component")))
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+    } finally {
+      // releases the last round's checkpoint on BOTH paths: after the
+      // labels materialize on success, and before the require's
+      // exception propagates on non-convergence
+      org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(e)
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // converged edge list is a star forest: (u, root) for every
-    // non-root member; roots label themselves
-    e.select(col("u").as("id"), col("v").as("component"))
-      .union(e.select(col("v").as("id"), col("v").as("component")))
-      .groupBy("id").agg(min(col("component")).as("component"))
   }
+
+  /** Release the checkpoint storage behind a frame returned by
+    * [[connectedComponents]] (or any `localCheckpoint`ed frame) once the
+    * caller no longer needs it. No-op on other frames.
+    */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(df)
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by
     * multi-table hyperplane-LSH so only bucket-colliding pairs are
@@ -526,12 +566,18 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.45, nBits: Int = 0, nTables: Int = 0,
-      maxBucketSize: Int = 100000, poolBits: Int = 2048): DataFrame = {
+      maxBucketSize: Int = 100000, poolBits: Int = 2048,
+      maxTables: Int = 4096): DataFrame = {
     import graft.functions.VectorFunctions._
     val bits = if (nBits > 0) nBits
-      else embeddingLshParamsFor(df.count(), threshold)._1
+      else embeddingLshParamsFor(df.count(), threshold, maxTables = maxTables)._1
+    // the explicit-nBits path caps tables too: a plausible "more bits =
+    // more precision" call (e.g. nBits=20 at threshold 0.45 → p₁≈1.7e-4
+    // → ~54k tables for the recall bound) would otherwise explode a
+    // 54k-element bucket array per row; at the cap the recall bound is
+    // whatever (bits, maxTables) yields, which the auto path never picks
     val tabs = if (nTables > 0) nTables
-      else embeddingLshTablesFor(bits, threshold)
+      else math.min(maxTables, embeddingLshTablesFor(bits, threshold))
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
       .persist(StorageLevel.MEMORY_AND_DISK)

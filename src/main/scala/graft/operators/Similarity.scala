@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default row cap for the DELIBERATELY-QUADRATIC operators
+    * ([[bruteForceTopK]] and the all-pairs near-dup oracle queries):
+    * they exist as recall baselines and grading oracles, and must never
+    * be pointed at a production-size corpus — at 200k rows the pair
+    * space is already 2·10¹⁰. The fence makes that physical: a 100×
+    * caller gets an actionable error naming the cap instead of an N²
+    * job (raise `maxRows` explicitly to accept the cost).
+    */
+  val QuadraticRowCap = 200000L
+
+  /** Throws unless `df` is within the quadratic-oracle row cap; returns
+    * the counted size. One metadata-light count() action — negligible
+    * next to the quadratic join it fences.
+    */
+  def requireQuadraticCap(df: DataFrame, maxRows: Long, what: String): Long = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$what is quadratic by design and fenced at $maxRows rows " +
+        s"(got $n): it is a recall/grading baseline, not a scale path — " +
+        "use the LSH/IVF tiers or raise maxRows explicitly to accept the N² cost")
+    n
+  }
+
   /** Exact top-k neighbors per query vector (excluding self), ranked by
     * cosine desc with id tiebreak. `queries` and `corpus` may be the same
     * DataFrame for all-pairs self-search.
@@ -26,10 +49,17 @@ object Similarity {
     * broadcast when it fits); ranking uses a per-query window on the
     * joined pairs. For fixed small k, TakeOrderedAndProject-style
     * partial top-k happens map-side via the window-before-filter plan
-    * under AQE.
+    * under AQE. DELIBERATELY QUADRATIC — fenced at `maxRows` per side
+    * ([[QuadraticRowCap]]); this is the recall baseline, not the ANN
+    * scale path.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int = 10): DataFrame = {
+      vecCol: String, k: Int = 10, maxRows: Long = QuadraticRowCap): DataFrame = {
+    // fence BOTH sides (cost is queries × corpus); same-reference
+    // self-search counts once
+    requireQuadraticCap(corpus, maxRows, "bruteForceTopK corpus")
+    if (!(queries eq corpus))
+      requireQuadraticCap(queries, maxRows, "bruteForceTopK queries")
     // per-vector squared norms computed once, not once per pair
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
@@ -143,19 +173,47 @@ object Similarity {
     * query) and cached per corpus version, so repeated searches over the
     * same corpus never retrain.
     */
+  /** Auto-sized IVF list count: √N, capped so the broadcast centroid
+    * table stays under `maxCentroidBytes`. √N is the standard sizing
+    * (nProbe·√N candidates per query, N^1.5 total), but uncapped it has
+    * a SCALE CEILING: at 10¹⁰ vectors √N = 10⁵ centroids × dim floats
+    * is a multi-hundred-MB broadcast, and assignment computes all √N
+    * similarities per corpus vector. The cap trades list selectivity
+    * for a bounded broadcast (nProbe scales with lists, so the probed
+    * FRACTION grows back toward nProbe·N/lists — more candidates per
+    * query, same recall contract). Past the cap the standard fix is
+    * two-level (coarse→fine) centroid assignment — √lists coarse cells
+    * whose members are assigned hierarchically — which this operator
+    * does not implement; the cap makes the degradation explicit and
+    * graceful instead of an invisible driver/broadcast failure.
+    */
+  def ivfListsFor(n: Long, dim: Int,
+      maxCentroidBytes: Long = 64L << 20): Int = {
+    val sqrtN = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // ~4 bytes/float plus per-row object overhead in the broadcast table
+    val bytesPerCentroid = 4L * dim + 64L
+    val cap = math.max(16L, maxCentroidBytes / bytesPerCentroid)
+    math.min(sqrtN.toLong, cap).toInt
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       nLists: Int = 0, nProbe: Int = 0, seed: Long = 42L,
       queryFilter: Option[Column => Column] = None,
-      trainCap: Int = 100000): DataFrame = {
+      trainCap: Int = 100000, maxCentroidBytes: Long = 64L << 20): DataFrame = {
     val spark = df.sparkSession
-    // nLists ≤ 0 → √N lists (the standard IVF sizing: candidates per
+    // nLists ≤ 0 → √N lists capped by the centroid-broadcast budget
+    // ([[ivfListsFor]]): √N is the standard IVF sizing (candidates per
     // query = nProbe·N/nLists = nProbe·√N, total work N^1.5 instead of
     // the N²/4 a FIXED list count degrades to — the r5 sf1 soak measured
-    // that as 66 s at 20k vectors). nProbe ≤ 0 → nLists/16, floor 4, so
-    // the probed corpus fraction shrinks as the corpus grows instead of
-    // pinning at nProbe/nLists of everything.
+    // that as 66 s at 20k vectors), and the cap keeps the broadcast
+    // bounded at 10⁹+-vector corpora. nProbe ≤ 0 → nLists/16, floor 4,
+    // so the probed corpus fraction shrinks as the corpus grows instead
+    // of pinning at nProbe/nLists of everything.
     val lists = if (nLists > 0) nLists
-      else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+      else {
+        val dim = df.select(size(col(vecCol))).head().getInt(0)
+        ivfListsFor(df.count(), dim, maxCentroidBytes)
+      }
     val probe = if (nProbe > 0) nProbe else math.max(4, lists / 16)
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")

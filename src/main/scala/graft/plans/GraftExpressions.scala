@@ -324,6 +324,18 @@ case class Winnow(child: Expression, k: Int, w: Int)
   */
 case class HyperplanePoolBuckets(child: Expression, poolBits: Int, bits: Int,
     tables: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+  // validated at construction (this expression is reachable from the
+  // SQL surface `graft_lsh_buckets(vec, poolBits, bits, tables)` with
+  // arbitrary literals): bits > min(poolBits, 62) would spin the
+  // distinct-position sampling loop forever, and a table id shifted
+  // past 63 - bits would corrupt the (t << bits) | bucket key packing
+  require(poolBits > 0 && bits > 0 && tables > 0,
+    s"poolBits ($poolBits), bits ($bits) and tables ($tables) must all be positive")
+  require(bits <= math.min(poolBits, 62),
+    s"bits ($bits) must be <= min(poolBits ($poolBits), 62)")
+  require(tables.toLong <= (Long.MaxValue >>> bits),
+    s"tables ($tables) << bits ($bits) would overflow the packed bucket key")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   // per-table pool positions: deterministic from the seed, sampled once

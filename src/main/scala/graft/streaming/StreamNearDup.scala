@@ -36,7 +36,13 @@ object StreamNearDup {
 
   case class BandedDoc(band: Int, bandHash: Long, id: Long, sig: Seq[Long])
   case class BucketEntry(id: Long, sig: Seq[Long])
-  case class Bucket(entries: Seq[BucketEntry])
+  /** `overflowSeen`: ids that arrived while the bucket was saturated —
+    * matched but not indexed. Tracked (bounded by `maxBucketSize`, like
+    * the entries themselves) so a REDELIVERY of such a doc doesn't
+    * re-emit its candidate pairs; without it the `entries` membership
+    * check only recognizes indexed docs.
+    */
+  case class Bucket(entries: Seq[BucketEntry], overflowSeen: Seq[Long] = Seq.empty)
   case class CandidatePair(id_a: Long, id_b: Long, est_jaccard: Double)
 
   implicit val bucketEnc: Encoder[Bucket] = Encoders.product[Bucket]
@@ -83,21 +89,31 @@ object StreamNearDup {
           } else {
             // deterministic order within a micro-batch
             val arrivals = docs.toSeq.sortBy(_.id)
-            var held = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            val st = state.getOption.getOrElse(Bucket(Seq.empty))
+            var held = st.entries
+            var overflow = st.overflowSeen
             val out = Seq.newBuilder[CandidatePair]
             arrivals.foreach { d =>
-              if (!held.exists(_.id == d.id)) { // redelivery-safe (T1)
+              // redelivery-safe (T1) for BOTH indexed docs and docs that
+              // arrived while the bucket was saturated (matched but never
+              // appended) — the latter would otherwise re-emit all their
+              // pairs on redelivery
+              if (!held.exists(_.id == d.id) && !overflow.contains(d.id)) {
                 held.foreach { e =>
                   val est = estJaccard(d.sig, e.sig)
                   if (est >= threshold)
                     out += CandidatePair(math.min(d.id, e.id),
                       math.max(d.id, e.id), est)
                 }
-                // saturated buckets keep matching but stop growing
+                // saturated buckets keep matching but stop growing; the
+                // overflow-seen set is bounded by the same cap — beyond
+                // 2·cap distinct docs the guard degrades to the
+                // documented multi-band duplicate semantics
                 if (held.length < maxBucketSize) held = held :+ BucketEntry(d.id, d.sig)
+                else if (overflow.length < maxBucketSize) overflow = overflow :+ d.id
               }
             }
-            state.update(Bucket(held))
+            state.update(Bucket(held, overflow))
             if (idleEvictMs > 0) state.setTimeoutDuration(idleEvictMs)
             out.result().iterator
           }

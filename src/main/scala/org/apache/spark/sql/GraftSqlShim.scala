@@ -17,4 +17,19 @@ object GraftSqlShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist()` only clears the SQL cache — a
+    * checkpointed frame's data lives in the RDD storage of the
+    * underlying `LogicalRDD`, which otherwise waits for the
+    * ContextCleaner to notice the RDD is unreferenced. Long-lived
+    * library sessions that checkpoint per call (iterative connected
+    * components, shared label frames) release deterministically through
+    * this instead. No-op on non-checkpointed frames.
+    */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

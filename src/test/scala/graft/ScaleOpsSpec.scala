@@ -121,6 +121,75 @@ class ScaleOpsSpec extends SparkSuite {
       .head().getSeq[Long](0)
     assert(bk.length == 24 && bk.zipWithIndex.forall { case (b, t) => (b >> 6) == t })
   }
+  test("quadratic oracles are physically fenced at the row cap") {
+    import graft.operators.Similarity
+    val vecs = (1 to 10).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    // fence fires with an actionable message naming the cap...
+    val err = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding",
+        k = 3, maxRows = 5L)
+    }
+    assert(err.getMessage.contains("quadratic") && err.getMessage.contains("5"))
+    // ...and an explicit raise accepts the cost
+    assert(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding",
+      k = 3, maxRows = 10L).count() == 30L)
+  }
+
+  test("IVF auto list count caps at the centroid-broadcast budget") {
+    import graft.operators.Similarity
+    // small corpus: plain sqrt(N) sizing, floor 16
+    assert(Similarity.ivfListsFor(400L, 64) == 20)
+    assert(Similarity.ivfListsFor(10L, 64) == 16)
+    // 10^10 vectors x 1024 dims: sqrt(N) = 10^5 centroids would be a
+    // ~410 MB broadcast; a 1 MB budget caps lists at budget/bytes-per-row
+    val capped = Similarity.ivfListsFor(10000000000L, 1024, 1L << 20)
+    assert(capped == ((1L << 20) / (4 * 1024 + 64)).toInt, s"got $capped")
+    // default 64 MB budget does not bind at sane scales
+    assert(Similarity.ivfListsFor(100000000L, 64) == 10000)
+  }
+
+  test("bit-pool LSH bucket expression rejects degenerate parameters") {
+    val v = array(lit(1.0f), lit(2.0f))
+    // bits > poolBits would spin the position-sampling loop forever
+    intercept[IllegalArgumentException] {
+      graft.plans.GraftFunctions.hyperplanePoolBuckets(v, 8, 20, 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.GraftFunctions.hyperplanePoolBuckets(v, 0, 1, 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.GraftFunctions.hyperplanePoolBuckets(v, 2048, 63, 4)
+    }
+    // valid parameters still construct
+    graft.plans.GraftFunctions.hyperplanePoolBuckets(v, 64, 8, 4)
+  }
+
+  test("embedding LSH explicit-bits path would demand uncapped tables") {
+    import graft.operators.Dedup
+    // the hazard the cap guards: 20 bits at threshold 0.45 needs ~54k
+    // tables for the analytic recall bound — far past the 4096 cap
+    assert(Dedup.embeddingLshTablesFor(20, 0.45) > 4096)
+  }
+
+  test("dedup family shares one memoized cluster-label frame") {
+    QueriesExt.clearClusterLabelCache()
+    val a = QueriesExt.clusterLabels(spark, sf001)
+    val b = QueriesExt.clusterLabels(spark, sf001)
+    assert(a eq b, "second call must return the memoized frame")
+    // the label frame is total over the corpus: stats grouped from it
+    // must account for every document
+    val docs = graft.sources.Tables.documents(spark, sf001).count()
+    assert(a.count() == docs)
+    val statsDocs = QueriesExt.ddClusterStats(spark, sf001)
+      .agg(sum(col("docs_in"))).head().getLong(0)
+    assert(statsDocs == docs)
+    QueriesExt.clearClusterLabelCache()
+    val c = QueriesExt.clusterLabels(spark, sf001)
+    assert(!(a eq c), "cache clear must drop the memoized frame")
+    QueriesExt.clearClusterLabelCache()
+  }
+
 }
 
 class AsOfJoinSpec extends SparkSuite {
