@@ -133,16 +133,93 @@ object QueriesExt {
     """SELECT doc_id, substr(md5(text), 1, 16) AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Winnowing fingerprints per document (rows-only oracle: custom
-    * rolling-hash expression, not SQL-expressible). The graded column is
-    * a CSV digest of the fingerprint array — the harness hashes/sorts
-    * result columns, and raw arrays aren't hashable there.
+  /** Winnowing fingerprints per document, hash-graded against a full
+    * DuckDB reconstruction of the algorithm (rolling Karp-Rabin k-gram
+    * hash → splitmix64 → rightmost window minimum → position-dedup).
+    * The graded column is a CSV digest of the fingerprint array — the
+    * harness hashes/sorts result columns, and raw arrays aren't
+    * hashable there. The custom expression emits fingerprints in
+    * window order, which equals POSITION order: the rightmost-tie
+    * minimum of window i+1 can never move left of window i's (the
+    * superseding element stays in every later window its predecessor
+    * is in), so selected positions are distinct and non-decreasing and
+    * the SQL can select DISTINCT positions ordered by position.
     */
+  val WinnowK = 8
+  val WinnowW = 4
   val txWinnow: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
-      array_join(TextAnalysis.winnowFingerprints(col("text")), ",")
+      array_join(TextAnalysis.winnowFingerprints(col("text"), WinnowK, WinnowW), ",")
         .as("fingerprints_csv"))
       .orderBy("doc_id")
+
+  /** Exact mod-2⁶⁴ arithmetic rendered as DuckDB SQL: sums carry in
+    * HUGEINT, products split both factors at 32 bits so no intermediate
+    * exceeds ~2⁶⁵ (a full 64×64 product could overflow signed 128), and
+    * xor/logical-shift go through UBIGINT. This is what lets the winnow
+    * oracle reproduce the Scala expression's wrap-around Long arithmetic
+    * bit-for-bit. ASCII corpus assumed (ord(char) = byte, the same
+    * guard the mm_resize oracle documents).
+    */
+  private object Duck64 {
+    val M = BigInt(1) << 64
+    def u(x: Long): BigInt = BigInt(x) & (M - 1)
+    /** (a * c) mod 2⁶⁴ for a column expression `a` in [0, 2⁶⁴) and a
+      * Scala Long constant `c`, via 32-bit splits.
+      */
+    def mulmod(a: String, c: Long): String = {
+      val cu = u(c); val ch = cu >> 32; val cl = cu & 0xFFFFFFFFL
+      s"(((($a) % 4294967296) * $ch + (($a) // 4294967296) * $cl) % 4294967296" +
+        s" * 4294967296 + (($a) % 4294967296) * $cl) % $M"
+    }
+    /** x ^ (x >>> s) for `a` in [0, 2⁶⁴), back to HUGEINT. */
+    def xorshr(a: String, s: Int): String =
+      s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($a) AS UBIGINT) >> $s) AS HUGEINT)"
+  }
+
+  val txWinnowSql: String = {
+    import Duck64._
+    val k = WinnowK; val w = WinnowW
+    val B = 0x100000001b3L
+    // B^p mod 2^64 for the polynomial positions, computed with the same
+    // Long wrap the expression uses
+    val bpow = Iterator.iterate(1L)(_ * B).take(k).toArray
+    val poly = (0 until k).map(j =>
+      s"CAST(ord(substr(text, i + $j, 1)) AS HUGEINT) * ${u(bpow(k - 1 - j))}")
+      .mkString("(", "\n      + ", s") % $M")
+    val A = u(0x9e3779b97f4a7c15L)
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    s"""WITH pos AS (SELECT doc_id, text, CAST(u AS INT) AS i
+       |    FROM documents, unnest(range(1, greatest(length(text) - ${k - 1}, 0) + 1)) t(u)),
+       |p0 AS (SELECT doc_id, i - 1 AS pos,
+       |    $poly AS poly
+       |  FROM pos),
+       |p1 AS (SELECT doc_id, pos, (poly + $A) % $M AS z0 FROM p0),
+       |p2 AS (SELECT doc_id, pos, ${mulmod(xorshr("z0", 30), C1)} AS z1 FROM p1),
+       |p3 AS (SELECT doc_id, pos, ${mulmod(xorshr("z1", 27), C2)} AS z2 FROM p2),
+       |ph AS (SELECT doc_id, pos, ${xorshr("z2", 31)} AS hv FROM p3),
+       |nn AS (SELECT doc_id, COUNT(*) AS n FROM ph GROUP BY doc_id),
+       |starts AS (SELECT doc_id, CAST(u AS INT) AS s
+       |    FROM nn, unnest(range(0, greatest(n - $w, 0) + 1)) t(u)),
+       |wnd AS (SELECT st.doc_id, st.s, ph.pos, ph.hv
+       |    FROM starts st JOIN ph ON ph.doc_id = st.doc_id
+       |      AND ph.pos BETWEEN st.s AND st.s + ${w - 1}),
+       |mn AS (SELECT doc_id, s, MIN(hv) AS mn FROM wnd GROUP BY doc_id, s),
+       |sel AS (SELECT w.doc_id, w.s, MAX(w.pos) AS pos
+       |    FROM wnd w JOIN mn ON w.doc_id = mn.doc_id AND w.s = mn.s AND w.hv = mn.mn
+       |    GROUP BY w.doc_id, w.s),
+       |selp AS (SELECT DISTINCT doc_id, pos FROM sel),
+       |fp AS (SELECT sp.doc_id, sp.pos,
+       |    CAST(CASE WHEN ph.hv >= ${BigInt(1) << 63} THEN ph.hv - $M ELSE ph.hv END
+       |      AS BIGINT) AS sv
+       |  FROM selp sp JOIN ph ON ph.doc_id = sp.doc_id AND ph.pos = sp.pos),
+       |agg AS (SELECT doc_id, string_agg(CAST(sv AS VARCHAR), ',' ORDER BY pos) AS fp_csv
+       |  FROM fp GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.fp_csv, '') AS fingerprints_csv
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Top-`VocabK` corpus vocabulary with rank, share of all tokens, and
     * cumulative coverage — the tokenizer-design / Zipf-audit query.
@@ -654,6 +731,104 @@ object QueriesExt {
   val simAnnIvf: Q = (s, d) =>
     Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
+
+  /** Hash-graded CANDIDATE generation of the LSH ANN tier: the ranked
+    * top-k is approximate, but the candidate set is a pure function of
+    * (data, seeds) — hyperplane signs are splitmix64 of (seed, bit,
+    * dim) — so DuckDB reconstructs the signatures, the bucket joins AND
+    * the adaptive Hamming-1 probe for starved queries, and the hash row
+    * certifies the whole candidate machinery. (nBits, nTables) are
+    * PINNED here (not corpus-derived) so both engines share the
+    * geometry without floating log2-of-count edge cases; nBits = 8
+    * keeps sf-scale buckets small enough that some queries actually
+    * starve, exercising the probe path under grading.
+    */
+  val AnnCandBits = 8
+  val AnnCandTables = 8
+  val AnnCandK = 5
+  val simAnnLshCand: Q = (s, d) =>
+    Similarity.lshCandidates(emb(s, d), "vec_id", "embedding", k = AnnCandK,
+      nBits = AnnCandBits, nTables = AnnCandTables)
+      .orderBy("query_id", "neighbor_id")
+  val simAnnLshCandSql: String = {
+    import Duck64._
+    val M64 = M
+    val JA = 0x9e3779b97f4a7c15L  // HyperplaneSig's bit mixer
+    val IC = 0xc2b2ae3d27d4eb4fL  // HyperplaneSig's dim mixer
+    val A2 = u(0x9e3779b97f4a7c15L) // splitmix64 increment
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    s"""WITH tbl AS (SELECT CAST(u AS INT) AS t FROM unnest(range(0, $AnnCandTables)) x(u)),
+       |bts AS (SELECT CAST(u AS INT) AS j FROM unnest(range(0, $AnnCandBits)) x(u)),
+       |dims AS (SELECT CAST(u AS INT) AS i
+       |  FROM unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) x(u)),
+       |sx AS (SELECT t, j, i,
+       |    CAST(xor(xor(CAST(42 + 1000 * t AS UBIGINT),
+       |      CAST(${mulmod("CAST(j AS HUGEINT)", JA)} AS UBIGINT)),
+       |      CAST(${mulmod("CAST(i AS HUGEINT)", IC)} AS UBIGINT)) AS HUGEINT) AS x0
+       |  FROM tbl, bts, dims),
+       |s1 AS (SELECT t, j, i, (x0 + $A2) % $M64 AS z0 FROM sx),
+       |s2 AS (SELECT t, j, i, ${mulmod(xorshr("z0", 30), C1)} AS z1 FROM s1),
+       |s3 AS (SELECT t, j, i, ${mulmod(xorshr("z1", 27), C2)} AS z2 FROM s2),
+       |sg AS (SELECT t, j, i,
+       |    CASE WHEN CAST(${xorshr("z2", 31)} AS UBIGINT) % 2 = 0
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgv FROM s3),
+       |sgl AS (SELECT t, j, list(sgv ORDER BY i) AS sgl FROM sg GROUP BY t, j),
+       |prj AS (SELECT e.vec_id, s.t, s.j,
+       |    list_reduce(list_transform(list_zip(e.embedding, s.sgl),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b) AS proj
+       |  FROM embeddings e CROSS JOIN sgl s),
+       |bk AS (SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN proj >= 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+       |      AS BIGINT) AS b
+       |  FROM prj GROUP BY vec_id, t),
+       |own AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b AND a.vec_id <> c.vec_id),
+       |sat AS (SELECT query_id FROM own GROUP BY query_id HAVING COUNT(*) >= $AnnCandK),
+       |starv AS (SELECT vec_id FROM embeddings
+       |  WHERE vec_id NOT IN (SELECT query_id FROM sat)),
+       |pbk AS (SELECT b.vec_id, b.t, xor(b.b, CAST(1 AS BIGINT) << bit.j) AS b2
+       |  FROM bk b JOIN starv s ON b.vec_id = s.vec_id, bts bit),
+       |pp AS (SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM pbk p JOIN bk c ON p.t = c.t AND p.b2 = c.b AND p.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id
+       |FROM (SELECT * FROM own UNION SELECT * FROM pp)
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** Hash-graded CANDIDATE generation of the IVF tier under PINNED
+    * centroids (the nLists corpus vectors with smallest md5(vec_id)):
+    * exercises the production assignment/probe/join stage
+    * ([[Similarity.ivfSeededCandidates]] shares it with `ivfTopK`)
+    * end-to-end — KMeans training itself stays ScalaTest-gated since
+    * k-means|| RNG isn't SQL-reproducible. Cosines fold sequentially on
+    * both engines, so assignment ranks are bit-identical.
+    */
+  val IvfCandLists = 16
+  val IvfCandProbe = 4
+  val simAnnIvfCand: Q = (s, d) =>
+    Similarity.ivfSeededCandidates(emb(s, d), "vec_id", "embedding",
+      nLists = IvfCandLists, nProbe = IvfCandProbe)
+      .orderBy("query_id", "neighbor_id")
+  val simAnnIvfCandSql: String =
+    s"""WITH r AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
+       |    ${duckNormSq("embedding")} AS nsq
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec, nsq AS cnsq,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) AS list_id
+       |  FROM r QUALIFY list_id <= $IvfCandLists),
+       |sc AS (SELECT r.vec_id, c.list_id,
+       |    CASE WHEN sqrt(r.nsq) * sqrt(c.cnsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("r.embedding", "c.cvec")} / (sqrt(r.nsq) * sqrt(c.cnsq))
+       |    END AS csim
+       |  FROM r CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, list_id FROM sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) = 1),
+       |prb AS (SELECT vec_id, list_id FROM sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $IvfCandProbe)
+       |SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.list_id
+       |FROM prb p JOIN asg a USING (list_id) WHERE p.vec_id <> a.vec_id
+       |ORDER BY query_id, neighbor_id""".stripMargin
 
   /** Scale-safe near-dup: multi-table LSH blocking + exact cosine filter,
     * graded against the SAME all-pairs SQL oracle as `sim_cosine_neardup`

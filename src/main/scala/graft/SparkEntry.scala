@@ -105,6 +105,8 @@ object SparkEntry {
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardup,
     "sim_ann_lsh" -> QueriesExt.simAnnLsh,
     "sim_ann_ivf" -> QueriesExt.simAnnIvf,
+    "sim_ann_lsh_cand" -> QueriesExt.simAnnLshCand,
+    "sim_ann_ivf_cand" -> QueriesExt.simAnnIvfCand,
     "sim_ann_recall" -> QueriesExt.simAnnRecall,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardup,
     // corpus curation
@@ -126,8 +128,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (a2_distinct_pk_approx, sim_ann_lsh, sim_ann_ivf, sim_ann_recall,
-    * tx_winnow)
+    * (sim_ann_lsh, sim_ann_ivf, sim_ann_recall — approximate ranked
+    * output; their deterministic CANDIDATE generation is hash-graded via
+    * the sim_ann_*_cand companion entries)
     * → the driver records a weaker rows-only check for those.
     */
   def oracleSql: Map[String, String] = Map(
@@ -189,6 +192,7 @@ object SparkEntry {
     "tx_lang_id" -> QueriesExt.txLangIdSql,
     "tx_quality" -> QueriesExt.txQualitySql,
     "tx_fingerprint" -> QueriesExt.txFingerprintSql,
+    "tx_winnow" -> QueriesExt.txWinnowSql,
     "tx_vocab" -> QueriesExt.txVocabSql,
     "tx_tfidf" -> QueriesExt.txTfidfSql,
     "tx_redact" -> QueriesExt.txRedactSql,
@@ -204,6 +208,8 @@ object SparkEntry {
     "dd_cluster_stats" -> QueriesExt.ddClusterStatsSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
+    "sim_ann_lsh_cand" -> QueriesExt.simAnnLshCandSql,
+    "sim_ann_ivf_cand" -> QueriesExt.simAnnIvfCandSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSampleSql,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,

@@ -98,7 +98,16 @@ object Similarity {
     * nTables stays fixed — the candidate set stays ~nTables·64 per
     * query at every corpus size, vs N for brute force.
     */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+  /** The DETERMINISTIC candidate stage of [[lshTopK]], exposed on its
+    * own: (query_id, neighbor_id) pairs that share a bucket in any
+    * table, plus the adaptive Hamming-1 probe expansion for starved
+    * queries. Given (nBits, nTables, seeds) the output is a pure
+    * function of the data — the hyperplane signs derive from
+    * splitmix64 — so it is hash-graded against a full SQL
+    * reconstruction (`sim_ann_lsh_cand`), while the ranked top-k
+    * output stays gated by recall floors in ScalaTest.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       nBits: Int = 0, nTables: Int = 8, probeBits: Int = 1,
       queryFilter: Option[Column => Column] = None): DataFrame = {
     // nBits ≤ 0 → scale with the corpus so buckets stay ~64 vectors:
@@ -110,8 +119,7 @@ object Similarity {
         df.count() / 64.0)) / math.log(2.0)).toInt)
     val sigCols = (0 until nTables).map(t =>
       hyperplaneSignature(col(vecCol), bits, seed = 42L + 1000L * t).as(s"__sig$t"))
-    val sig = df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
-      normSq(col(vecCol)).as("nsq")) ++ sigCols: _*)
+    val sig = df.select(col(idCol).as("id") +: sigCols: _*)
     // searching a subset of queries (recall sampling, point lookups)
     // narrows ONLY the probe side — the corpus stays full; the predicate
     // receives the id column (post-rename)
@@ -125,27 +133,36 @@ object Similarity {
     val ownPairs = qOwn.join(cB, Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val pairs =
-      if (probeBits >= 1) {
-        val satisfied = ownPairs.groupBy("query_id")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
-          .select(col("query_id").as("id"))
-        val starvedSig = qSig.join(satisfied, Seq("id"), "left_anti")
-        val probeBuckets = array((0 until nTables).flatMap { t =>
-          (0 until bits).map(bit => struct(lit(t).as("t"),
-            col(s"__sig$t").bitwiseXOR(shiftleft(lit(1L), bit)).as("b")))
-        }: _*)
-        val qProbe = starvedSig
-          .select(col("id").as("query_id"), explode(probeBuckets).as("p"))
-          .select(col("query_id"), col("p.t").as("t"), col("p.b").as("b"))
-        val probePairs = qProbe.join(cB, Seq("t", "b"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"))
-        ownPairs.union(probePairs).distinct()
-      } else ownPairs
-    val qVec = qSig.select(col("id").as("query_id"),
+    if (probeBits >= 1) {
+      val satisfied = ownPairs.groupBy("query_id")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
+        .select(col("query_id").as("id"))
+      val starvedSig = qSig.join(satisfied, Seq("id"), "left_anti")
+      val probeBuckets = array((0 until nTables).flatMap { t =>
+        (0 until bits).map(bit => struct(lit(t).as("t"),
+          col(s"__sig$t").bitwiseXOR(shiftleft(lit(1L), bit)).as("b")))
+      }: _*)
+      val qProbe = starvedSig
+        .select(col("id").as("query_id"), explode(probeBuckets).as("p"))
+        .select(col("query_id"), col("p.t").as("t"), col("p.b").as("b"))
+      val probePairs = qProbe.join(cB, Seq("t", "b"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      ownPairs.union(probePairs).distinct()
+    } else ownPairs
+  }
+
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      nBits: Int = 0, nTables: Int = 8, probeBits: Int = 1,
+      queryFilter: Option[Column => Column] = None): DataFrame = {
+    val pairs = lshCandidates(df, idCol, vecCol, k, nBits, nTables,
+      probeBits, queryFilter)
+    // vectors re-attach to DISTINCT pairs only (ids-only candidate join)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      normSq(col(vecCol)).as("nsq"))
+    val qVec = base.select(col("id").as("query_id"),
       col("vec").as("qv"), col("nsq").as("qn"))
-    val cVec = sig.select(col("id").as("neighbor_id"),
+    val cVec = base.select(col("id").as("neighbor_id"),
       col("vec").as("cv"), col("nsq").as("cn"))
     val scored = pairs.join(qVec, Seq("query_id")).join(cVec, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -217,24 +234,9 @@ object Similarity {
     val probe = if (nProbe > 0) nProbe else math.max(4, lists / 16)
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
-
-    // assign each corpus vector to its nearest centroid (one pass)
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
-    val scored = withNorm.crossJoin(broadcast(centDf))
-      .select(col("id"), col("vec"), col("nsq"), col("list_id"),
-        cosineFromParts(dot(col("vec"), col("centroid")),
-          col("nsq"), normSq(col("centroid"))).as("csim"))
-    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("list_id"))
-    val assigned = scored.withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1).select(col("id"), col("vec"), col("nsq"), col("list_id"))
-    // queries probe their nProbe nearest lists; a query filter narrows
-    // only this side (clustering + corpus assignment stay full)
-    val probes = queryFilter.fold(scored)(f => scored.filter(f(col("id"))))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= probe)
-      .select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
-        col("list_id"))
+    val (assigned, probes) = assignAndProbe(withNorm, centDf, probe, queryFilter)
     // no pair-dedup needed: each corpus vector lives in exactly ONE
     // list and a query's probe lists are distinct, so (query, neighbor)
     // appears at most once — a groupBy here would re-shuffle the whole
@@ -249,6 +251,60 @@ object Similarity {
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("__rank").cast("int").as("rank"))
+  }
+
+  /** The shared IVF assignment + probe stage: assign every corpus
+    * vector to its nearest centroid (cosine, list-id tiebreak) in one
+    * broadcast pass, and give each query its `probe` nearest lists.
+    * Used by [[ivfTopK]] with trained centroids and by
+    * [[ivfSeededCandidates]] with deterministic seed centroids — the
+    * graded candidate query exercises exactly this production stage.
+    */
+  private def assignAndProbe(withNorm: DataFrame, centDf: DataFrame,
+      probe: Int, queryFilter: Option[Column => Column]): (DataFrame, DataFrame) = {
+    val scored = withNorm.crossJoin(broadcast(centDf))
+      .select(col("id"), col("vec"), col("nsq"), col("list_id"),
+        cosineFromParts(dot(col("vec"), col("centroid")),
+          col("nsq"), normSq(col("centroid"))).as("csim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("list_id"))
+    val assigned = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).select(col("id"), col("vec"), col("nsq"), col("list_id"))
+    // queries probe their nProbe nearest lists; a query filter narrows
+    // only this side (clustering + corpus assignment stay full)
+    val probes = queryFilter.fold(scored)(f => scored.filter(f(col("id"))))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= probe)
+      .select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
+        col("list_id"))
+    (assigned, probes)
+  }
+
+  /** The DETERMINISTIC candidate stage of the IVF tier, hash-gradable:
+    * centroids are the `nLists` corpus vectors with the smallest
+    * md5(vec_id) (a seeded pseudo-random pick both engines can
+    * reproduce, list_id = 1-based rank in that order), then the SAME
+    * [[assignAndProbe]] stage the trained tier runs emits
+    * (query_id, neighbor_id, list_id) for every corpus vector assigned
+    * to one of the query's `nProbe` nearest lists. KMeans training
+    * itself is not SQL-reproducible (k-means|| RNG), so the graded
+    * claim is the whole assignment/probe/join machinery under pinned
+    * centroids; training quality stays gated by the ScalaTest
+    * recall/unbiased-sampling specs.
+    */
+  def ivfSeededCandidates(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val ranked = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      md5(col(idCol).cast("string")).as("__h"))
+    val cents = ranked.orderBy(col("__h"), col("id")).limit(nLists)
+      .withColumn("list_id",
+        row_number().over(Window.orderBy(col("__h"), col("id"))).cast("int"))
+      .select(col("list_id"), col("vec").as("centroid"))
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      normSq(col(vecCol)).as("nsq"))
+    val (assigned, probes) = assignAndProbe(withNorm, cents, nProbe, None)
+    probes.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("list_id"))
   }
 
   /** Per-corpus-version centroid cache: keyed on the analyzed plan's
