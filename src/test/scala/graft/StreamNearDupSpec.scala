@@ -50,6 +50,67 @@ class StreamNearDupSpec extends SparkSuite {
       s"stream missed batch pairs: ${batch -- pairs}")
   }
 
+  test("streamed candidates + stored-shingle exact verify equal the batch operator") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    // threshold 0 emits every band-collision candidate — the batch
+    // operator's candidate semantics — so the downstream exact verify
+    // is the only ship gate, completing batch parity all the way to the
+    // exact decision (the documented composition in StreamNearDup's
+    // emission contract)
+    val out = StreamNearDup.candidatePairs(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id", threshold = 0.0)
+    val q = out.writeStream.format("memory").queryName("neardup_verify")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(docs(0), docs(2))
+    q.processAllAvailable()
+    stream.addData(docs(1), docs(3))
+    q.processAllAvailable()
+    q.stop()
+    val candPairs = spark.table("neardup_verify")
+      .dropDuplicates("id_a", "id_b").select("id_a", "id_b")
+    // downstream exact verify: join the pair stream against the stored
+    // per-doc shingle sets (the batch verify step), gate on exact Jaccard
+    val sets = docs.toDF("doc_id", "text").select(col("doc_id"),
+      graft.plans.GraftFunctions.hashedShingleSet(
+        graft.functions.TextAnalysis.charShingles(col("text"), 8)).as("sh"))
+    val verified = candPairs
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.minhashNearDupPairs(docs.toDF("doc_id", "text"),
+      "text", "doc_id")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(verified == batch,
+      s"stream+verify != batch: extra=${verified -- batch} missing=${batch -- verified}")
+  }
+
+  test("redelivery of a doc that arrived while saturated does not re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamNearDup.candidatePairs(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      maxBucketSize = 2)
+    val q = out.writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode(OutputMode.Append).start()
+    val same = "identical saturation corpus text " * 8
+    stream.addData(10L -> same, 11L -> same) // fill the bucket (cap 2)
+    q.processAllAvailable()
+    stream.addData(12L -> same) // matched but NOT indexed (saturated)
+    q.processAllAvailable()
+    val before = spark.table("neardup_redeliver").count()
+    stream.addData(12L -> same) // at-least-once redelivery
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("neardup_redeliver").count()
+    assert(after == before,
+      s"redelivered unindexed doc re-emitted ${after - before} pairs")
+  }
+
   test("streaming near-dup: saturated buckets keep matching, stop growing") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
