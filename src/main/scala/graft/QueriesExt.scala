@@ -552,6 +552,58 @@ object QueriesExt {
        |  CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** The tx_quality score as a reusable CTE pair (qt, qual) — same
+    * formula txQualitySql inlines, for queries that rank by quality.
+    */
+  private val duckQualityCte: String = {
+    val se = duckLangScore("en")
+    s"""qt AS (SELECT doc_id,
+       |  CAST(LENGTH(text) AS DOUBLE) AS nc,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nt,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS np,
+       |  CAST($se AS DOUBLE) AS se
+       |FROM documents),
+       |qual AS (SELECT doc_id,
+       |  least(nc / 500.0, 1.0) * 0.3
+       |  + (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 10.0
+       |          THEN 1.0 ELSE 0.5 END) * 0.2
+       |  + (CASE WHEN np / greatest(nc, 1.0) <= 0.2 THEN 1.0
+       |          ELSE 1.0 - np / greatest(nc, 1.0) END) * 0.2
+       |  + least(se / greatest(nt, 1.0) * 4.0, 1.0) * 0.3 AS quality
+       |FROM qt)""".stripMargin
+  }
+
+  /** Cluster KEEP-POLICY variant: keep each near-dup cluster's
+    * HIGHEST-QUALITY document (quality tie → lowest doc_id) instead of
+    * the minimum id — the policy real curation pipelines prefer, since
+    * the canonical copy should be the best copy, not the earliest.
+    * Composes over the SHARED [[clusterLabels]] stage (no second
+    * minhash/contraction run) + the scan-side quality score; one keyed
+    * window over the labeled docs. The oracle recomputes clusters via
+    * recursive reachability and the quality formula independently.
+    */
+  val cuDedupKeepBest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .join(clusterLabels(s, d), Seq("doc_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+  val cuDedupKeepBestSql: String =
+    s"""$ddClusterCte,
+       |$duckQualityCte,
+       |rk AS (SELECT l.doc_id, l.cluster_id, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality DESC, l.doc_id) AS rn
+       |  FROM labeled l JOIN qual q ON l.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id, quality FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** The full curation dedup flow a corpus actually runs, as ONE query:
     * exact dedup (md5, keep lowest id) → near-dup clustering over the
     * exact-deduped corpus (minhash-blocked exact pairs → connected
@@ -810,25 +862,57 @@ object QueriesExt {
     Similarity.ivfSeededCandidates(emb(s, d), "vec_id", "embedding",
       nLists = IvfCandLists, nProbe = IvfCandProbe)
       .orderBy("query_id", "neighbor_id")
-  val simAnnIvfCandSql: String =
-    s"""WITH r AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
+
+  /** Seeded-cell assignment CTE chain (r, cent, sc, asg) — the SQL
+    * replay of [[Similarity.seededCentroids]] + nearest-centroid
+    * assignment, shared by the IVF candidate and SemDeDup oracles.
+    */
+  private def seededCellCte(nLists: Int): String =
+    s"""r AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
        |    ${duckNormSq("embedding")} AS nsq
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS cid, embedding AS cvec, nsq AS cnsq,
        |    CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) AS list_id
-       |  FROM r QUALIFY list_id <= $IvfCandLists),
+       |  FROM r QUALIFY list_id <= $nLists),
        |sc AS (SELECT r.vec_id, c.list_id,
        |    CASE WHEN sqrt(r.nsq) * sqrt(c.cnsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("r.embedding", "c.cvec")} / (sqrt(r.nsq) * sqrt(c.cnsq))
        |    END AS csim
        |  FROM r CROSS JOIN cent c),
        |asg AS (SELECT vec_id, list_id FROM sc
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) = 1),
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) = 1)""".stripMargin
+
+  val simAnnIvfCandSql: String =
+    s"""WITH ${seededCellCte(IvfCandLists)},
        |prb AS (SELECT vec_id, list_id FROM sc
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $IvfCandProbe)
        |SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.list_id
        |FROM prb p JOIN asg a USING (list_id) WHERE p.vec_id <> a.vec_id
        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** SemDeDup-style semantic dedup ([[Dedup.semDedupPairs]]): pairs
+    * with cosine ≥ threshold WITHIN seeded cells — the published
+    * cluster-blocked web-scale formulation, deliberately lossy across
+    * cell boundaries, graded end-to-end (assignment AND pair decisions
+    * replayed in SQL). Complements `dd_embed_neardup`, whose LSH
+    * blocking is recall-bounded instead of cell-bounded.
+    */
+  val SemDedupLists = 16
+  val ddSemdedup: Q = (s, d) =>
+    Dedup.semDedupPairs(emb(s, d), "embedding", "vec_id",
+      nLists = SemDedupLists, threshold = NearDupCosine)
+      .orderBy("id_a", "id_b")
+  val ddSemdedupSql: String =
+    s"""WITH ${seededCellCte(SemDedupLists)},
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.list_id,
+       |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
+       |    END AS cosine
+       |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  JOIN r ra ON ra.vec_id = a.vec_id
+       |  JOIN r rb ON rb.vec_id = b.vec_id)
+       |SELECT id_a, id_b, list_id, cosine FROM pr WHERE cosine >= $NearDupCosine
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Scale-safe near-dup: multi-table LSH blocking + exact cosine filter,
     * graded against the SAME all-pairs SQL oracle as `sim_cosine_neardup`

@@ -107,6 +107,8 @@ object SparkEntry {
     "sim_ann_ivf" -> QueriesExt.simAnnIvf,
     "sim_ann_lsh_cand" -> QueriesExt.simAnnLshCand,
     "sim_ann_ivf_cand" -> QueriesExt.simAnnIvfCand,
+    "dd_semdedup" -> QueriesExt.ddSemdedup,
+    "cu_dedup_keep_best" -> QueriesExt.cuDedupKeepBest,
     "sim_ann_recall" -> QueriesExt.simAnnRecall,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardup,
     // corpus curation
@@ -210,6 +212,8 @@ object SparkEntry {
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
     "sim_ann_lsh_cand" -> QueriesExt.simAnnLshCandSql,
     "sim_ann_ivf_cand" -> QueriesExt.simAnnIvfCandSql,
+    "dd_semdedup" -> QueriesExt.ddSemdedupSql,
+    "cu_dedup_keep_best" -> QueriesExt.cuDedupKeepBestSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSampleSql,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,

@@ -260,7 +260,7 @@ object Similarity {
     * [[ivfSeededCandidates]] with deterministic seed centroids — the
     * graded candidate query exercises exactly this production stage.
     */
-  private def assignAndProbe(withNorm: DataFrame, centDf: DataFrame,
+  private[operators] def assignAndProbe(withNorm: DataFrame, centDf: DataFrame,
       probe: Int, queryFilter: Option[Column => Column]): (DataFrame, DataFrame) = {
     val scored = withNorm.crossJoin(broadcast(centDf))
       .select(col("id"), col("vec"), col("nsq"), col("list_id"),
@@ -291,14 +291,25 @@ object Similarity {
     * centroids; training quality stays gated by the ScalaTest
     * recall/unbiased-sampling specs.
     */
-  def ivfSeededCandidates(df: DataFrame, idCol: String, vecCol: String,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Deterministic centroid pick both engines can reproduce: the
+    * `nLists` corpus vectors with the smallest md5(id), list_id =
+    * 1-based rank in that order. The seeded alternative to KMeans for
+    * hash-graded queries ([[ivfSeededCandidates]],
+    * [[Dedup.semDedupPairs]]).
+    */
+  def seededCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int): DataFrame = {
     val ranked = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       md5(col(idCol).cast("string")).as("__h"))
-    val cents = ranked.orderBy(col("__h"), col("id")).limit(nLists)
+    ranked.orderBy(col("__h"), col("id")).limit(nLists)
       .withColumn("list_id",
         row_number().over(Window.orderBy(col("__h"), col("id"))).cast("int"))
       .select(col("list_id"), col("vec").as("centroid"))
+  }
+
+  def ivfSeededCandidates(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = seededCentroids(df, idCol, vecCol, nLists)
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
     val (assigned, probes) = assignAndProbe(withNorm, cents, nProbe, None)

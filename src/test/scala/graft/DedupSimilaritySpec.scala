@@ -268,6 +268,40 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall > 0.35, s"recall@5 = $recall")
   }
 
+  test("semdedup: one cell equals exact all-pairs; many cells stay exact within cells") {
+    // two tight groups plus two loners: within-group cosine ~1, across ~0
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.02f, 0f, 0f)),   // near-dup of 1
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.01f, 0.998f, 0f, 0f)),  // near-dup of 3
+      (5L, Array(0f, 0f, 1f, 0f)),
+      (6L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "vec")
+    // exact all-pairs decision at the same threshold, as the reference set
+    def exactPairs(th: Double): Set[(Long, Long)] = {
+      val v = vecs.select($"vec_id", $"vec",
+        VectorFunctions.normSq($"vec").as("nsq"))
+      v.as("a").crossJoin(v.as("b"))
+        .filter($"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id", $"b.vec_id",
+          VectorFunctions.cosineFromParts(
+            VectorFunctions.dot($"a.vec", $"b.vec"), $"a.nsq", $"b.nsq").as("c"))
+        .filter($"c" >= th)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    }
+    // nLists = 1: a single cell blocks nothing — must equal the exact join
+    val one = Dedup.semDedupPairs(vecs, "vec", "vec_id", nLists = 1, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(one == exactPairs(0.9), s"one-cell semdedup diverged: $one")
+    // several cells: no false positives (subset of exact), every shipped
+    // pair shares a cell, and both same-direction groups survive blocking
+    val many = Dedup.semDedupPairs(vecs, "vec", "vec_id", nLists = 3, threshold = 0.9)
+    val manyPairs = many.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(manyPairs.subsetOf(exactPairs(0.9)), s"false positive: $manyPairs")
+    assert(manyPairs.contains((1L, 2L)) && manyPairs.contains((3L, 4L)),
+      s"near-identical pairs must share their nearest cell: $manyPairs")
+  }
+
   test("cosine expression matches scalar computation") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].head()

@@ -103,6 +103,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dd_semdedup: cell-keyed pair join; only the tiny centroid table broadcasts") {
+    val plan = planOf("dd_semdedup")
+    // the centroid assignment is a deliberate broadcast of ≤ nLists rows;
+    // the corpus-side PAIR join must be an equi-join keyed on the cell id,
+    // never a cartesian product over the corpus
+    assert(!plan.contains("CartesianProduct"), s"corpus-side cartesian:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[list_id".r
+      .findFirstIn(plan).isDefined,
+      s"pair join is not keyed on the cell id:\n$plan")
+  }
+
+  test("cu_dedup_keep_best ranks inside clusters with one window shuffle") {
+    val plan = planOf("cu_dedup_keep_best")
+    // quality is scan-side; the only hash exchanges are the label join
+    // and the per-cluster ranking window
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("cu_stratified_sample is shuffle-free: a pure scan+filter plan") {
     // the hash-threshold Bernoulli design exists precisely so the sample
     // never shuffles — the final orderBy is presentation-only (range

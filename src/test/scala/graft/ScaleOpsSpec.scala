@@ -172,6 +172,28 @@ class ScaleOpsSpec extends SparkSuite {
     assert(Dedup.embeddingLshTablesFor(20, 0.45) > 4096)
   }
 
+  test("label consumers scan the checkpointed frame, not a second minhash/CC chain") {
+    QueriesExt.clearClusterLabelCache()
+    QueriesExt.clusterLabels(spark, sf001) // produce once
+    // consumers' plans must read the materialized label RDD — a second
+    // minhash run would reintroduce the banding Generate (posexplode)
+    val stats = QueriesExt.ddClusterStats(spark, sf001)
+      .queryExecution.optimizedPlan.toString
+    assert(stats.contains("LogicalRDD") || stats.contains("ExistingRDD"),
+      s"stats plan does not scan the checkpointed labels:\n$stats")
+    assert(!stats.toLowerCase.contains("posexplode"),
+      "stats plan re-runs minhash banding")
+    val pipe = QueriesExt.cuDedupPipeline(spark, sf001)
+      .queryExecution.optimizedPlan.toString
+    assert(!pipe.toLowerCase.contains("posexplode"),
+      "pipeline plan re-runs minhash banding")
+    val best = QueriesExt.cuDedupKeepBest(spark, sf001)
+      .queryExecution.optimizedPlan.toString
+    assert(!best.toLowerCase.contains("posexplode"),
+      "keep-best plan re-runs minhash banding")
+    QueriesExt.clearClusterLabelCache()
+  }
+
   test("dedup family shares one memoized cluster-label frame") {
     QueriesExt.clearClusterLabelCache()
     val a = QueriesExt.clusterLabels(spark, sf001)
