@@ -143,11 +143,13 @@ object Dedup {
     // per-doc sorted hash set: pair verification below runs a primitive
     // merge-scan instead of string-set operations, and the minhash
     // signature derives from the same base hashes (identical output to
-    // the string-fed form). Persisted: it feeds the banding AND both
-    // verify-side joins — without it the shingle hashing/sorting runs 3×.
+    // the string-fed form). Fused shingle+hash expression — one pass
+    // over the text bytes, no per-shingle substring allocation.
+    // Persisted: it feeds the banding AND both verify-side joins —
+    // without it the shingle hashing/sorting runs 3×.
     val withSig = df.select(col(idCol).as("id"),
-      graft.plans.GraftFunctions.hashedShingleSet(
-        charShingles(col(textCol), shingleLen)).as("shingles"))
+      graft.plans.GraftFunctions.hashedCharShingles(
+        col(textCol), shingleLen).as("shingles"))
       .select(col("id"), col("shingles"),
         graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -282,8 +284,8 @@ object Dedup {
     val mask = (1L << cb) - 1
     // persisted: feeds the index, the probes, and both verify-side joins
     val sets = df.select(col(idCol).as("id"),
-      graft.plans.GraftFunctions.hashedShingleSet(
-        charShingles(col(textCol), shingleLen)).as("shingles"),
+      graft.plans.GraftFunctions.hashedCharShingles(
+        col(textCol), shingleLen).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // truncate (not drop) hot index values: an identical-content flood
@@ -337,8 +339,8 @@ object Dedup {
     // shingle hash and pair verification merge-scans primitive longs.
     // Persisted: feeds the index build and both verify-side joins.
     val sets = df.select(col(idCol).as("id"),
-      graft.plans.GraftFunctions.hashedShingleSet(
-        charShingles(col(textCol), shingleLen, stride)).as("shingles"))
+      graft.plans.GraftFunctions.hashedCharShingles(
+        col(textCol), shingleLen, stride).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val inv = Skew.capHotKeys(
       sets.select(col("id"), explode(col("shingles")).as("sh")),

@@ -221,6 +221,68 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** FUSED character shingling + hashing: the sorted, deduped 64-bit
+  * hash set of all length-`n` character shingles at stride `stride` —
+  * bit-identical to `HashedShingleSet(charShingles(text, n, stride))`
+  * but in ONE pass over the text's UTF-8 bytes. The composed form
+  * materializes one substring object per position (a 2000-char doc at
+  * stride 1 allocates ~2000 UTF8Strings through a transform/filter HOF
+  * chain) before hashing each; this walks code-point boundaries once
+  * and FNV-hashes each shingle's byte slice in place — a character
+  * substring's UTF-8 bytes ARE the slice between its boundary offsets,
+  * so the hashes match the composed form for any input, not just
+  * ASCII. Shingle-string duplicates hash equal, so hash-dedup equals
+  * the composed form's set semantics.
+  */
+case class HashedCharShingles(child: Expression, n: Int, stride: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0 && stride > 0, s"shingle length ($n) and stride ($stride) must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val nc = s.numChars()
+    if (nc < n) return new GenericArrayData(Array.empty[Long])
+    // char-start byte offsets; ASCII fast path needs no boundary table
+    val ascii = nb == nc
+    val offs = if (ascii) null else {
+      val o = new Array[Int](nc + 1)
+      var i = 0
+      var c = 0
+      while (i < nb) {
+        o(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      o(nc) = nb
+      o
+    }
+    val count = (nc - n) / stride + 1
+    val hs = new Array[Long](count)
+    var k = 0
+    var p = 0
+    while (p + n <= nc) {
+      var h = 0xcbf29ce484222325L ^ seed
+      var b = if (ascii) p else offs(p)
+      val end = if (ascii) p + n else offs(p + n)
+      while (b < end) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+      hs(k) = Hash64.splitmix64(h)
+      k += 1
+      p += stride
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < count) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == count) hs else java.util.Arrays.copyOf(hs, w))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature from pre-hashed shingles (the [[HashedShingleSet]]
   * base hashes): identical output to [[MinHashSig]] on the string set,
   * without re-hashing the strings.
@@ -413,6 +475,9 @@ object GraftFunctions {
     col(Winnow(e(text), k, w))
   def hashedShingleSet(shingles: Column, seed: Long = 42L): Column =
     col(HashedShingleSet(e(shingles), seed))
+  def hashedCharShingles(text: Column, n: Int, stride: Int = 1,
+      seed: Long = 42L): Column =
+    col(HashedCharShingles(e(text), n, stride, seed))
   def sortedJaccard(a: Column, b: Column): Column = col(SortedLongJaccard(e(a), e(b)))
   def hyperplanePoolBuckets(vec: Column, poolBits: Int, bits: Int,
       tables: Int, seed: Long = 42L): Column =

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.TextAnalysis
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -66,8 +65,8 @@ object StreamNearDup {
     // same buckets
     val sig = docs.select(col(idCol).cast("long").as("id"),
       graft.plans.GraftFunctions.minhashSigL(
-        graft.plans.GraftFunctions.hashedShingleSet(
-          TextAnalysis.charShingles(col(textCol), shingleLen)), numHashes).as("sig"))
+        graft.plans.GraftFunctions.hashedCharShingles(
+          col(textCol), shingleLen), numHashes).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",

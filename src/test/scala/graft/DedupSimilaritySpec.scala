@@ -302,6 +302,26 @@ class DedupSimilaritySpec extends SparkSuite {
       s"near-identical pairs must share their nearest cell: $manyPairs")
   }
 
+  test("fused shingle hashing equals the composed charShingles+hash form, incl. multibyte") {
+    import graft.plans.GraftFunctions
+    import graft.functions.TextAnalysis
+    val texts = Seq("", "ab", "hello world hello world hello",
+      "héllo wörld ünïcode ños — mixed ASCII and multibyte",
+      "日本語のテキストです abc def ghi jkl",
+      "aaaaaaaaaaaaaaaa") // identical shingles -> dedup path
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for ((n, stride) <- Seq((8, 1), (4, 3), (24, 3))) {
+      val fused = df.select($"id",
+        GraftFunctions.hashedCharShingles($"t", n, stride).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val composed = df.select($"id",
+        GraftFunctions.hashedShingleSet(
+          TextAnalysis.charShingles($"t", n, stride)).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fused == composed, s"divergence at n=$n stride=$stride")
+    }
+  }
+
   test("cosine expression matches scalar computation") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].head()
