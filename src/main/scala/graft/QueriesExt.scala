@@ -453,6 +453,32 @@ object QueriesExt {
       .orderBy("id_a", "id_b")
   val ddSimhashSql: String = shingleJaccardSql(8, 1, JaccardThreshold)
 
+  /** Incremental ingest dedup: near-dups of an incoming shard (every
+    * `IncrementalShardMod`-th doc) against the already-accepted corpus
+    * (the rest) — probe × index banding, never corpus × corpus
+    * ([[Dedup.minhashNearDupPairsAgainst]]). The oracle takes the exact
+    * all-pairs Jaccard and keeps only CROSS pairs, oriented shard →
+    * corpus, so the hash row certifies the probe-side blocking loses
+    * nothing at the graded threshold.
+    */
+  val IncrementalShardMod = 5
+  val ddIncremental: Q = (s, d) => {
+    val dd = docs(s, d)
+    Dedup.minhashNearDupPairsAgainst(
+      dd.filter(col("doc_id") % IncrementalShardMod === 0),
+      dd.filter(col("doc_id") % IncrementalShardMod =!= 0),
+      "text", "doc_id", shingleLen = 8, threshold = JaccardThreshold)
+      .orderBy("new_id", "old_id")
+  }
+  val ddIncrementalSql: String =
+    s"""WITH ${shingleJaccardCte(8, 1, JaccardThreshold)}
+       |SELECT CASE WHEN id_a % $IncrementalShardMod = 0 THEN id_a ELSE id_b END AS new_id,
+       |  CASE WHEN id_a % $IncrementalShardMod = 0 THEN id_b ELSE id_a END AS old_id,
+       |  jaccard
+       |FROM pairs
+       |WHERE (id_a % $IncrementalShardMod = 0) <> (id_b % $IncrementalShardMod = 0)
+       |ORDER BY new_id, old_id""".stripMargin
+
   /** Near-dup CLUSTERING: connected components over the exact
     * minhash-blocked pair list ([[Dedup.connectedComponents]],
     * large-star/small-star) — every document labeled with the minimum

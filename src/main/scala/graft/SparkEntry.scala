@@ -98,6 +98,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccard,
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLsh,
     "dd_simhash" -> QueriesExt.ddSimhash,
+    "dd_incremental" -> QueriesExt.ddIncremental,
     "dd_cluster" -> QueriesExt.ddCluster,
     "dd_cluster_stats" -> QueriesExt.ddClusterStats,
     // similarity search
@@ -206,6 +207,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> QueriesExt.ddNgramJaccardSql,
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLshSql,
     "dd_simhash" -> QueriesExt.ddSimhashSql,
+    "dd_incremental" -> QueriesExt.ddIncrementalSql,
     "dd_cluster" -> QueriesExt.ddClusterSql,
     "dd_cluster_stats" -> QueriesExt.ddClusterStatsSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,

@@ -89,10 +89,13 @@ object Dedup {
       shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // fused shingle hashing (identical signatures to the string-fed
+    // form — MinHashSigL derives from the same base hashes)
     val withSig = df.select(
       col(idCol).as("id"),
-      minhashSignature(
-        array_distinct(charShingles(col(textCol), shingleLen)), numHashes).as("sig"))
+      graft.plans.GraftFunctions.minhashSigL(
+        graft.plans.GraftFunctions.hashedCharShingles(
+          col(textCol), shingleLen), numHashes).as("sig"))
 
     val banded = Skew.saltOversized(withSig.select(
       col("id"), col("sig"),
@@ -177,6 +180,60 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, lit(1)).otherwise(lit(null))), v => v.isNotNull))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL near-dup: flag each incoming document's near-duplicates
+    * in an EXISTING corpus — the production ingest path, where a new
+    * shard is deduped against everything already accepted without
+    * re-pairing the corpus with itself. Same banding + exact-verify
+    * contract as [[minhashNearDupPairs]] (identical shingle hashing and
+    * band scheme, so a doc indexed here and one indexed by the batch
+    * operator land in the same buckets), but the bucket join is
+    * PROBE × INDEX: new docs only probe, corpus docs only index, so
+    * cost is bounded by |new|·bucket-size instead of the full corpus
+    * pair space. Output: (new_id, old_id, jaccard) with exact shingle
+    * Jaccard ≥ threshold.
+    *
+    * Hot index buckets are TRUNCATED to `maxBucketSize` corpus ids
+    * (the [[Skew.truncateHotKeys]] semantics — deterministic survivors
+    * keep matching; an exact-dedup pass upstream keeps the cap from
+    * ever firing). A doc id present in BOTH frames pairs with itself;
+    * callers ingesting overlapping shards should exclude matches where
+    * new_id = old_id.
+    */
+  def minhashNearDupPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int = 8,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      graft.plans.GraftFunctions.hashedCharShingles(
+        col(textCol), shingleLen).as("shingles"))
+      .select(col("id"), col("shingles"),
+        graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def banded(sig: DataFrame): DataFrame = sig.select(
+      col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string")))))).as(Seq("band", "band_hash")))
+    val nsig = prep(newDocs)
+    val csig = prep(corpus)
+    val idx = Skew.truncateHotKeys(banded(csig), Seq("band", "band_hash"),
+      maxBucketSize, col("id"))
+    val cand = banded(nsig).as("p").join(idx.as("x"), Seq("band", "band_hash"))
+      .select(col("p.id").as("new_id"), col("x.id").as("old_id"))
+      .distinct()
+    cand
+      .join(nsig.select(col("id").as("new_id"), col("shingles").as("sh_n")),
+        Seq("new_id"))
+      .join(csig.select(col("id").as("old_id"), col("shingles").as("sh_o")),
+        Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        graft.plans.GraftFunctions.sortedJaccard(col("sh_n"), col("sh_o")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -302,6 +302,21 @@ class DedupSimilaritySpec extends SparkSuite {
       s"near-identical pairs must share their nearest cell: $manyPairs")
   }
 
+  test("incremental near-dup equals the cross-subset of the batch pair list") {
+    // shard = {1, 3} (both near-dups of corpus doc 0); corpus = {0, 2, 4}
+    val shard = docs.filter($"doc_id" % 2 === 1)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val inc = Dedup.minhashNearDupPairsAgainst(shard, corpus, "text", "doc_id")
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(inc == Set((1L, 0L), (3L, 0L)), s"got $inc")
+    // and it matches the batch operator's pairs restricted to cross pairs
+    val batchCross = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 2 == 1) != (b % 2 == 1) }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    assert(inc == batchCross, s"inc=$inc batch-cross=$batchCross")
+  }
+
   test("fused shingle hashing equals the composed charShingles+hash form, incl. multibyte") {
     import graft.plans.GraftFunctions
     import graft.functions.TextAnalysis
