@@ -685,6 +685,68 @@ object QueriesExt {
        |WHERE COALESCE(c.cluster_id, k1.doc_id) = k1.doc_id
        |ORDER BY k1.doc_id""".stripMargin
 
+  /** The FULL modern curation pipeline as ONE graded query — the
+    * three dedup modalities composed in production order:
+    *  1. exact + fuzzy text dedup (the shared [[clusterLabels]] stage:
+    *     md5-exact duplicates are Jaccard-1 edges of the same graph,
+    *     keep each text cluster's minimum doc);
+    *  2. SEMANTIC dedup over the survivors' embeddings
+    *     ([[Dedup.semDedupPairs]] cell-blocked cosine pairs →
+    *     connected components → keep each semantic cluster's minimum).
+    * Output: surviving doc_ids with token counts. The oracle recomputes
+    * both stages independently — recursive reachability over the exact
+    * all-pairs Jaccard graph, then seeded-cell assignment + cosine
+    * pairs + a SECOND recursive reachability over the survivors — so
+    * the hash row certifies the stages compose, including that the
+    * semantic stage's centroids derive from the SURVIVOR set, not the
+    * full corpus.
+    */
+  val cuDedupSemantic: Q = (s, d) => {
+    val survivors = clusterLabels(s, d)
+      .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+    val survEmb = emb(s, d)
+      .join(survivors.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+    val pairs = Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
+      nLists = SemDedupLists, threshold = NearDupCosine)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    survivors
+      .join(comp, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .join(docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+  // lazy: references SemDedupLists/NearDupCosine declared later in this
+  // object — a strict val here would capture their pre-init defaults
+  lazy val cuDedupSemanticSql: String =
+    s"""$ddClusterCte,
+       |surv AS (SELECT doc_id FROM labeled WHERE cluster_id = doc_id),
+       |surv_emb AS (SELECT e.* FROM embeddings e JOIN surv s ON e.vec_id = s.doc_id),
+       |${seededCellCte(SemDedupLists, src = "surv_emb")},
+       |pr2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
+       |    END AS cosine
+       |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  JOIN r ra ON ra.vec_id = a.vec_id
+       |  JOIN r rb ON rb.vec_id = b.vec_id),
+       |edges2 AS (SELECT id_a AS u, id_b AS v FROM pr2 WHERE cosine >= $NearDupCosine
+       |  UNION ALL SELECT id_b, id_a FROM pr2 WHERE cosine >= $NearDupCosine),
+       |reach2(n, rt) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2) t
+       |  UNION
+       |  SELECT e.u, reach2.rt FROM edges2 e JOIN reach2 ON e.v = reach2.n),
+       |comp2 AS (SELECT n AS doc_id, MIN(rt) AS cid FROM reach2 GROUP BY n)
+       |SELECT s.doc_id,
+       |  CAST(len(regexp_extract_all(dd.text, '\\S+')) AS BIGINT) AS n_tokens
+       |FROM surv s
+       |JOIN documents dd ON dd.doc_id = s.doc_id
+       |LEFT JOIN comp2 c ON c.doc_id = s.doc_id
+       |WHERE COALESCE(c.cid, s.doc_id) = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Int8 scalar quantization of the embedding column — the 4×-storage
     * compression a 100 TB embedding store runs before indexing. Per
     * vector: (min, max) → scale=(max-min)/255 → q_i = floor((x_i-min)/
@@ -893,10 +955,10 @@ object QueriesExt {
     * replay of [[Similarity.seededCentroids]] + nearest-centroid
     * assignment, shared by the IVF candidate and SemDeDup oracles.
     */
-  private def seededCellCte(nLists: Int): String =
+  private def seededCellCte(nLists: Int, src: String = "embeddings"): String =
     s"""r AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
        |    ${duckNormSq("embedding")} AS nsq
-       |  FROM embeddings),
+       |  FROM $src),
        |cent AS (SELECT vec_id AS cid, embedding AS cvec, nsq AS cnsq,
        |    CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) AS list_id
        |  FROM r QUALIFY list_id <= $nLists),

@@ -121,6 +121,7 @@ object SparkEntry {
     "cu_pack" -> QueriesExt.cuPack,
     "cu_mix_sample" -> QueriesExt.cuMixSample,
     "cu_dedup_pipeline" -> QueriesExt.cuDedupPipeline,
+    "cu_dedup_semantic" -> QueriesExt.cuDedupSemantic,
     "sim_quantize_int8" -> QueriesExt.simQuantizeInt8,
     "tx_repetition" -> QueriesExt.txRepetition,
     // multimodal
@@ -201,6 +202,7 @@ object SparkEntry {
     "tx_redact" -> QueriesExt.txRedactSql,
     "cu_mix_sample" -> QueriesExt.cuMixSampleSql,
     "cu_dedup_pipeline" -> QueriesExt.cuDedupPipelineSql,
+    "cu_dedup_semantic" -> QueriesExt.cuDedupSemanticSql,
     "sim_quantize_int8" -> QueriesExt.simQuantizeInt8Sql,
     "dd_exact_keep" -> QueriesExt.ddExactKeepSql,
     "dd_exact_groups" -> QueriesExt.ddExactGroupsSql,

@@ -54,7 +54,13 @@ object GraftExtensions {
     "graft_lsh_buckets" -> (es =>
       HyperplanePoolBuckets(es(0), intLit(es(1), "poolBits"),
         intLit(es(2), "bits"), intLit(es(3), "tables"),
-        if (es.size > 4) longLit(es(4), "seed") else 42L)))
+        if (es.size > 4) longLit(es(4), "seed") else 42L)),
+    "graft_shingle_hashes" -> (es =>
+      HashedCharShingles(es(0), intLit(es(1), "n"),
+        if (es.size > 2) intLit(es(2), "stride") else 1,
+        if (es.size > 3) longLit(es(3), "seed") else 42L)),
+    "graft_winnow" -> (es =>
+      Winnow(es(0), intLit(es(1), "k"), intLit(es(2), "w"))))
 
   /** Register into an already-running session. */
   def registerAll(spark: SparkSession): Unit =

@@ -120,6 +120,12 @@ class ScaleOpsSpec extends SparkSuite {
     val bk = spark.sql("SELECT graft_lsh_buckets(a, 256, 6, 24) AS b FROM v")
       .head().getSeq[Long](0)
     assert(bk.length == 24 && bk.zipWithIndex.forall { case (b, t) => (b >> 6) == t })
+    val shs = spark.sql("SELECT graft_shingle_hashes('hello world', 4) AS s FROM v")
+      .head().getSeq[Long](0)
+    assert(shs.nonEmpty && shs == shs.sorted && shs.distinct == shs)
+    val wn = spark.sql("SELECT graft_winnow('the quick brown fox jumps', 8, 4) AS w FROM v")
+      .head().getSeq[Long](0)
+    assert(wn.nonEmpty)
   }
   test("quadratic oracles are physically fenced at the row cap") {
     import graft.operators.Similarity
