@@ -1002,6 +1002,52 @@ object QueriesExt {
        |SELECT id_a, id_b, list_id, cosine FROM pr WHERE cosine >= $NearDupCosine
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** SEMANTIC benchmark decontamination — the embedding-level
+    * complement of [[cuDecontaminate]]'s n-gram containment: flag every
+    * training item whose embedding is cell-locally cosine-similar
+    * (≥ `NearDupCosine`) to ANY eval-set item (same membership rule as
+    * the n-gram variant: every `DecontamEvalMod`-th id). Paraphrased
+    * eval leakage survives n-gram checks but not embedding similarity —
+    * modern decontamination runs both. Blocked by the same seeded cells
+    * as [[ddSemdedup]], so the check stays cell-local at scale; the
+    * oracle replays assignment, cross-set pairs and the flag join.
+    */
+  val cuDecontaminateSem: Q = (s, d) => {
+    val isEvalV = (c: Column) => c % DecontamEvalMod === 0
+    val pairs = Dedup.semDedupPairs(emb(s, d), "embedding", "vec_id",
+      nLists = SemDedupLists, threshold = NearDupCosine)
+    val hits = pairs
+      .filter(isEvalV(col("id_a")) =!= isEvalV(col("id_b")))
+      .select(when(isEvalV(col("id_a")), col("id_b")).otherwise(col("id_a"))
+        .as("vec_id"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    emb(s, d).filter(!isEvalV(col("vec_id")))
+      .select(col("vec_id").as("doc_id"))
+      .join(hits.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__hit").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+  // lazy: references DecontamEvalMod declared later in this object
+  lazy val cuDecontaminateSemSql: String =
+    s"""WITH ${seededCellCte(SemDedupLists)},
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
+       |    END AS cosine
+       |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  JOIN r ra ON ra.vec_id = a.vec_id
+       |  JOIN r rb ON rb.vec_id = b.vec_id),
+       |hit AS (SELECT DISTINCT
+       |    CASE WHEN id_a % $DecontamEvalMod = 0 THEN id_b ELSE id_a END AS vec_id
+       |  FROM pr
+       |  WHERE cosine >= $NearDupCosine
+       |    AND (id_a % $DecontamEvalMod = 0) <> (id_b % $DecontamEvalMod = 0))
+       |SELECT e.vec_id AS doc_id, (h.vec_id IS NOT NULL) AS contaminated
+       |FROM embeddings e LEFT JOIN hit h ON e.vec_id = h.vec_id
+       |WHERE e.vec_id % $DecontamEvalMod <> 0
+       |ORDER BY doc_id""".stripMargin
+
   /** Scale-safe near-dup: multi-table LSH blocking + exact cosine filter,
     * graded against the SAME all-pairs SQL oracle as `sim_cosine_neardup`
     * — a green row here certifies the blocked plan loses nothing at the

@@ -117,6 +117,7 @@ object SparkEntry {
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurate,
     "cu_chunk" -> QueriesExt.cuChunk,
     "cu_decontaminate" -> QueriesExt.cuDecontaminate,
+    "cu_decontaminate_sem" -> QueriesExt.cuDecontaminateSem,
     "cu_token_mix" -> QueriesExt.cuTokenMix,
     "cu_pack" -> QueriesExt.cuPack,
     "cu_mix_sample" -> QueriesExt.cuMixSample,
@@ -223,6 +224,7 @@ object SparkEntry {
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,
     "cu_chunk" -> QueriesExt.cuChunkSql,
     "cu_decontaminate" -> QueriesExt.cuDecontaminateSql,
+    "cu_decontaminate_sem" -> QueriesExt.cuDecontaminateSemSql,
     "cu_token_mix" -> QueriesExt.cuTokenMixSql,
     "cu_pack" -> QueriesExt.cuPackSql,
     "tx_repetition" -> QueriesExt.txRepetitionSql,
