@@ -111,6 +111,40 @@ class StreamNearDupSpec extends SparkSuite {
       s"redelivered unindexed doc re-emitted ${after - before} pairs")
   }
 
+  test("bucket state survives a checkpointed query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("neardup_ckpt")
+    val stream = MemoryStream[(Long, String)]
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    val collected = new scala.collection.mutable.ArrayBuffer[CandidatePair]()
+    def start() = StreamNearDup.candidatePairs(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CandidatePair], _: Long) =>
+        val rows = batch.collect()
+        collected.synchronized { collected ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    stream.addData(docs(0), docs(2)) // index the base doc before the restart
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: the bucket index holding doc 0 must be
+    // recovered from state, not rebuilt from reprocessed input
+    val q2 = start()
+    stream.addData(docs(3)) // near-dup of the PRE-restart doc 0
+    q2.processAllAvailable()
+    q2.stop()
+    val pairs = collected.synchronized {
+      collected.map(p => (p.id_a, p.id_b)).toSet
+    }
+    assert(pairs.contains((0L, 3L)),
+      s"state lost across restart — cross-restart pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("streaming near-dup: saturated buckets keep matching, stop growing") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
