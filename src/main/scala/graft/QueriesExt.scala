@@ -599,6 +599,47 @@ object QueriesExt {
        |FROM qt)""".stripMargin
   }
 
+  /** Quality-threshold CALIBRATION: the interpolated quality percentile
+    * at each candidate keep-rate, with the exact number of docs a
+    * filter at that threshold would keep — how a pipeline picks its
+    * quality gate to hit a token budget instead of guessing a
+    * constant. Percentile interpolation is bit-identical to DuckDB's
+    * `quantile_cont` (proven by `a9_percentiles`); the keep-count uses
+    * a half-open `>` comparison so both engines agree on ties.
+    */
+  val QualityKeepRates = Seq(0.5, 0.7, 0.9)
+  val cuQualityThreshold: Q = (s, d) => {
+    val q = docs(s, d).select(
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val aggs = QualityKeepRates.zipWithIndex.map { case (r, i) =>
+      expr(s"percentile(quality, ${1.0 - r})").as(s"__t$i") }
+    val thr = q.agg(aggs.head, aggs.tail: _*)
+    val rows = thr.select(explode(array(
+      QualityKeepRates.zipWithIndex.map { case (r, i) =>
+        struct(lit(r).as("keep_rate"), col(s"__t$i").as("threshold")) }: _*))
+      .as("x")).select(col("x.keep_rate"), col("x.threshold"))
+    q.crossJoin(broadcast(rows))
+      .groupBy("keep_rate", "threshold")
+      .agg(sum(when(col("quality") >= col("threshold"), lit(1L))
+        .otherwise(lit(0L))).cast("long").as("n_kept"))
+      .orderBy("keep_rate")
+  }
+  val cuQualityThresholdSql: String = {
+    val ts = QualityKeepRates.zipWithIndex.map { case (r, i) =>
+      s"quantile_cont(quality, ${1.0 - r}) AS t$i" }.mkString(", ")
+    val unions = QualityKeepRates.zipWithIndex.map { case (r, i) =>
+      s"SELECT CAST($r AS DOUBLE) AS keep_rate, t$i AS threshold FROM t" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $duckQualityCte,
+       |t AS (SELECT $ts FROM qual),
+       |rates AS ($unions)
+       |SELECT r.keep_rate, r.threshold,
+       |  CAST(SUM(CASE WHEN q.quality >= r.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM rates r CROSS JOIN qual q
+       |GROUP BY r.keep_rate, r.threshold
+       |ORDER BY r.keep_rate""".stripMargin
+  }
+
   /** Cluster KEEP-POLICY variant: keep each near-dup cluster's
     * HIGHEST-QUALITY document (quality tie → lowest doc_id) instead of
     * the minimum id — the policy real curation pipelines prefer, since

@@ -123,6 +123,7 @@ object SparkEntry {
     "cu_mix_sample" -> QueriesExt.cuMixSample,
     "cu_dedup_pipeline" -> QueriesExt.cuDedupPipeline,
     "cu_dedup_semantic" -> QueriesExt.cuDedupSemantic,
+    "cu_quality_threshold" -> QueriesExt.cuQualityThreshold,
     "sim_quantize_int8" -> QueriesExt.simQuantizeInt8,
     "tx_repetition" -> QueriesExt.txRepetition,
     // multimodal
@@ -204,6 +205,7 @@ object SparkEntry {
     "cu_mix_sample" -> QueriesExt.cuMixSampleSql,
     "cu_dedup_pipeline" -> QueriesExt.cuDedupPipelineSql,
     "cu_dedup_semantic" -> QueriesExt.cuDedupSemanticSql,
+    "cu_quality_threshold" -> QueriesExt.cuQualityThresholdSql,
     "sim_quantize_int8" -> QueriesExt.simQuantizeInt8Sql,
     "dd_exact_keep" -> QueriesExt.ddExactKeepSql,
     "dd_exact_groups" -> QueriesExt.ddExactGroupsSql,
