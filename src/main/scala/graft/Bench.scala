@@ -15,6 +15,10 @@ object Bench {
     */
   val Passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
 
+  private val LabelConsumers =
+    Set("dd_cluster_stats", "cu_dedup_pipeline", "cu_dedup_keep_best",
+      "cu_dedup_semantic")
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -51,11 +55,15 @@ object Bench {
         // sf1). Each pass measures what a fresh session executes.
         spark.sharedState.cacheManager.clearCache()
         // the dedup family shares one checkpointed cluster-label stage:
-        // dd_cluster PRODUCES it, dd_cluster_stats / cu_dedup_pipeline
-        // consume it. The producer measures fresh production every pass;
-        // consumers measure what a caller running the family actually
-        // pays after the labels exist.
+        // dd_cluster PRODUCES it; the other family queries consume it.
+        // The producer measures fresh production every pass; consumers
+        // measure what a caller running the family actually pays after
+        // the labels exist — so consumers PRE-WARM the cache untimed
+        // (a no-op on hit; without it, alphabetical order would charge
+        // the whole production to whichever consumer runs first,
+        // especially in single-pass soak mode).
         if (name == "dd_cluster") QueriesExt.clearClusterLabelCache()
+        else if (LabelConsumers.contains(name)) QueriesExt.clusterLabels(spark, sfDir)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

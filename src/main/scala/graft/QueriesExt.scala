@@ -511,23 +511,64 @@ object QueriesExt {
         if (size() > LabelCacheCap) { Dedup.release(e.getValue); true } else false
     }
 
-  def clusterLabels(s: SparkSession, d: String): DataFrame = labelCache.synchronized {
+  /** Eviction contract: frames returned here are backed by truncated-
+    * lineage checkpoints and are INVALIDATED when their cache entry is
+    * LRU-evicted (more than [[LabelCacheCap]] distinct (session,
+    * corpus) keys) or [[clearClusterLabelCache]] runs — a held
+    * reference fails on its next action with missing-checkpoint-block
+    * errors rather than silently recomputing. Consume promptly or
+    * re-request by key.
+    */
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val key = s"${System.identityHashCode(s)}|$d|" +
+    // applicationId qualifies the identity hash: a GC'd session's
+    // reused identity hash can otherwise alias a dead entry
+    val key = s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|$d|" +
       java.util.Arrays.hashCode(dd.inputFiles.sorted.map(_.hashCode): Array[Int])
-    Option(labelCache.get(key)).getOrElse {
-      val pairs = Dedup.minhashNearDupPairs(dd, "text", "doc_id",
+    labelCache.synchronized(Option(labelCache.get(key))).getOrElse {
+      // compute OUTSIDE the monitor — label production is multi-second
+      // (minutes at high SF) and holding the lock would serialize
+      // unrelated corpora; a rare concurrent duplicate computation is
+      // benign (the loser's frame is released on insert).
+      //
+      // Exact duplicates attach by DETERMINISTIC md5-group edges
+      // (doc → its group's minimum id) and minhash banding runs over
+      // the exact SURVIVORS only: an identical-content flood would
+      // saturate every band bucket and leave its pairs to the salted
+      // retry probabilities, while explicit exact edges keep flood
+      // connectivity certain AND shrink the banded corpus — the
+      // exact-dedup-first ordering production pipelines use anyway.
+      // Components are unchanged: an edge through a removed duplicate
+      // implies the same edge through its survivor (identical text ⇒
+      // identical signatures and Jaccard), and exact edges are
+      // Jaccard-1 members of the full pair graph.
+      import org.apache.spark.sql.expressions.Window
+      val marked = dd
+        .withColumn("__keep", min(col("doc_id")).over(
+          Window.partitionBy(md5(col("text").cast("binary")))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept1 = marked.filter(col("doc_id") === col("__keep"))
+        .select(col("doc_id"), col("text"))
+      val exactEdges = marked.filter(col("doc_id") =!= col("__keep"))
+        .select(col("doc_id").as("id_a"), col("__keep").as("id_b"))
+      val pairs = Dedup.minhashNearDupPairs(kept1, "text", "doc_id",
         shingleLen = 8, threshold = JaccardThreshold)
+        .select(col("id_a"), col("id_b"))
+        .union(exactEdges)
       val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
       val labeled = dd.select(col("doc_id"))
-        .join(comp, Seq("doc_id"), "left")
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).cast("long").as("cluster_id"))
         .localCheckpoint(true)
       Dedup.release(comp) // labels materialized; the node frame can go
-      labelCache.put(key, labeled)
-      labeled
+      marked.unpersist(false)
+      labelCache.synchronized {
+        Option(labelCache.get(key)) match {
+          case Some(winner) => Dedup.release(labeled); winner
+          case None => labelCache.put(key, labeled); labeled
+        }
+      }
     }
   }
 
@@ -605,12 +646,16 @@ object QueriesExt {
     * quality gate to hit a token budget instead of guessing a
     * constant. Percentile interpolation is bit-identical to DuckDB's
     * `quantile_cont` (proven by `a9_percentiles`); the keep-count uses
-    * a half-open `>` comparison so both engines agree on ties.
+    * an inclusive `>=` comparison on both engines so ties agree.
     */
   val QualityKeepRates = Seq(0.5, 0.7, 0.9)
   val cuQualityThreshold: Q = (s, d) => {
+    // persisted: the regex-heavy quality scan feeds BOTH the percentile
+    // aggregate and the keep-count join — without it the dominant scan
+    // runs twice
     val q = docs(s, d).select(
       TextAnalysis.qualityScore(col("text")).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = QualityKeepRates.zipWithIndex.map { case (r, i) =>
       expr(s"percentile(quality, ${1.0 - r})").as(s"__t$i") }
     val thr = q.agg(aggs.head, aggs.tail: _*)
@@ -747,6 +792,11 @@ object QueriesExt {
       .filter(col("cluster_id") === col("doc_id")).select("doc_id")
     val survEmb = emb(s, d)
       .join(survivors.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+    // NOTE: the returned plan reads the contraction's checkpointed
+    // label frame, so each invocation leaves one O(semantic-nodes)
+    // checkpoint behind until the RDD is GC'd (ContextCleaner) —
+    // callers running this repeatedly in one session can wrap the
+    // result and call Dedup.release on it once consumed
     val pairs = Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
       nLists = SemDedupLists, threshold = NearDupCosine)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")

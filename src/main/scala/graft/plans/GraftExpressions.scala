@@ -319,6 +319,9 @@ case class MinHashSigL(child: Expression, numHashes: Int)
   */
 case class Winnow(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
+  // reachable from the SQL surface (graft_winnow) with arbitrary
+  // literals: negative k reads negative byte indices, w <= 0 overruns
+  require(k > 0 && w > 0, s"winnow k ($k) and window w ($w) must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes

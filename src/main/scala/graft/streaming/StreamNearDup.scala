@@ -40,6 +40,14 @@ object StreamNearDup {
     * the entries themselves) so a REDELIVERY of such a doc doesn't
     * re-emit its candidate pairs; without it the `entries` membership
     * check only recognizes indexed docs.
+    *
+    * STATE SCHEMA v2: adding this field changes the
+    * flatMapGroupsWithState state row, so a stream checkpointed by the
+    * single-field v1 Bucket cannot restart against this build (the
+    * state-store schema check fails the restart). Migrate by draining
+    * the old query and starting a fresh checkpoint; the operator keys
+    * state by (band, bandHash), so a re-index from the stored corpus
+    * rebuilds equivalent state.
     */
   case class Bucket(entries: Seq[BucketEntry], overflowSeen: Seq[Long] = Seq.empty)
   case class CandidatePair(id_a: Long, id_b: Long, est_jaccard: Double)

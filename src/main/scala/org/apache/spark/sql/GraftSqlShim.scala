@@ -28,7 +28,10 @@ object GraftSqlShim {
     * this instead. No-op on non-checkpointed frames.
     */
   def releaseCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed match {
+    // collect, not a top-level match: a renamed/projected view of a
+    // checkpointed frame analyzes to Project(LogicalRDD) and a
+    // top-level match would silently no-op on it
+    df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
