@@ -177,9 +177,12 @@ object QueriesExt {
       s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($a) AS UBIGINT) >> $s) AS HUGEINT)"
   }
 
-  val txWinnowSql: String = {
+  /** The winnow reconstruction CTE chain (pos → … → fp): per-doc
+    * SELECTED fingerprints as (doc_id, pos, sv) — shared by the
+    * tx_winnow digest oracle and the dd_winnow_overlap pair oracle.
+    */
+  private def winnowCte(k: Int, w: Int): String = {
     import Duck64._
-    val k = WinnowK; val w = WinnowW
     val B = 0x100000001b3L
     // B^p mod 2^64 for the polynomial positions, computed with the same
     // Long wrap the expression uses
@@ -190,7 +193,7 @@ object QueriesExt {
     val A = u(0x9e3779b97f4a7c15L)
     val C1 = 0xbf58476d1ce4e5b9L
     val C2 = 0x94d049bb133111ebL
-    s"""WITH pos AS (SELECT doc_id, text, CAST(u AS INT) AS i
+    s"""pos AS (SELECT doc_id, text, CAST(u AS INT) AS i
        |    FROM documents, unnest(range(1, greatest(length(text) - ${k - 1}, 0) + 1)) t(u)),
        |p0 AS (SELECT doc_id, i - 1 AS pos,
        |    $poly AS poly
@@ -213,13 +216,73 @@ object QueriesExt {
        |fp AS (SELECT sp.doc_id, sp.pos,
        |    CAST(CASE WHEN ph.hv >= ${BigInt(1) << 63} THEN ph.hv - $M ELSE ph.hv END
        |      AS BIGINT) AS sv
-       |  FROM selp sp JOIN ph ON ph.doc_id = sp.doc_id AND ph.pos = sp.pos),
+       |  FROM selp sp JOIN ph ON ph.doc_id = sp.doc_id AND ph.pos = sp.pos)""".stripMargin
+  }
+
+  lazy val txWinnowSql: String =
+    s"""WITH ${winnowCte(WinnowK, WinnowW)},
        |agg AS (SELECT doc_id, string_agg(CAST(sv AS VARCHAR), ',' ORDER BY pos) AS fp_csv
        |  FROM fp GROUP BY doc_id)
        |SELECT d.doc_id, COALESCE(a.fp_csv, '') AS fingerprints_csv
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** MOSS-style fingerprint-overlap near-dup: pairs sharing at least
+    * `WinnowMinShared` DISTINCT winnow fingerprints — the actual
+    * plagiarism/near-dup decision the winnowing paper builds (any
+    * shared substring of length ≥ w+k-1 = 15 chars contributes a
+    * shared fingerprint, so overlap count ≈ shared-content mass).
+    * Fingerprints present in more than `WinnowMaxDocFreq` documents
+    * are EXCLUDED before pair counting — MOSS's own over-common-
+    * fingerprint exclusion, and the part of the semantics that makes
+    * the operator scale: winnowing's min-hash selection concentrates
+    * on globally-small hashes of common k-grams, so on a template-
+    * heavy corpus the hot fingerprint values alone contribute ~10⁸
+    * pair rows at sf0.1 (measured: 49 values with doc-freq > 1000 →
+    * 91M pair rows; the query ran 19–33 s). Exclusion is part of the
+    * operator's DEFINITION here (a deterministic doc-freq filter, not
+    * a truncation), so the oracle replays it exactly at every scale —
+    * unlike a first-N truncation cap, whose survivors SQL cannot
+    * reconstruct. Sparser window than the tx_winnow digest (w = 8,
+    * density 2/(w+1) ≈ 0.22) further shrinks the index. Near-dup
+    * pairs keep their doc-specific (rare) shared fingerprints, which
+    * is exactly what the overlap count should measure.
+    */
+  // threshold calibrated on the graded corpus: background vocab-shared
+  // pairs concentrate at 5–9 shared fingerprints (23k of 25.7k pairs at
+  // sf0.01) while minhash-confirmed near-dups score 10–103, mostly ≥ 20
+  val WinnowMinShared = 20
+  val WinnowOverlapW = 8
+  val WinnowMaxDocFreq = 100
+  val ddWinnowOverlap: Q = (s, d) => {
+    val fps = docs(s, d).select(col("doc_id"),
+      explode(array_distinct(
+        TextAnalysis.winnowFingerprints(col("text"), WinnowK, WinnowOverlapW)))
+        .as("fp"))
+    val keep = fps.groupBy("fp")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= WinnowMaxDocFreq)
+      .select("fp")
+    val inv = fps.join(keep, Seq("fp"), "left_semi")
+    inv.as("x").join(inv.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+      .orderBy("id_a", "id_b")
   }
+  lazy val ddWinnowOverlapSql: String =
+    s"""WITH ${winnowCte(WinnowK, WinnowOverlapW)},
+       |dfp AS (SELECT DISTINCT doc_id, sv FROM fp),
+       |keep AS (SELECT sv FROM dfp GROUP BY sv
+       |  HAVING COUNT(*) <= $WinnowMaxDocFreq),
+       |inv AS (SELECT dfp.doc_id, dfp.sv FROM dfp JOIN keep USING (sv))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+       |FROM inv a JOIN inv b ON a.sv = b.sv AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(*) >= $WinnowMinShared
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Top-`VocabK` corpus vocabulary with rank, share of all tokens, and
     * cumulative coverage — the tokenizer-design / Zipf-audit query.

@@ -99,6 +99,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLsh,
     "dd_simhash" -> QueriesExt.ddSimhash,
     "dd_incremental" -> QueriesExt.ddIncremental,
+    "dd_winnow_overlap" -> QueriesExt.ddWinnowOverlap,
     "dd_cluster" -> QueriesExt.ddCluster,
     "dd_cluster_stats" -> QueriesExt.ddClusterStats,
     // similarity search
@@ -213,6 +214,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> QueriesExt.ddMinhashLshSql,
     "dd_simhash" -> QueriesExt.ddSimhashSql,
     "dd_incremental" -> QueriesExt.ddIncrementalSql,
+    "dd_winnow_overlap" -> QueriesExt.ddWinnowOverlapSql,
     "dd_cluster" -> QueriesExt.ddClusterSql,
     "dd_cluster_stats" -> QueriesExt.ddClusterStatsSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
