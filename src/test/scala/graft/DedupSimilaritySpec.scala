@@ -317,6 +317,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(inc == batchCross, s"inc=$inc batch-cross=$batchCross")
   }
 
+  test("winnow fingerprint overlap separates near-dups from unrelated docs") {
+    import graft.plans.GraftFunctions
+    // shared fingerprints between the known near-dup pair dominate any
+    // overlap with the unrelated doc (raw counts, before the graded
+    // query's corpus-level threshold/exclusion)
+    val fps = docs.select($"doc_id",
+      explode(array_distinct(GraftFunctions.winnow($"text", 8, 8))).as("fp"))
+    val counts = fps.as("x").join(fps.as("y"), Seq("fp"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val nearDup = counts.getOrElse((0L, 1L), 0L)
+    val unrelated = counts.getOrElse((0L, 2L), 0L)
+    assert(nearDup > 10 * math.max(unrelated, 1),
+      s"near-dup overlap $nearDup not separated from unrelated $unrelated")
+  }
+
   test("fused shingle hashing equals the composed charShingles+hash form, incl. multibyte") {
     import graft.plans.GraftFunctions
     import graft.functions.TextAnalysis
