@@ -606,7 +606,9 @@ object QueriesExt {
       // identical signatures and Jaccard), and exact edges are
       // Jaccard-1 members of the full pair graph.
       import org.apache.spark.sql.expressions.Window
-      val marked = dd
+      // project to the two needed columns BEFORE persisting — the full
+      // documents row would pin every metadata column in storage
+      val marked = dd.select(col("doc_id"), col("text"))
         .withColumn("__keep", min(col("doc_id")).over(
           Window.partitionBy(md5(col("text").cast("binary")))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextAnalysis._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
