@@ -609,19 +609,32 @@ object Dedup {
     best
   }
 
-  /** `nBits`/`nTables` ≤ 0 → auto via [[embeddingLshParamsFor]] (one
-    * count() of the corpus; pass explicit values to skip it).
-    *
-    * Plan shape (all three r5-soak lessons applied):
-    *  - bucket keys come from ONE bit-pool sketch per vector
-    *    ([[graft.plans.HyperplanePoolBuckets]]): poolBits projections,
-    *    then `tables` cheap bit-subset keys, so high table counts cost
-    *    bit-ops, not projections;
-    *  - the candidate join is ids-only — (bucketKey, id) rows, pairs
-    *    deduplicated BEFORE any vector work, float arrays re-attached
-    *    to distinct pairs only, one dot per distinct pair;
-    *  - oversized buckets are salt-split, never dropped.
+  /** (bits, tables) for the BROADCAST-verify tier, where a candidate
+    * row is generated and consumed inside one map-side stage (popcount
+    * prefilter against broadcast sketches — no shuffle, no distinct, no
+    * per-candidate join). The cost asymmetry inverts the knee: an
+    * explosion row is shuffled twice for the bucket self-join (weight
+    * 2), a candidate row costs one pipelined popcount (`candWeight`,
+    * default ~⅓ of a shuffled row) — so the model prefers FEWER tables
+    * than [[embeddingLshParamsFor]] and lets candidate counts ride,
+    * because candidates are now cheap and explosion rows are not.
     */
+  def embeddingLshParamsBroadcast(n: Long, threshold: Double,
+      maxMiss: Double = 1e-4, maxTables: Int = 4096,
+      candWeight: Double = 0.35): (Int, Int) = {
+    val pairs = n.toDouble * n / 2
+    var best = (2, embeddingLshTablesFor(2, threshold, maxMiss))
+    var bestCost = Double.MaxValue
+    for (b <- 2 to 20) {
+      val t = embeddingLshTablesFor(b, threshold, maxMiss)
+      if (t <= maxTables) {
+        val cost = 2.0 * n.toDouble * t + candWeight * pairs * t * math.pow(0.5, b)
+        if (cost < bestCost) { bestCost = cost; best = (b, t) }
+      }
+    }
+    best
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication",
     * 2023): partition the embedding space into cells, compare pairs
@@ -664,13 +677,67 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Hamming-prefilter cutoff on a `poolBits` sketch for pairs at
+    * cosine ≥ `threshold`: expected disagreement is poolBits·θ/π, and a
+    * 6σ one-sided margin (σ ≤ √poolBits/2) bounds the per-pair prefilter
+    * miss at ~1e-9 — far inside the LSH maxMiss budget — while an
+    * orthogonal pair (expected poolBits/2) sits many σ above the cutoff
+    * at any threshold with a usable LSH gap.
+    */
+  def hammingCutoff(poolBits: Int, threshold: Double): Int = {
+    val p1 = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+    math.min(poolBits,
+      math.ceil(poolBits * (1.0 - p1) + 3.0 * math.sqrt(poolBits.toDouble)).toInt)
+  }
+
+  /** `nBits`/`nTables` ≤ 0 → auto from corpus size (one count() of the
+    * corpus; pass explicit values to skip it).
+    *
+    * Plan shape — two tiers behind one recall contract:
+    *  - ONE bit-pool sketch per vector ([[graft.plans.HyperplanePoolSketch]],
+    *    poolBits projections, the only per-vector heavy math), stored as
+    *    a column; bucket keys ([[graft.plans.PoolBucketKeys]]) and the
+    *    Hamming prefilter both derive from it, so projections are paid
+    *    exactly once;
+    *  - the bucket self-join is ids-only — (bucketKey, id) rows;
+    *    oversized buckets are salt-split, never dropped;
+    *  - **broadcast tier** (corpus (id, sketch, vec) under
+    *    `maxBroadcastBytes`): candidate pairs stream UNDEDUPED out of
+    *    the bucket join into map-side broadcast-hash attaches of the two
+    *    sketches, a popcount prefilter ([[hammingCutoff]] — rejects
+    *    essentially every non-qualifying collision at 6σ) and only THEN
+    *    a distinct + exact-cosine verify on the ~linear survivor set.
+    *    No candidate-volume shuffle exists in this tier: the old
+    *    distinct-then-join-vectors pipeline shuffled every collision
+    *    (≈24% of ALL pairs at the thin-gap knee) three times, which —
+    *    not the dot products — was the measured sf1 wall (227 s for
+    *    20 k vectors, N^1.62 end to end);
+    *  - **shuffle tier** (corpus over budget): the r5 shape — distinct
+    *    candidates, then sketch-attach joins + Hamming prefilter before
+    *    any float-vector work, so the wide rows (dim floats) are only
+    *    shuffled for surviving pairs. This is the 1000-executor path: a
+    *    100 TB corpus never broadcasts, and the prefilter cuts the
+    *    widest shuffle by the orthogonal-collision factor.
+    *
+    * The blocked result is graded against the exact all-pairs SQL
+    * oracle at sf0.01 (`dd_embed_neardup`), and a spec forces the
+    * shuffle tier (`maxBroadcastBytes = 0`) to pin tier parity.
+    */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.45, nBits: Int = 0, nTables: Int = 0,
       maxBucketSize: Int = 100000, poolBits: Int = 2048,
-      maxTables: Int = 4096): DataFrame = {
+      maxTables: Int = 4096, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     import graft.functions.VectorFunctions._
+    import graft.plans.GraftFunctions.{arrayHamming, hyperplanePoolSketch, poolBucketKeys}
+    val n = df.count()
+    val dim = if (n == 0) 0
+      else df.select(size(col(vecCol))).head().getInt(0)
+    // per-row broadcast payload: id + dim floats + sketch words + row overhead
+    val rowBytes = 8L + 4L * dim + 8L * ((poolBits + 63) / 64) + 48L
+    val broadcastTier = n > 0 && n * rowBytes <= maxBroadcastBytes
     val bits = if (nBits > 0) nBits
-      else embeddingLshParamsFor(df.count(), threshold, maxTables = maxTables)._1
+      else if (broadcastTier) embeddingLshParamsBroadcast(n, threshold, maxTables = maxTables)._1
+      else embeddingLshParamsFor(n, threshold, maxTables = maxTables)._1
     // the explicit-nBits path caps tables too: a plausible "more bits =
     // more precision" call (e.g. nBits=20 at threshold 0.45 → p₁≈1.7e-4
     // → ~54k tables for the recall bound) would otherwise explode a
@@ -678,25 +745,46 @@ object Dedup {
     // whatever (bits, maxTables) yields, which the auto path never picks
     val tabs = if (nTables > 0) nTables
       else math.min(maxTables, embeddingLshTablesFor(bits, threshold))
+    val maxHd = hammingCutoff(poolBits, threshold)
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      normSq(col(vecCol)).as("nsq"))
+      normSq(col(vecCol)).as("nsq"),
+      hyperplanePoolSketch(col(vecCol), poolBits).as("sk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val exploded = Skew.saltOversized(
       sig.select(col("id"),
-        explode(graft.plans.GraftFunctions.hyperplanePoolBuckets(
-          col("vec"), poolBits, bits, tabs)).as("bk")),
+        explode(poolBucketKeys(col("sk"), poolBits, bits, tabs)).as("bk")),
       Seq("bk"), maxBucketSize, saltOn = col("id"))
     val a = exploded.select(col("bk"), col("__salt"), col("id").as("id_a"))
     val b = exploded.select(col("bk"), col("__salt"), col("id").as("id_b"))
     val cand = a.join(b, Seq("bk", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct() // dedup multi-table collisions BEFORE vector work
-    cand
-      .join(sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
-        col("nsq").as("nsq_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
-        col("nsq").as("nsq_b")), Seq("id_b"))
+    val skA = sig.select(col("id").as("id_a"), col("sk").as("sk_a"))
+    val skB = sig.select(col("id").as("id_b"), col("sk").as("sk_b"))
+    val survivors =
+      if (broadcastTier)
+        // collisions stay map-side: broadcast sketch attaches + popcount
+        // prefilter run pipelined in the bucket-join stage; only the
+        // ~linear survivor set reaches the distinct shuffle
+        cand.join(broadcast(skA), Seq("id_a")).join(broadcast(skB), Seq("id_b"))
+          .filter(arrayHamming(col("sk_a"), col("sk_b")) <= maxHd)
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+      else
+        // over-budget corpora: dedup collisions first (ids-only rows),
+        // then shuffle-attach the narrow sketches and prefilter before
+        // any dim-float row is shuffled
+        cand.distinct()
+          .join(skA, Seq("id_a")).join(skB, Seq("id_b"))
+          .filter(arrayHamming(col("sk_a"), col("sk_b")) <= maxHd)
+          .select(col("id_a"), col("id_b"))
+    val vecA = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nsq").as("nsq_a"))
+    val vecB = sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nsq").as("nsq_b"))
+    survivors
+      .join(if (broadcastTier) broadcast(vecA) else vecA, Seq("id_a"))
+      .join(if (broadcastTier) broadcast(vecB) else vecB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineFromParts(dot(col("vec_a"), col("vec_b")),
           col("nsq_a"), col("nsq_b")).as("cosine"))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.types._
@@ -387,25 +387,47 @@ case class Winnow(child: Expression, k: Int, w: Int)
   * within a small constant; the exactness gates (all-pairs oracle at
   * sf0.01, crafted-geometry specs) check the realized candidate sets.
   */
-case class HyperplanePoolBuckets(child: Expression, poolBits: Int, bits: Int,
-    tables: Int, seed: Long) extends UnaryExpression with CodegenFallback {
-  // validated at construction (this expression is reachable from the
-  // SQL surface `graft_lsh_buckets(vec, poolBits, bits, tables)` with
-  // arbitrary literals): bits > min(poolBits, 62) would spin the
-  // distinct-position sampling loop forever, and a table id shifted
-  // past 63 - bits would corrupt the (t << bits) | bucket key packing
-  require(poolBits > 0 && bits > 0 && tables > 0,
-    s"poolBits ($poolBits), bits ($bits) and tables ($tables) must all be positive")
-  require(bits <= math.min(poolBits, 62),
-    s"bits ($bits) must be <= min(poolBits ($poolBits), 62)")
-  require(tables.toLong <= (Long.MaxValue >>> bits),
-    s"tables ($tables) << bits ($bits) would overflow the packed bucket key")
+/** Shared machinery for the bit-pool hyperplane LSH family: the ±1
+  * projection matrix, the packed pool sketch, and the per-table bit
+  * subsets are all deterministic functions of (seed, poolBits, bits,
+  * tables), so [[HyperplanePoolSketch]] + [[PoolBucketKeys]] staged over
+  * a stored sketch column produce bit-identical bucket keys to the fused
+  * [[HyperplanePoolBuckets]] — callers can pay the poolBits×dim
+  * projections once and derive both bucket keys and Hamming prefilter
+  * distances from the same sketch.
+  */
+private[graft] object HyperplanePool {
+  def signsFor(seed: Long, poolBits: Int, dim: Int): Array[Float] = {
+    val s = new Array[Float](poolBits * dim)
+    var j = 0
+    while (j < poolBits) {
+      var i = 0
+      while (i < dim) {
+        val h = Hash64.splitmix64(seed ^ (j * 0x9e3779b97f4a7c15L) ^ (i * 0xc2b2ae3d27d4eb4fL))
+        s(j * dim + i) = if ((h & 1L) == 0L) 1.0f else -1.0f
+        i += 1
+      }
+      j += 1
+    }
+    s
+  }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  /** Packed sign bits of the `poolBits` projections of one vector. */
+  def sketchOf(arr: ArrayData, signs: Array[Float], poolBits: Int, dim: Int): Array[Long] = {
+    val pool = new Array[Long]((poolBits + 63) >> 6)
+    var j = 0
+    while (j < poolBits) {
+      var proj = 0.0
+      var i = 0
+      while (i < dim) { proj += arr.getFloat(i).toDouble * signs(j * dim + i); i += 1 }
+      if (proj >= 0.0) pool(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    pool
+  }
 
-  // per-table pool positions: deterministic from the seed, sampled once
-  // per expression instance, not per row
-  @transient private lazy val tableIdx: Array[Array[Int]] = {
+  /** Per-table pool positions: deterministic from the seed. */
+  def tableIdxFor(seed: Long, poolBits: Int, bits: Int, tables: Int): Array[Array[Int]] = {
     val rnd = new java.util.Random(seed ^ 0x5deece66d1ce4e5bL)
     Array.fill(tables) {
       val seen = new java.util.LinkedHashSet[Integer]()
@@ -413,40 +435,14 @@ case class HyperplanePoolBuckets(child: Expression, poolBits: Int, bits: Int,
       val it = seen.iterator(); Array.fill(bits)(it.next().intValue())
     }
   }
-  // ±1 hyperplane matrix, materialized on first eval once the dimension
-  // is known (poolBits × dim floats; 512 KB at the 2048×64 defaults)
-  @transient private var signs: Array[Float] = _
-  @transient private var signDim: Int = -1
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (signDim != n) {
-      val s = new Array[Float](poolBits * n)
-      var j = 0
-      while (j < poolBits) {
-        var i = 0
-        while (i < n) {
-          val h = Hash64.splitmix64(seed ^ (j * 0x9e3779b97f4a7c15L) ^ (i * 0xc2b2ae3d27d4eb4fL))
-          s(j * n + i) = if ((h & 1L) == 0L) 1.0f else -1.0f
-          i += 1
-        }
-        j += 1
-      }
-      signs = s; signDim = n
-    }
-    val pool = new Array[Long]((poolBits + 63) >> 6)
-    var j = 0
-    while (j < poolBits) {
-      var proj = 0.0
-      var i = 0
-      while (i < n) { proj += arr.getFloat(i).toDouble * signs(j * n + i); i += 1 }
-      if (proj >= 0.0) pool(j >> 6) |= (1L << (j & 63))
-      j += 1
-    }
-    val out = new Array[Long](tables)
+  /** `tables` bucket keys from a packed pool sketch, table id in the
+    * high bits so one long is the whole join key.
+    */
+  def bucketKeys(pool: Array[Long], tableIdx: Array[Array[Int]], bits: Int): Array[Long] = {
+    val out = new Array[Long](tableIdx.length)
     var t = 0
-    while (t < tables) {
+    while (t < tableIdx.length) {
       val idx = tableIdx(t)
       var b = 0L
       var k = 0
@@ -458,9 +454,136 @@ case class HyperplanePoolBuckets(child: Expression, poolBits: Int, bits: Int,
       out(t) = (t.toLong << bits) | b
       t += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  // construction-time validation shared by the bucket-key expressions,
+  // which are reachable from the SQL surface with arbitrary literals:
+  // bits > min(poolBits, 62) would spin the distinct-position sampling
+  // loop forever, and a table id shifted past 63 - bits would corrupt
+  // the (t << bits) | bucket key packing
+  def validate(poolBits: Int, bits: Int, tables: Int): Unit = {
+    require(poolBits > 0 && bits > 0 && tables > 0,
+      s"poolBits ($poolBits), bits ($bits) and tables ($tables) must all be positive")
+    require(bits <= math.min(poolBits, 62),
+      s"bits ($bits) must be <= min(poolBits ($poolBits), 62)")
+    require(tables.toLong <= (Long.MaxValue >>> bits),
+      s"tables ($tables) << bits ($bits) would overflow the packed bucket key")
+  }
+}
+
+case class HyperplanePoolBuckets(child: Expression, poolBits: Int, bits: Int,
+    tables: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+  HyperplanePool.validate(poolBits, bits, tables)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val tableIdx: Array[Array[Int]] =
+    HyperplanePool.tableIdxFor(seed, poolBits, bits, tables)
+  // ±1 hyperplane matrix, materialized on first eval once the dimension
+  // is known (poolBits × dim floats; 512 KB at the 2048×64 defaults)
+  @transient private var signs: Array[Float] = _
+  @transient private var signDim: Int = -1
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (signDim != n) { signs = HyperplanePool.signsFor(seed, poolBits, n); signDim = n }
+    val pool = HyperplanePool.sketchOf(arr, signs, poolBits, n)
+    new GenericArrayData(HyperplanePool.bucketKeys(pool, tableIdx, bits))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The packed `poolBits`-bit hyperplane sketch alone (array of
+  * ⌈poolBits/64⌉ longs). Storing the sketch as a column lets one set of
+  * projections serve BOTH bucket-key derivation ([[PoolBucketKeys]]) and
+  * the Hamming-distance candidate prefilter ([[LongArrayHamming]]):
+  * E[hamming/poolBits] = θ/π for a pair at angle θ, concentrated within
+  * ±sqrt(p(1-p)/poolBits) ≈ ±0.011 at 2048 bits — separating a
+  * threshold-angle pair from an orthogonal one by many σ, which is what
+  * makes the prefilter safe to run before the exact cosine verify.
+  */
+case class HyperplanePoolSketch(child: Expression, poolBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(poolBits > 0, s"poolBits ($poolBits) must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private var signs: Array[Float] = _
+  @transient private var signDim: Int = -1
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (signDim != n) { signs = HyperplanePool.signsFor(seed, poolBits, n); signDim = n }
+    new GenericArrayData(HyperplanePool.sketchOf(arr, signs, poolBits, n))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Bucket keys derived from a STORED pool sketch (the cheap half of
+  * [[HyperplanePoolBuckets]] — bit selects only, no projections).
+  * Bit-identical to the fused expression at the same (seed, poolBits,
+  * bits, tables).
+  */
+case class PoolBucketKeys(child: Expression, poolBits: Int, bits: Int,
+    tables: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+  HyperplanePool.validate(poolBits, bits, tables)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val tableIdx: Array[Array[Int]] =
+    HyperplanePool.tableIdxFor(seed, poolBits, bits, tables)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val words = (poolBits + 63) >> 6
+    require(arr.numElements() == words,
+      s"pool sketch has ${arr.numElements()} words, expected $words for poolBits=$poolBits")
+    val pool = new Array[Long](words)
+    var i = 0
+    while (i < words) { pool(i) = arr.getLong(i); i += 1 }
+    new GenericArrayData(HyperplanePool.bucketKeys(pool, tableIdx, bits))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hamming distance between two packed bit arrays (XOR + popcount over
+  * longs) — the candidate-pair prefilter for the embedding near-dup
+  * path: one popcount loop per candidate instead of a dim-MAC dot.
+  * Real `doGenCode` (not [[CodegenFallback]]) because this filter sits
+  * on the UNDEDUPED candidate stream — ~t·2⁻ᵇ of all pairs — where a
+  * fallback's per-row boxing would re-introduce the row-machinery cost
+  * the prefilter exists to remove, and a fallback would also split the
+  * bucket-join stage out of whole-stage codegen.
+  */
+case class LongArrayHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var hd = 0
+    var i = 0
+    while (i < n) { hd += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    hd
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val hd = ctx.freshName("hd")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $hd = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $hd += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $hd;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Column-API wrappers. */
@@ -485,6 +608,13 @@ object GraftFunctions {
   def hyperplanePoolBuckets(vec: Column, poolBits: Int, bits: Int,
       tables: Int, seed: Long = 42L): Column =
     col(HyperplanePoolBuckets(e(vec), poolBits, bits, tables, seed))
+  def hyperplanePoolSketch(vec: Column, poolBits: Int, seed: Long = 42L): Column =
+    col(HyperplanePoolSketch(e(vec), poolBits, seed))
+  def poolBucketKeys(sketch: Column, poolBits: Int, bits: Int,
+      tables: Int, seed: Long = 42L): Column =
+    col(PoolBucketKeys(e(sketch), poolBits, bits, tables, seed))
+  def arrayHamming(a: Column, b: Column): Column =
+    col(LongArrayHamming(e(a), e(b)))
   def minhashSigL(hashedSet: Column, numHashes: Int): Column =
     col(MinHashSigL(e(hashedSet), numHashes))
 }

@@ -79,6 +79,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"salted recall $recall; got ${salted.size} of ${unconstrained.size}")
   }
 
+  test("staged sketch+bucket-keys are bit-identical to the fused pool expression") {
+    import graft.plans.GraftFunctions.{hyperplanePoolBuckets, hyperplanePoolSketch, poolBucketKeys}
+    val emb = Tables.embeddings(spark, sf001).limit(50)
+    val fused = emb.select($"vec_id",
+      hyperplanePoolBuckets($"embedding", 256, 8, 12).as("bk"))
+    val staged = emb.select($"vec_id",
+      poolBucketKeys(hyperplanePoolSketch($"embedding", 256), 256, 8, 12).as("bk"))
+    assert(fused.exceptAll(staged).isEmpty && staged.exceptAll(fused).isEmpty)
+  }
+
+  test("shuffle tier (corpus over broadcast budget) matches the broadcast tier exactly") {
+    val emb = Tables.embeddings(spark, sf001)
+    val bcast = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val shuffled = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine, maxBroadcastBytes = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bcast.nonEmpty && bcast == shuffled,
+      s"missed: ${bcast -- shuffled}, spurious: ${shuffled -- bcast}")
+  }
+
   test("LSH-blocked embedding near-dup equals exact all-pairs on real embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val v = emb.select($"vec_id", $"embedding",
