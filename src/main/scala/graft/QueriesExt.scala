@@ -1014,18 +1014,30 @@ object QueriesExt {
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= $NearDupCosine
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** LSH-bucketed ANN (rows-only oracle; recall gated in ScalaTest). */
+  /** LSH ANN top-k, hash-graded end to end: PINNED geometry
+    * ([[AnnTopBits]] — the value the production auto-sizer derives at
+    * the grading scales) makes the candidate set SQL-reproducible, and
+    * the final rank is exact cosine over those candidates — so DuckDB
+    * replays candidates AND the ranked top-k. The corpus-auto-sized
+    * production path (nBits from log₂(N/64)) stays gated by recall
+    * floors in `StatefulAnnSpec`.
+    */
   val simAnnLsh: Q = (s, d) =>
-    Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)
+    Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = AnnCandK,
+      nBits = AnnTopBits, nTables = AnnCandTables)
       .orderBy("query_id", "rank")
 
-  /** IVF ANN (rows-only oracle; recall + unbiased-training gated in
-    * ScalaTest — the centroid assignment isn't SQL-expressible). The
-    * scale tier for high-recall ANN: probes scan nProbe/nLists of the
-    * corpus instead of hyperplane buckets.
+  /** IVF ANN top-k, hash-graded end to end under PINNED seeded
+    * centroids ([[Similarity.ivfSeededTopK]] — the same
+    * assignment/probe/join/rank machinery as the trained tier). KMeans
+    * training isn't SQL-reproducible, so the trained path
+    * ([[Similarity.ivfTopK]], the scale tier for high-recall ANN:
+    * probes scan nProbe/nLists of the corpus) stays gated by the
+    * recall + unbiased-training specs.
     */
   val simAnnIvf: Q = (s, d) =>
-    Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", k = 5)
+    Similarity.ivfSeededTopK(emb(s, d), "vec_id", "embedding",
+      k = AnnCandK, nLists = IvfCandLists, nProbe = IvfCandProbe)
       .orderBy("query_id", "rank")
 
   /** Hash-graded CANDIDATE generation of the LSH ANN tier: the ranked
@@ -1042,11 +1054,19 @@ object QueriesExt {
   val AnnCandBits = 8
   val AnnCandTables = 8
   val AnnCandK = 5
+  /** Geometry for the graded TOP-K/recall queries: 5 bits is exactly
+    * what the production auto-sizer (`max(5, log₂(N/64))`) derives at
+    * both grading scales (500 and 2 k vectors), so the hash-graded
+    * plans run the geometry a production call would — while the `_cand`
+    * companion keeps 8 bits to starve queries and exercise the
+    * Hamming-1 probe path under grading.
+    */
+  val AnnTopBits = 5
   val simAnnLshCand: Q = (s, d) =>
     Similarity.lshCandidates(emb(s, d), "vec_id", "embedding", k = AnnCandK,
       nBits = AnnCandBits, nTables = AnnCandTables)
       .orderBy("query_id", "neighbor_id")
-  val simAnnLshCandSql: String = {
+  private def annLshCandCtes(nBits: Int, nTables: Int): String = {
     import Duck64._
     val M64 = M
     val JA = 0x9e3779b97f4a7c15L  // HyperplaneSig's bit mixer
@@ -1054,8 +1074,8 @@ object QueriesExt {
     val A2 = u(0x9e3779b97f4a7c15L) // splitmix64 increment
     val C1 = 0xbf58476d1ce4e5b9L
     val C2 = 0x94d049bb133111ebL
-    s"""WITH tbl AS (SELECT CAST(u AS INT) AS t FROM unnest(range(0, $AnnCandTables)) x(u)),
-       |bts AS (SELECT CAST(u AS INT) AS j FROM unnest(range(0, $AnnCandBits)) x(u)),
+    s"""tbl AS (SELECT CAST(u AS INT) AS t FROM unnest(range(0, $nTables)) x(u)),
+       |bts AS (SELECT CAST(u AS INT) AS j FROM unnest(range(0, $nBits)) x(u)),
        |dims AS (SELECT CAST(u AS INT) AS i
        |  FROM unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) x(u)),
        |sx AS (SELECT t, j, i,
@@ -1086,11 +1106,36 @@ object QueriesExt {
        |pbk AS (SELECT b.vec_id, b.t, xor(b.b, CAST(1 AS BIGINT) << bit.j) AS b2
        |  FROM bk b JOIN starv s ON b.vec_id = s.vec_id, bts bit),
        |pp AS (SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM pbk p JOIN bk c ON p.t = c.t AND p.b2 = c.b AND p.vec_id <> c.vec_id)
-       |SELECT query_id, neighbor_id
-       |FROM (SELECT * FROM own UNION SELECT * FROM pp)
-       |ORDER BY query_id, neighbor_id""".stripMargin
+       |  FROM pbk p JOIN bk c ON p.t = c.t AND p.b2 = c.b AND p.vec_id <> c.vec_id),
+       |cand AS (SELECT query_id, neighbor_id
+       |  FROM (SELECT * FROM own UNION SELECT * FROM pp))""".stripMargin
   }
+  val simAnnLshCandSql: String =
+    s"""WITH ${annLshCandCtes(AnnCandBits, AnnCandTables)}
+       |SELECT query_id, neighbor_id FROM cand
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Exact-cosine rank over the replayed candidate set — the final
+    * stage of `sim_ann_lsh`. Shares the candidate CTE chain with the
+    * `_cand` oracle; cosines fold sequentially on both engines, rank
+    * ties break on neighbor_id, so the approximate top-k is
+    * bit-reproducible given the pinned geometry.
+    */
+  lazy val simAnnLshSql: String =
+    s"""WITH ${annLshCandCtes(AnnTopBits, AnnCandTables)},
+       |r AS (SELECT vec_id, embedding, ${duckNormSq("embedding")} AS nsq FROM embeddings),
+       |pr AS (SELECT c.query_id, c.neighbor_id,
+       |    CASE WHEN sqrt(rq.nsq) * sqrt(rc.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("rq.embedding", "rc.embedding")} / (sqrt(rq.nsq) * sqrt(rc.nsq))
+       |    END AS cosine
+       |  FROM cand c
+       |  JOIN r rq ON rq.vec_id = c.query_id
+       |  JOIN r rc ON rc.vec_id = c.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM pr)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+       |FROM rk WHERE rn <= $AnnCandK ORDER BY query_id, rank""".stripMargin
 
   /** Hash-graded CANDIDATE generation of the IVF tier under PINNED
     * centroids (the nLists corpus vectors with smallest md5(vec_id)):
@@ -1133,6 +1178,29 @@ object QueriesExt {
        |SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.list_id
        |FROM prb p JOIN asg a USING (list_id) WHERE p.vec_id <> a.vec_id
        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Exact-cosine rank over the seeded-IVF probe join — the final
+    * stage of `sim_ann_ivf`. Reuses the seeded-cell CTE chain (`r` has
+    * the sequential-fold norms) so assignment, probes AND the ranked
+    * top-k replay bit-identically.
+    */
+  lazy val simAnnIvfSql: String =
+    s"""WITH ${seededCellCte(IvfCandLists)},
+       |prb AS (SELECT vec_id, list_id FROM sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $IvfCandProbe),
+       |pr AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(rq.nsq) * sqrt(rc.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("rq.embedding", "rc.embedding")} / (sqrt(rq.nsq) * sqrt(rc.nsq))
+       |    END AS cosine
+       |  FROM prb p JOIN asg a USING (list_id)
+       |  JOIN r rq ON rq.vec_id = p.vec_id
+       |  JOIN r rc ON rc.vec_id = a.vec_id
+       |  WHERE p.vec_id <> a.vec_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM pr)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+       |FROM rk WHERE rn <= $AnnCandK ORDER BY query_id, rank""".stripMargin
 
   /** SemDeDup-style semantic dedup ([[Dedup.semDedupPairs]]): pairs
     * with cosine ≥ threshold WITHIN seeded cells — the published
@@ -1216,9 +1284,14 @@ object QueriesExt {
   val ddEmbedNeardupSql: String = simCosineNeardupSql
 
   /** Recall@k of the two ANN tiers against the exact brute-force top-k
-    * (rows-only oracle: the approximate plans aren't SQL-expressible;
-    * the recall floor is additionally gated in `DedupSimilaritySpec`).
+    * — hash-graded: under the PINNED geometry of `sim_ann_lsh` /
+    * `sim_ann_ivf` the recall VALUES are deterministic, so DuckDB
+    * replays the exact baseline, both approximate top-k lists and the
+    * hit-counting division bit-for-bit. The trained-KMeans /
+    * auto-sized production tiers keep their recall floors in
+    * `DedupSimilaritySpec`/`StatefulAnnSpec`.
     */
+  val AnnRecallMod = 4
   val simAnnRecall: Q = (s, d) => {
     val e = emb(s, d).persist()
     // recall is ESTIMATED on a deterministic 1-in-4 query sample: the
@@ -1230,27 +1303,85 @@ object QueriesExt {
     // ONE sample predicate drives the baseline and both ANN tiers — a
     // drifted copy would deflate recall silently
     val sampled: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      id => id % 4 === 0
+      id => id % AnnRecallMod === 0
     val probes = e.filter(sampled(col("vec_id")))
     // the exact baseline feeds BOTH recall computations — persist it or
     // every recallAtK action re-runs the cross join
-    val exact = Similarity.bruteForceTopK(probes, e, "vec_id", "embedding", k = 5)
-      .persist()
+    val exact = Similarity.bruteForceTopK(probes, e, "vec_id", "embedding",
+      k = AnnCandK).persist()
     // the ANN tiers search only the sampled probes too (corpus stays
     // full) — computing top-k for unsampled queries would be discarded
     // by the recall join anyway
-    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 5,
-      queryFilter = Some(sampled))
-    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
-      queryFilter = Some(sampled))
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = AnnCandK,
+      nBits = AnnTopBits, nTables = AnnCandTables, queryFilter = Some(sampled))
+    val ivf = Similarity.ivfSeededTopK(e, "vec_id", "embedding", k = AnnCandK,
+      nLists = IvfCandLists, nProbe = IvfCandProbe, queryFilter = Some(sampled))
     import s.implicits._
-    val out = Seq(("lsh", 5, Similarity.recallAtK(lsh, exact)),
-      ("ivf", 5, Similarity.recallAtK(ivf, exact)))
+    val out = Seq(("lsh", AnnCandK, Similarity.recallAtK(lsh, exact)),
+      ("ivf", AnnCandK, Similarity.recallAtK(ivf, exact)))
       .toDF("method", "k", "recall").orderBy("method")
     exact.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out
   }
+
+  /** Full SQL replay of the recall harness: exact top-k on the sampled
+    * probes, the two pinned-geometry approximate top-k lists (the same
+    * CTE chains as `sim_ann_lsh`/`sim_ann_ivf`, filtered to the sample
+    * — per-query stages commute with the query filter), then
+    * hits/total per tier. The division of two identical longs is
+    * IEEE-exact on both engines.
+    */
+  lazy val simAnnRecallSql: String =
+    s"""WITH ${annLshCandCtes(AnnTopBits, AnnCandTables)},
+       |${seededCellCte(IvfCandLists)},
+       |prb AS (SELECT vec_id, list_id FROM sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $IvfCandProbe),
+       |ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(a.nsq) * sqrt(b.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq))
+       |    END AS cosine
+       |  FROM r a JOIN r b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $AnnRecallMod = 0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY cosine DESC, b.vec_id ASC) <= $AnnCandK),
+       |lshk AS (SELECT c.query_id, c.neighbor_id,
+       |    CASE WHEN sqrt(rq.nsq) * sqrt(rc.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("rq.embedding", "rc.embedding")} / (sqrt(rq.nsq) * sqrt(rc.nsq))
+       |    END AS cosine
+       |  FROM cand c
+       |  JOIN r rq ON rq.vec_id = c.query_id
+       |  JOIN r rc ON rc.vec_id = c.neighbor_id
+       |  WHERE c.query_id % $AnnRecallMod = 0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |    ORDER BY cosine DESC, c.neighbor_id ASC) <= $AnnCandK),
+       |ivfk AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(rq.nsq) * sqrt(rc.nsq) = 0.0 THEN 0.0
+       |         ELSE ${duckDot("rq.embedding", "rc.embedding")} / (sqrt(rq.nsq) * sqrt(rc.nsq))
+       |    END AS cosine
+       |  FROM prb p JOIN asg a USING (list_id)
+       |  JOIN r rq ON rq.vec_id = p.vec_id
+       |  JOIN r rc ON rc.vec_id = a.vec_id
+       |  WHERE p.vec_id % $AnnRecallMod = 0 AND p.vec_id <> a.vec_id
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |    ORDER BY cosine DESC, a.vec_id ASC) <= $AnnCandK),
+       |hl AS (SELECT COUNT(*) AS total, COUNT(l.query_id) AS hit
+       |  FROM ex e LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM lshk) l
+       |    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id),
+       |hi AS (SELECT COUNT(*) AS total, COUNT(i.query_id) AS hit
+       |  FROM ex e LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM ivfk) i
+       |    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id)
+       |SELECT method, k, recall FROM (
+       |  SELECT 'ivf' AS method, $AnnCandK AS k,
+       |    CASE WHEN total = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(hit AS DOUBLE) / CAST(total AS DOUBLE) END AS recall
+       |  FROM hi
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, $AnnCandK AS k,
+       |    CASE WHEN total = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(hit AS DOUBLE) / CAST(total AS DOUBLE) END AS recall
+       |  FROM hl)
+       |ORDER BY method""".stripMargin
 
   // ---------------------------------------------------------------- curation
 

@@ -134,11 +134,12 @@ object SparkEntry {
     "mm_features" -> QueriesExt.mmFeatures)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (sim_ann_lsh, sim_ann_ivf, sim_ann_recall — approximate ranked
-    * output; their deterministic CANDIDATE generation is hash-graded via
-    * the sim_ann_*_cand companion entries)
-    * → the driver records a weaker rows-only check for those.
+    * the same parquet tables — every entry, including the approximate
+    * ANN tiers: under pinned geometry (hyperplane seeds / md5-seeded
+    * centroids) the candidate sets, the exact-cosine ranks and the
+    * recall fractions are all deterministic, so `sim_ann_lsh`,
+    * `sim_ann_ivf` and `sim_ann_recall` replay end to end in DuckDB
+    * alongside their `_cand` stage companions.
     */
   def oracleSql: Map[String, String] = Map(
     "a1_rowcount_smoke" -> Queries.a1Sql,
@@ -219,6 +220,9 @@ object SparkEntry {
     "dd_cluster_stats" -> QueriesExt.ddClusterStatsSql,
     "sim_cosine_topk" -> QueriesExt.simCosineTopkSql,
     "sim_cosine_neardup" -> QueriesExt.simCosineNeardupSql,
+    "sim_ann_lsh" -> QueriesExt.simAnnLshSql,
+    "sim_ann_ivf" -> QueriesExt.simAnnIvfSql,
+    "sim_ann_recall" -> QueriesExt.simAnnRecallSql,
     "sim_ann_lsh_cand" -> QueriesExt.simAnnLshCandSql,
     "sim_ann_ivf_cand" -> QueriesExt.simAnnIvfCandSql,
     "dd_semdedup" -> QueriesExt.ddSemdedupSql,

@@ -307,15 +307,43 @@ object Similarity {
       .select(col("list_id"), col("vec").as("centroid"))
   }
 
-  def ivfSeededCandidates(df: DataFrame, idCol: String, vecCol: String,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+  private def seededPairs(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, nProbe: Int,
+      queryFilter: Option[Column => Column]): DataFrame = {
     val cents = seededCentroids(df, idCol, vecCol, nLists)
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
-    val (assigned, probes) = assignAndProbe(withNorm, cents, nProbe, None)
+    val (assigned, probes) = assignAndProbe(withNorm, cents, nProbe, queryFilter)
     probes.join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
+  }
+
+  def ivfSeededCandidates(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    seededPairs(df, idCol, vecCol, nLists, nProbe, None)
       .select(col("query_id"), col("id").as("neighbor_id"), col("list_id"))
+
+  /** Ranked top-k over the SEEDED IVF stage — the hash-gradable
+    * companion of [[ivfTopK]]: the same [[assignAndProbe]] + exact-
+    * cosine rank machinery, with the trained KMeans centroids replaced
+    * by the deterministic md5-seeded pick ([[seededCentroids]]) so
+    * DuckDB replays the FINAL ranked output, not just the candidate
+    * set. KMeans training quality (k-means|| RNG is not
+    * SQL-reproducible) stays gated by the recall/unbiased-sampling
+    * specs on [[ivfTopK]].
+    */
+  def ivfSeededTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+      queryFilter: Option[Column => Column] = None): DataFrame = {
+    val scored = seededPairs(df, idCol, vecCol, nLists, nProbe, queryFilter)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rank").cast("int").as("rank"))
   }
 
   /** Per-corpus-version centroid cache: keyed on the analyzed plan's
