@@ -581,13 +581,55 @@ object QueriesExt {
     * reference fails on its next action with missing-checkpoint-block
     * errors rather than silently recomputing. Consume promptly or
     * re-request by key.
+    *
+    * CACHE-HYGIENE CONTRACT for long-lived library sessions (the bench
+    * clears Spark's SQL cache between passes; a library caller must
+    * release explicitly):
+    *  1. per composed RESULT (e.g. [[cuDedupSemantic]]'s output):
+    *     [[releaseDerived]] once consumed — drops the result's own
+    *     checkpoints, never the shared label stage;
+    *  2. per CORPUS lifetime: [[clearClusterLabelCache]] — drops the
+    *     memoized label frames (LRU eviction covers corpus churn
+    *     automatically);
+    *  3. per batch boundary: [[graft.operators.Dedup.releaseIntermediates]]
+    *     — drops the operators' tracked scratch persists (shingle
+    *     projections, sketch frames) that otherwise accumulate in the
+    *     session's SQL cache.
+    * The `releaseDerived` spec in `ScaleOpsSpec` pins that the three
+    * steps together leave zero persisted blocks.
     */
+  /** Corpus content signature for the label-cache key: path, size and
+    * modification time of every input file, read from the relation's
+    * file index (already listed at plan time — no extra filesystem
+    * RPCs). Size+mtime catch an in-place rewrite that reuses identical
+    * file names (deterministic datagen overwriting a corpus dir), which
+    * a path-only hash would alias to the stale entry. Falls back to
+    * path-only hashing for non-file-based plans.
+    */
+  private def corpusSignature(dd: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    val files: Seq[(String, Long, Long)] = dd.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case p: PartitioningAwareFileIndex =>
+            p.allFiles().map(f =>
+              (f.getPath.toString, f.getLen, f.getModificationTime))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }.flatten
+    if (files.isEmpty)
+      java.util.Arrays.hashCode(dd.inputFiles.sorted.map(_.hashCode): Array[Int])
+    else files.sortBy(_._1).hashCode()
+  }
+
   def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     // applicationId qualifies the identity hash: a GC'd session's
     // reused identity hash can otherwise alias a dead entry
     val key = s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|$d|" +
-      java.util.Arrays.hashCode(dd.inputFiles.sorted.map(_.hashCode): Array[Int])
+      corpusSignature(dd)
     labelCache.synchronized(Option(labelCache.get(key))).getOrElse {
       // compute OUTSIDE the monitor — label production is multi-second
       // (minutes at high SF) and holding the lock would serialize
@@ -643,6 +685,29 @@ object QueriesExt {
   def clearClusterLabelCache(): Unit = labelCache.synchronized {
     val it = labelCache.values().iterator()
     while (it.hasNext) { Dedup.release(it.next()); it.remove() }
+  }
+
+  /** Release the checkpoint storage held by a dedup-family RESULT frame
+    * (e.g. [[cuDedupSemantic]]'s output, whose plan contains the
+    * semantic stage's own contraction checkpoint) WITHOUT touching the
+    * shared memoized [[clusterLabels]] checkpoints the plan composes
+    * over. This is the correct per-result release for library callers:
+    * `Dedup.release` on a composed result would unpersist EVERY
+    * checkpoint in the plan — including the shared label stage, whose
+    * later consumers would then fail with missing-block errors.
+    * The shared stage itself is released by LRU eviction or
+    * [[clearClusterLabelCache]] (end of corpus lifetime), never through
+    * a derived result.
+    */
+  def releaseDerived(df: DataFrame): Unit = {
+    val shared = labelCache.synchronized {
+      val b = Set.newBuilder[Int]
+      val it = labelCache.values().iterator()
+      while (it.hasNext)
+        b ++= org.apache.spark.sql.GraftSqlShim.checkpointRddIds(it.next())
+      b.result()
+    }
+    org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(df, shared)
   }
   private val ddClusterCte: String =
     s"""WITH RECURSIVE ${shingleJaccardCte(8, 1, JaccardThreshold)},
@@ -857,11 +922,14 @@ object QueriesExt {
       .filter(col("cluster_id") === col("doc_id")).select("doc_id")
     val survEmb = emb(s, d)
       .join(survivors.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
-    // NOTE: the returned plan reads the contraction's checkpointed
-    // label frame, so each invocation leaves one O(semantic-nodes)
-    // checkpoint behind until the RDD is GC'd (ContextCleaner) —
-    // callers running this repeatedly in one session can wrap the
-    // result and call Dedup.release on it once consumed
+    // NOTE: the returned plan reads the semantic contraction's
+    // checkpointed frame, so each invocation leaves one
+    // O(semantic-nodes) checkpoint behind until the RDD is GC'd
+    // (ContextCleaner) — callers running this repeatedly in one session
+    // should call QueriesExt.releaseDerived on the result once consumed.
+    // NOT Dedup.release: the plan also composes over the SHARED
+    // clusterLabels checkpoint, and an unscoped release would poison the
+    // label cache for every later family consumer.
     val pairs = Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
       nLists = SemDedupLists, threshold = NearDupCosine)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")

@@ -221,14 +221,12 @@ object CatalogDiscovery {
     } finally conn.close()
   }
 
-  /** Sink-side DDL for one discovered index — lowercased identifiers,
-    * the reference's phase-3 rebuild shape (migrate_v3.py:459-481).
+  /** Sink-side DDL for one discovered index — delegates to
+    * [[DdlEmitter.createIndexSql]] (the reference's phase-3 rebuild
+    * shape, migrate_v3.py:459-481) so index DDL has one renderer.
     */
-  def renderCreateIndex(schema: String, table: String, idx: SecondaryIndex): String = {
-    val unique = if (idx.unique) "UNIQUE " else ""
-    val cols = idx.columns.map(c => s""""${c.toLowerCase}"""").mkString(", ")
-    s"""CREATE ${unique}INDEX ${idx.name.toLowerCase} ON $schema.${table.toLowerCase} ($cols)"""
-  }
+  def renderCreateIndex(schema: String, table: String, idx: SecondaryIndex): String =
+    DdlEmitter.createIndexSql(schema, table, idx)
 
   /** Expected shape of the catalog DataFrame consumed below — a join of
     * the two INFORMATION_SCHEMA queries: one row per column with

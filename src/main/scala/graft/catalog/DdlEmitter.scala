@@ -1,0 +1,207 @@
+package graft.catalog
+
+/** One source column as MySQL's INFORMATION_SCHEMA presents it —
+  * `COLUMN_TYPE` is the full type string incl. precision/unsigned
+  * (reference: migrate_v3.py:270-290 reads exactly these four facts
+  * per column before emitting DDL).
+  */
+case class SourceColumn(
+    name: String,
+    mysqlType: String,
+    nullable: Boolean = true,
+    isPrimary: Boolean = false)
+
+/** Relational-sink DDL emission — string-for-string parity with the
+  * reference's 3-phase migration (reference: migrate_v3.py:371-428
+  * `create_table`, 430-511 `create_indexes_and_constraints`):
+  *
+  *  - **phase 1** [[createTableSql]]: `CREATE UNLOGGED TABLE` without
+  *    PK/indexes, identifiers lowercased, columns quoted — UNLOGGED
+  *    skips WAL during the bulk load;
+  *  - **phase 2**: the load itself ([[graft.sources.Snapshot]] +
+  *    the COPY encoders, F5–F7 — not DDL);
+  *  - **phase 3** [[finalizeSql]]: `SET LOGGED`, then `ADD PRIMARY
+  *    KEY`, then secondary indexes — constraints deferred until after
+  *    the data so index maintenance isn't paid per-row. FK DDL is
+  *    rendered by [[createForeignKeySql]] but excluded from
+  *    [[finalizeSql]], mirroring the reference's deliberate skip for
+  *    the CDC use case (migrate_v3.py:484-506, commented out).
+  *
+  * The type map is [[pgType]], the Postgres-DDL sibling of
+  * [[TypeMapper.toSparkType]] (both mirror migrate_v3.py:167-193
+  * `TYPE_MAP` + :225-248 `convert_mysql_type`). Two deliberate
+  * divergences where the reference's lookup chain has slips, both
+  * widening correctness, noted inline: `numeric(p,s)` and the
+  * paren-free `int unsigned` spelling (MySQL ≥ 8.0.19) map to their
+  * intended types instead of falling through to `text`.
+  */
+object DdlEmitter {
+
+  /** Base-type map (reference: migrate_v3.py:167-193). `tinyint(1)` and
+    * `bit(1)` are handled before lookup, like the reference's special
+    * cases. `integer`/`numeric`/`tinytext`/`tinyblob` are synonym rows
+    * the reference's source system never emitted but MySQL allows.
+    */
+  val TypeMap: Map[String, String] = Map(
+    "tinyint" -> "smallint",
+    "smallint" -> "smallint",
+    "mediumint" -> "integer",
+    "int" -> "integer",
+    "integer" -> "integer",
+    "bigint" -> "bigint",
+    "decimal" -> "numeric",
+    "numeric" -> "numeric",
+    "float" -> "real",
+    "double" -> "double precision",
+    "date" -> "date",
+    "datetime" -> "timestamp",
+    "timestamp" -> "timestamptz",
+    "time" -> "time",
+    "char" -> "varchar",
+    "varchar" -> "varchar",
+    "text" -> "text",
+    "tinytext" -> "text",
+    "mediumtext" -> "text",
+    "longtext" -> "text",
+    "binary" -> "bytea",
+    "varbinary" -> "bytea",
+    "blob" -> "bytea",
+    "tinyblob" -> "bytea",
+    "mediumblob" -> "bytea",
+    "longblob" -> "bytea",
+    "enum" -> "varchar")
+
+  private val Precision = """\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+
+  /** MySQL `COLUMN_TYPE` string → Postgres DDL type (reference:
+    * migrate_v3.py:225-248 `convert_mysql_type`).
+    *
+    * Ordering mirrors the reference: `tinyint(1)`/`bit(1)` substring
+    * checks first, then the unsigned-int promotion, then
+    * precision-preserving rows, then the base map with a `text`
+    * fallback. Divergences (documented above): the reference resolves
+    * `numeric(p,s)` through `TYPE_MAP.get('numeric')` which misses and
+    * yields `text(p,s)` — here `numeric(p,s)`; and the paren-free
+    * `int unsigned` spelling makes its `split('(')` base `"int
+    * unsigned"`, missing both the promotion and the map — here
+    * `bigint` like the `int(10) unsigned` spelling.
+    */
+  def pgType(mysqlType: String): String = {
+    val t = mysqlType.toLowerCase.trim
+    if (t.contains("tinyint(1)")) "boolean"
+    else if (t.contains("bit(1)")) "boolean"
+    else {
+      val unsigned = t.contains("unsigned")
+      val base = t.split('(').head.replace("unsigned", "").trim
+      val precision = Precision.findFirstMatchIn(t)
+      if ((base == "int" || base == "integer") && unsigned) "bigint"
+      else precision match {
+        case Some(m) if base == "decimal" || base == "numeric" =>
+          val scale = Option(m.group(2)).map("," + _).getOrElse("")
+          s"numeric(${m.group(1)}$scale)"
+        case Some(m) if base == "varchar" => s"varchar(${m.group(1)})"
+        // reference: `char(n)` returns the bare mapped type, width dropped
+        case Some(_) if base == "char" => "varchar"
+        case _ => TypeMap.getOrElse(base, "text")
+      }
+    }
+  }
+
+  private def q(ident: String): String = "\"" + ident.toLowerCase + "\""
+
+  private def target(schemaName: String, table: String, tablePrefix: String): String =
+    s"$schemaName.${(tablePrefix + table).toLowerCase}"
+
+  private def qualified(schemaName: String, table: String, tablePrefix: String): String =
+    s"${q(schemaName)}.${q(tablePrefix + table)}"
+
+  /** Existence probe run before phase 1 — an existing table means CDC is
+    * already connected and the whole table is skipped (reference:
+    * migrate_v3.py:377-389). Parameters are interpolated lowercase, the
+    * way the reference binds them.
+    */
+  def tableExistsSql(schemaName: String, table: String, tablePrefix: String = ""): String =
+    s"""SELECT EXISTS (SELECT FROM information_schema.tables
+       |  WHERE table_schema = '$schemaName'
+       |  AND table_name = '${(tablePrefix + table).toLowerCase}')""".stripMargin
+
+  /** Phase 1: the bulk-load-shaped CREATE (reference:
+    * migrate_v3.py:391-419). `skipConstraints` (the reference's
+    * default migration path) omits the inline PRIMARY KEY — it is
+    * added in phase 3 after the load; `unlogged` skips WAL for the
+    * load and is flipped by phase 3's `SET LOGGED`.
+    */
+  def createTableSql(schemaName: String, table: String, columns: Seq[SourceColumn],
+      unlogged: Boolean = true, skipConstraints: Boolean = true,
+      tablePrefix: String = ""): String = {
+    require(columns.nonEmpty, s"no columns for $table")
+    val colDefs = columns.map { c =>
+      q(c.name) + " " + pgType(c.mysqlType) + (if (c.nullable) "" else " NOT NULL")
+    }
+    val pk = columns.filter(_.isPrimary).map(c => q(c.name))
+    val defs = if (pk.nonEmpty && !skipConstraints)
+      colDefs :+ s"PRIMARY KEY (${pk.mkString(", ")})"
+    else colDefs
+    val unloggedClause = if (unlogged) "UNLOGGED " else ""
+    s"CREATE ${unloggedClause}TABLE ${target(schemaName, table, tablePrefix)} (${defs.mkString(", ")})"
+  }
+
+  /** Phase 3, step 1: re-enable WAL (reference: migrate_v3.py:440-447).
+    * Identifier-quoted like psycopg2's `sql.Identifier` rendering.
+    */
+  def setLoggedSql(schemaName: String, table: String, tablePrefix: String = ""): String =
+    s"ALTER TABLE ${qualified(schemaName, table, tablePrefix)} SET LOGGED"
+
+  /** Phase 3, step 2: the deferred PRIMARY KEY (reference:
+    * migrate_v3.py:449-461).
+    */
+  def addPrimaryKeySql(schemaName: String, table: String, pkCols: Seq[String],
+      tablePrefix: String = ""): String = {
+    require(pkCols.nonEmpty, s"no PK columns for $table")
+    s"ALTER TABLE ${qualified(schemaName, table, tablePrefix)} " +
+      s"ADD PRIMARY KEY (${pkCols.map(q).mkString(", ")})"
+  }
+
+  /** Phase 3, step 3: one secondary index (reference:
+    * migrate_v3.py:463-482; the PRIMARY index never reaches here, it is
+    * filtered at discovery — see [[SecondaryIndex]]).
+    */
+  def createIndexSql(schemaName: String, table: String, idx: SecondaryIndex,
+      tablePrefix: String = ""): String = {
+    val unique = if (idx.unique) "UNIQUE " else ""
+    s"CREATE ${unique}INDEX ${q(idx.name)} ON " +
+      s"${qualified(schemaName, table, tablePrefix)} (${idx.columns.map(q).mkString(", ")})"
+  }
+
+  /** FK DDL, rendered for completeness but NOT part of [[finalizeSql]]
+    * — the reference deliberately skips FK creation for the CDC sink
+    * (out-of-order per-table apply would trip constraints;
+    * migrate_v3.py:484-506 keeps the code commented out).
+    */
+  def createForeignKeySql(schemaName: String, table: String, fk: ForeignKey,
+      tablePrefix: String = ""): String =
+    s"ALTER TABLE ${qualified(schemaName, table, tablePrefix)} " +
+      s"ADD CONSTRAINT ${q(fk.name)} FOREIGN KEY (${fk.columns.map(q).mkString(", ")}) " +
+      s"REFERENCES ${qualified(schemaName, fk.refTable, tablePrefix)} (${fk.refColumns.map(q).mkString(", ")})"
+
+  /** The full phase-3 statement sequence in the reference's apply order:
+    * SET LOGGED → ADD PRIMARY KEY → secondary indexes
+    * (migrate_v3.py:430-482).
+    */
+  def finalizeSql(schemaName: String, table: String, pkCols: Seq[String],
+      indexes: Seq[SecondaryIndex] = Nil, tablePrefix: String = ""): Seq[String] =
+    setLoggedSql(schemaName, table, tablePrefix) +:
+      (if (pkCols.nonEmpty) Seq(addPrimaryKeySql(schemaName, table, pkCols, tablePrefix))
+       else Nil) ++:
+      indexes.map(createIndexSql(schemaName, table, _, tablePrefix))
+
+  /** Both phases for one table from its discovered metadata — the
+    * string-level mirror of the reference's per-table migration flow
+    * (probe → phase-1 create → [load] → phase-3 finalize).
+    */
+  def migrationDdl(schemaName: String, table: String, columns: Seq[SourceColumn],
+      indexes: Seq[SecondaryIndex] = Nil, tablePrefix: String = ""): Seq[String] =
+    createTableSql(schemaName, table, columns, tablePrefix = tablePrefix) +:
+      finalizeSql(schemaName, table,
+        columns.filter(_.isPrimary).map(_.name), indexes, tablePrefix)
+}

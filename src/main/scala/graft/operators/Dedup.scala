@@ -17,6 +17,49 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Operator-scratch registry: every intra-operator `.persist` (shingle
+    * projections, sketch frames) is tracked here so a long-lived library
+    * session can drop dedup scratch storage deterministically via
+    * [[releaseIntermediates]]. The persists are deliberate — each feeds
+    * 2–3 downstream joins of its own operator — but they land in the
+    * session's SQL cache and outlive the query; a caller that never
+    * clears the cache (the bench does, a library user typically doesn't)
+    * would accumulate one entry per operator invocation. Strong
+    * references, bounded by invocation count between releases.
+    */
+  private val scratchFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame)]()
+
+  // appId + identity, like the label-cache key: the unified SparkSession
+  // API has no sessionUUID, and the tracked frame pins its session so
+  // the identity hash cannot alias a collected one
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}"
+
+  private def persistScratch(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK): DataFrame
+    scratchFrames.add((sessionKey(df.sparkSession), p))
+    p
+  }
+
+  /** Unpersist every tracked operator-scratch frame of `spark`'s
+    * session, returning how many were dropped. Call at a corpus/batch
+    * boundary (after consuming the operators' results) — not
+    * concurrently with an in-flight dedup query of the same session,
+    * which would silently recompute its scratch. Part of the library
+    * cache-hygiene contract documented on
+    * [[graft.QueriesExt.clusterLabels]].
+    */
+  def releaseIntermediates(spark: org.apache.spark.sql.SparkSession): Int = {
+    val it = scratchFrames.iterator()
+    var n = 0
+    while (it.hasNext) {
+      val (sid, df) = it.next()
+      if (sid == sessionKey(spark)) { df.unpersist(false); it.remove(); n += 1 }
+    }
+    n
+  }
+
   /** Exact dedup: keep the lowest-id row per identical content
     * (fingerprint = md5). One groupBy shuffle, map-side combined.
     */
@@ -154,7 +197,7 @@ object Dedup {
         col(textCol), shingleLen).as("shingles"))
       .select(col("id"), col("shingles"),
         graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistScratch)
     // ids-only banding: candidates shuffle (id, band, hash) rows, never
     // the shingle sets or signatures
     val banded = Skew.saltOversized(withSig.select(
@@ -211,7 +254,7 @@ object Dedup {
         col(textCol), shingleLen).as("shingles"))
       .select(col("id"), col("shingles"),
         graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistScratch)
     def banded(sig: DataFrame): DataFrame = sig.select(
       col("id"),
       posexplode(
@@ -343,7 +386,7 @@ object Dedup {
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistScratch)
     // truncate (not drop) hot index values: an identical-content flood
     // saturates EVERY chunk position at once, so dropping hot buckets
     // would zero its pairs with no retry path; truncation keeps the
@@ -397,7 +440,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen, stride).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistScratch)
     val inv = Skew.capHotKeys(
       sets.select(col("id"), explode(col("shingles")).as("sh")),
       Seq("sh"), maxDocFreq)
@@ -749,7 +792,7 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"),
       hyperplanePoolSketch(col(vecCol), poolBits).as("sk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(persistScratch)
     val exploded = Skew.saltOversized(
       sig.select(col("id"),
         explode(poolBucketKeys(col("sk"), poolBits, bits, tabs)).as("bk")),

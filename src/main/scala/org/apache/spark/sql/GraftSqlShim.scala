@@ -27,12 +27,32 @@ object GraftSqlShim {
     * components, shared label frames) release deterministically through
     * this instead. No-op on non-checkpointed frames.
     */
-  def releaseCheckpoint(df: Dataset[_]): Unit =
-    // collect, not a top-level match: a renamed/projected view of a
+  def releaseCheckpoint(df: Dataset[_]): Unit = releaseCheckpoint(df, Set.empty)
+
+  /** Scoped variant: skips checkpoints whose RDD id is in `exclude` —
+    * for releasing a frame COMPOSED over a shared memoized checkpoint
+    * (e.g. a dedup-family result built on the cluster-label stage)
+    * without poisoning the shared stage for later consumers.
+    */
+  def releaseCheckpoint(df: Dataset[_], exclude: Set[Int]): Unit =
+    // traversal, not a top-level match: a renamed/projected view of a
     // checkpointed frame analyzes to Project(LogicalRDD) and a
     // top-level match would silently no-op on it
     df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        if (!exclude.contains(l.rdd.id)) l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** RDD ids of every checkpoint-backed node in the frame's plan — the
+    * identity set for [[releaseCheckpoint]]'s scoped variant.
+    */
+  def checkpointRddIds(df: Dataset[_]): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => b += l.rdd.id
+      case _ => ()
+    }
+    b.result()
+  }
 }

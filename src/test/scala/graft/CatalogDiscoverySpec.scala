@@ -143,7 +143,7 @@ class CatalogDiscoverySpec extends SparkSuite {
     assert(state.columns == Seq("STATE") && state.unique)
     // sink rebuild DDL renders the reference's phase-3 shape
     assert(CatalogDiscovery.renderCreateIndex("trading", "T_DEAL", parties) ==
-      """CREATE INDEX ix_deal_parties ON trading.t_deal ("buyer_id", "seller_id")""")
+      """CREATE INDEX "ix_deal_parties" ON "trading"."t_deal" ("buyer_id", "seller_id")""")
     // the reference's literal catalog queries stay available
     assert(CatalogDiscovery.showIndexSql("T_DEAL") == "SHOW INDEX FROM T_DEAL")
     assert(CatalogDiscovery.statisticsSql("xchange_trading", "T_DEAL")

@@ -218,6 +218,40 @@ class ScaleOpsSpec extends SparkSuite {
     QueriesExt.clearClusterLabelCache()
   }
 
+  test("releaseDerived frees a composed result's checkpoints but not the shared labels") {
+    import org.apache.spark.sql.GraftSqlShim
+    QueriesExt.clearClusterLabelCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = QueriesExt.clusterLabels(spark, sf001)
+    val sem = QueriesExt.cuDedupSemantic(spark, sf001)
+    assert(sem.count() > 0)
+    val semIds = GraftSqlShim.checkpointRddIds(sem)
+    val labelIds = GraftSqlShim.checkpointRddIds(labels)
+    // the composed plan reads the SHARED label checkpoint plus its own
+    // semantic-stage contraction checkpoint
+    assert(labelIds.nonEmpty && labelIds.subsetOf(semIds))
+    assert((semIds -- labelIds).nonEmpty)
+    QueriesExt.releaseDerived(sem)
+    // the result's own checkpoint storage is gone...
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    assert((semIds -- labelIds).forall(id => !live.contains(id)),
+      "derived checkpoint still persisted after releaseDerived")
+    // ...but the shared label stage survives: still memoized, and its
+    // consumers still read live blocks (a poisoned cache fails here
+    // with missing-checkpoint-block errors)
+    assert(QueriesExt.clusterLabels(spark, sf001) eq labels)
+    assert(QueriesExt.ddClusterStats(spark, sf001).count() > 0)
+    // end of corpus lifetime: dropping the label cache AND the
+    // operators' tracked scratch persists leaves zero blocks of this
+    // family behind — the library-caller hygiene contract
+    QueriesExt.clearClusterLabelCache()
+    assert(graft.operators.Dedup.releaseIntermediates(spark) > 0,
+      "label production should have tracked its shingle scratch persist")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"blocks left after full release: ${(after -- before).mkString(",")}")
+  }
+
 }
 
 class AsOfJoinSpec extends SparkSuite {
