@@ -948,7 +948,7 @@ object QueriesExt {
     s"""$ddClusterCte,
        |surv AS (SELECT doc_id FROM labeled WHERE cluster_id = doc_id),
        |surv_emb AS (SELECT e.* FROM embeddings e JOIN surv s ON e.vec_id = s.doc_id),
-       |${seededCellCte(SemDedupLists, src = "surv_emb")},
+       |${seededCellCte(SemDedupLists.toString, src = "surv_emb")},
        |pr2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
@@ -1082,30 +1082,38 @@ object QueriesExt {
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= $NearDupCosine
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** LSH ANN top-k, hash-graded end to end: PINNED geometry
-    * ([[AnnTopBits]] — the value the production auto-sizer derives at
-    * the grading scales) makes the candidate set SQL-reproducible, and
-    * the final rank is exact cosine over those candidates — so DuckDB
-    * replays candidates AND the ranked top-k. The corpus-auto-sized
-    * production path (nBits from log₂(N/64)) stays gated by recall
-    * floors in `StatefulAnnSpec`.
+  /** LSH ANN top-k, hash-graded end to end at PRODUCTION geometry:
+    * nBits derives from the corpus count ([[Similarity.autoBits]] —
+    * smallest b with 64·2^b ≥ N, an exact-integer ceil(log₂(N/64)))
+    * and the oracle's bit-count CTE replays the same shift search from
+    * `COUNT(*)`, so both engines agree on the geometry at EVERY corpus
+    * size — candidates and the exact-cosine rank are then
+    * bit-reproducible. This is the same query a production caller
+    * runs: buckets stay ~64 vectors as N grows (a pinned-bits variant
+    * measured 60.8 s at sf1 vs ~3 s auto-sized). Training-free; recall
+    * floors for the trained/auto tiers stay in `StatefulAnnSpec`.
     */
   val simAnnLsh: Q = (s, d) =>
     Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = AnnCandK,
-      nBits = AnnTopBits, nTables = AnnCandTables)
+      nBits = 0, nTables = AnnCandTables)
       .orderBy("query_id", "rank")
 
-  /** IVF ANN top-k, hash-graded end to end under PINNED seeded
-    * centroids ([[Similarity.ivfSeededTopK]] — the same
-    * assignment/probe/join/rank machinery as the trained tier). KMeans
-    * training isn't SQL-reproducible, so the trained path
-    * ([[Similarity.ivfTopK]], the scale tier for high-recall ANN:
-    * probes scan nProbe/nLists of the corpus) stays gated by the
-    * recall + unbiased-training specs.
+  /** IVF ANN top-k, hash-graded end to end at PRODUCTION sizing:
+    * seeded centroids (md5-rank pick — SQL-reproducible, unlike
+    * k-means|| RNG) with nLists/nProbe derived from the corpus exactly
+    * as the trained tier derives them ([[Similarity.ivfListsFor]]:
+    * √N under the centroid-broadcast budget; probe = max(4,
+    * lists/16)). The oracle recomputes both from `COUNT(*)` /
+    * `len(embedding)` — sqrt and ceil are correctly rounded on both
+    * engines, the budget cap is integer division — so the graded plan
+    * IS the scale plan: candidates per query stay ~probe·√N (a
+    * pinned-16-list variant measured 47.3 s at sf1 vs ~N^1.5
+    * auto-sized). Trained-KMeans quality stays gated by the recall +
+    * unbiased-training specs on [[Similarity.ivfTopK]].
     */
   val simAnnIvf: Q = (s, d) =>
     Similarity.ivfSeededTopK(emb(s, d), "vec_id", "embedding",
-      k = AnnCandK, nLists = IvfCandLists, nProbe = IvfCandProbe)
+      k = AnnCandK, nLists = 0, nProbe = 0)
       .orderBy("query_id", "rank")
 
   /** Hash-graded CANDIDATE generation of the LSH ANN tier: the ranked
@@ -1113,28 +1121,34 @@ object QueriesExt {
     * (data, seeds) — hyperplane signs are splitmix64 of (seed, bit,
     * dim) — so DuckDB reconstructs the signatures, the bucket joins AND
     * the adaptive Hamming-1 probe for starved queries, and the hash row
-    * certifies the whole candidate machinery. (nBits, nTables) are
-    * PINNED here (not corpus-derived) so both engines share the
-    * geometry without floating log2-of-count edge cases; nBits = 8
-    * keeps sf-scale buckets small enough that some queries actually
-    * starve, exercising the probe path under grading.
+    * certifies the whole candidate machinery. nBits is PINNED at 8
+    * here — above the grading corpora's auto-derived width — so
+    * buckets stay small enough that some queries actually STARVE,
+    * exercising the Hamming-1 probe path under grading (at production
+    * geometry almost nothing starves); that fixed width is also why
+    * this query is a grading companion, not a scale measurement.
     */
   val AnnCandBits = 8
   val AnnCandTables = 8
   val AnnCandK = 5
-  /** Geometry for the graded TOP-K/recall queries: 5 bits is exactly
-    * what the production auto-sizer (`max(5, log₂(N/64))`) derives at
-    * both grading scales (500 and 2 k vectors), so the hash-graded
-    * plans run the geometry a production call would — while the `_cand`
-    * companion keeps 8 bits to starve queries and exercise the
-    * Hamming-1 probe path under grading.
-    */
-  val AnnTopBits = 5
   val simAnnLshCand: Q = (s, d) =>
     Similarity.lshCandidates(emb(s, d), "vec_id", "embedding", k = AnnCandK,
       nBits = AnnCandBits, nTables = AnnCandTables)
       .orderBy("query_id", "neighbor_id")
-  private def annLshCandCtes(nBits: Int, nTables: Int): String = {
+  /** The production auto-bits formula as exact DuckDB SQL — the same
+    * integer shift search as [[Similarity.autoBits]] (smallest b with
+    * 64·2^b ≥ N, floor 5): no floating log, so both engines derive the
+    * identical bit count from the corpus row count.
+    */
+  private val autoBitsSqlExpr: String =
+    "GREATEST(5, (SELECT MIN(j) FROM unnest(range(0, 41)) t(j) " +
+      "WHERE (CAST(64 AS BIGINT) << j) >= (SELECT COUNT(*) FROM embeddings)))"
+
+  /** `bitsExpr` is a SQL expression for the signature width: a literal
+    * for the pinned `_cand` companion, [[autoBitsSqlExpr]] for the
+    * production-geometry graded queries.
+    */
+  private def annLshCandCtes(bitsExpr: String, nTables: Int): String = {
     import Duck64._
     val M64 = M
     val JA = 0x9e3779b97f4a7c15L  // HyperplaneSig's bit mixer
@@ -1142,8 +1156,10 @@ object QueriesExt {
     val A2 = u(0x9e3779b97f4a7c15L) // splitmix64 increment
     val C1 = 0xbf58476d1ce4e5b9L
     val C2 = 0x94d049bb133111ebL
-    s"""tbl AS (SELECT CAST(u AS INT) AS t FROM unnest(range(0, $nTables)) x(u)),
-       |bts AS (SELECT CAST(u AS INT) AS j FROM unnest(range(0, $nBits)) x(u)),
+    s"""nbv AS (SELECT CAST(($bitsExpr) AS INT) AS nb),
+       |tbl AS (SELECT CAST(u AS INT) AS t FROM unnest(range(0, $nTables)) x(u)),
+       |bts AS (SELECT CAST(u AS INT) AS j FROM unnest(range(0, 41)) x(u)
+       |  WHERE u < (SELECT nb FROM nbv)),
        |dims AS (SELECT CAST(u AS INT) AS i
        |  FROM unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) x(u)),
        |sx AS (SELECT t, j, i,
@@ -1179,7 +1195,7 @@ object QueriesExt {
        |  FROM (SELECT * FROM own UNION SELECT * FROM pp))""".stripMargin
   }
   val simAnnLshCandSql: String =
-    s"""WITH ${annLshCandCtes(AnnCandBits, AnnCandTables)}
+    s"""WITH ${annLshCandCtes(AnnCandBits.toString, AnnCandTables)}
        |SELECT query_id, neighbor_id FROM cand
        |ORDER BY query_id, neighbor_id""".stripMargin
 
@@ -1190,7 +1206,7 @@ object QueriesExt {
     * bit-reproducible given the pinned geometry.
     */
   lazy val simAnnLshSql: String =
-    s"""WITH ${annLshCandCtes(AnnTopBits, AnnCandTables)},
+    s"""WITH ${annLshCandCtes(autoBitsSqlExpr, AnnCandTables)},
        |r AS (SELECT vec_id, embedding, ${duckNormSq("embedding")} AS nsq FROM embeddings),
        |pr AS (SELECT c.query_id, c.neighbor_id,
        |    CASE WHEN sqrt(rq.nsq) * sqrt(rc.nsq) = 0.0 THEN 0.0
@@ -1224,13 +1240,34 @@ object QueriesExt {
     * replay of [[Similarity.seededCentroids]] + nearest-centroid
     * assignment, shared by the IVF candidate and SemDeDup oracles.
     */
-  private def seededCellCte(nLists: Int, src: String = "embeddings"): String =
-    s"""r AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
+  /** The production IVF sizing ([[Similarity.ivfListsFor]]) as exact
+    * DuckDB SQL: √N lists (ceil, floor 16) under the 64 MB
+    * centroid-broadcast budget. sqrt is IEEE-correctly-rounded on both
+    * engines and everything else is integer arithmetic, so the derived
+    * list count matches the Scala derivation at every corpus size.
+    */
+  private def autoListsSqlExpr(src: String = "embeddings"): String =
+    s"LEAST(GREATEST(16, CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM $src) AS DOUBLE))) AS INT)), " +
+      s"GREATEST(16, CAST(67108864 // (4 * (SELECT len(embedding) FROM $src LIMIT 1) + 64) AS INT)))"
+
+  /** Probe count from the derived list count — max(4, lists/16), the
+    * [[Similarity.ivfTopK]]/seeded-tier derivation (`nlv` must be in
+    * scope, i.e. after [[seededCellCte]]).
+    */
+  private val autoProbeSqlExpr: String = "(SELECT GREATEST(4, nl // 16) FROM nlv)"
+
+  /** `listsExpr` is a SQL expression for the list count: a literal for
+    * the pinned `_cand`/SemDeDup oracles, [[autoListsSqlExpr]] for the
+    * production-geometry graded queries.
+    */
+  private def seededCellCte(listsExpr: String, src: String = "embeddings"): String =
+    s"""nlv AS (SELECT CAST(($listsExpr) AS INT) AS nl),
+       |r AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
        |    ${duckNormSq("embedding")} AS nsq
        |  FROM $src),
        |cent AS (SELECT vec_id AS cid, embedding AS cvec, nsq AS cnsq,
        |    CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) AS list_id
-       |  FROM r QUALIFY list_id <= $nLists),
+       |  FROM r QUALIFY list_id <= (SELECT nl FROM nlv)),
        |sc AS (SELECT r.vec_id, c.list_id,
        |    CASE WHEN sqrt(r.nsq) * sqrt(c.cnsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("r.embedding", "c.cvec")} / (sqrt(r.nsq) * sqrt(c.cnsq))
@@ -1240,7 +1277,7 @@ object QueriesExt {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) = 1)""".stripMargin
 
   val simAnnIvfCandSql: String =
-    s"""WITH ${seededCellCte(IvfCandLists)},
+    s"""WITH ${seededCellCte(IvfCandLists.toString)},
        |prb AS (SELECT vec_id, list_id FROM sc
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $IvfCandProbe)
        |SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.list_id
@@ -1253,9 +1290,9 @@ object QueriesExt {
     * top-k replay bit-identically.
     */
   lazy val simAnnIvfSql: String =
-    s"""WITH ${seededCellCte(IvfCandLists)},
+    s"""WITH ${seededCellCte(autoListsSqlExpr())},
        |prb AS (SELECT vec_id, list_id FROM sc
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $IvfCandProbe),
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $autoProbeSqlExpr),
        |pr AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
        |    CASE WHEN sqrt(rq.nsq) * sqrt(rc.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("rq.embedding", "rc.embedding")} / (sqrt(rq.nsq) * sqrt(rc.nsq))
@@ -1283,7 +1320,7 @@ object QueriesExt {
       nLists = SemDedupLists, threshold = NearDupCosine)
       .orderBy("id_a", "id_b")
   val ddSemdedupSql: String =
-    s"""WITH ${seededCellCte(SemDedupLists)},
+    s"""WITH ${seededCellCte(SemDedupLists.toString)},
        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.list_id,
        |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
@@ -1322,7 +1359,7 @@ object QueriesExt {
   }
   // lazy: references DecontamEvalMod declared later in this object
   lazy val cuDecontaminateSemSql: String =
-    s"""WITH ${seededCellCte(SemDedupLists)},
+    s"""WITH ${seededCellCte(SemDedupLists.toString)},
        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
@@ -1352,12 +1389,13 @@ object QueriesExt {
   val ddEmbedNeardupSql: String = simCosineNeardupSql
 
   /** Recall@k of the two ANN tiers against the exact brute-force top-k
-    * — hash-graded: under the PINNED geometry of `sim_ann_lsh` /
-    * `sim_ann_ivf` the recall VALUES are deterministic, so DuckDB
-    * replays the exact baseline, both approximate top-k lists and the
-    * hit-counting division bit-for-bit. The trained-KMeans /
-    * auto-sized production tiers keep their recall floors in
-    * `DedupSimilaritySpec`/`StatefulAnnSpec`.
+    * — hash-graded: the tiers run the same corpus-derived PRODUCTION
+    * geometry as `sim_ann_lsh`/`sim_ann_ivf` (exact-integer auto-bits,
+    * √N seeded lists), which the oracle rederives from `COUNT(*)`, so
+    * the recall VALUES are deterministic and DuckDB replays the exact
+    * baseline, both approximate top-k lists and the hit-counting
+    * division bit-for-bit. Trained-KMeans recall keeps its ScalaTest
+    * floors in `DedupSimilaritySpec`/`StatefulAnnSpec`.
     */
   val AnnRecallMod = 4
   val simAnnRecall: Q = (s, d) => {
@@ -1381,9 +1419,9 @@ object QueriesExt {
     // full) — computing top-k for unsampled queries would be discarded
     // by the recall join anyway
     val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = AnnCandK,
-      nBits = AnnTopBits, nTables = AnnCandTables, queryFilter = Some(sampled))
+      nBits = 0, nTables = AnnCandTables, queryFilter = Some(sampled))
     val ivf = Similarity.ivfSeededTopK(e, "vec_id", "embedding", k = AnnCandK,
-      nLists = IvfCandLists, nProbe = IvfCandProbe, queryFilter = Some(sampled))
+      nLists = 0, nProbe = 0, queryFilter = Some(sampled))
     import s.implicits._
     val out = Seq(("lsh", AnnCandK, Similarity.recallAtK(lsh, exact)),
       ("ivf", AnnCandK, Similarity.recallAtK(ivf, exact)))
@@ -1401,10 +1439,10 @@ object QueriesExt {
     * IEEE-exact on both engines.
     */
   lazy val simAnnRecallSql: String =
-    s"""WITH ${annLshCandCtes(AnnTopBits, AnnCandTables)},
-       |${seededCellCte(IvfCandLists)},
+    s"""WITH ${annLshCandCtes(autoBitsSqlExpr, AnnCandTables)},
+       |${seededCellCte(autoListsSqlExpr())},
        |prb AS (SELECT vec_id, list_id FROM sc
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $IvfCandProbe),
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) <= $autoProbeSqlExpr),
        |ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    CASE WHEN sqrt(a.nsq) * sqrt(b.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq))

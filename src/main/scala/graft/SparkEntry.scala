@@ -135,11 +135,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every entry, including the approximate
-    * ANN tiers: under pinned geometry (hyperplane seeds / md5-seeded
-    * centroids) the candidate sets, the exact-cosine ranks and the
-    * recall fractions are all deterministic, so `sim_ann_lsh`,
-    * `sim_ann_ivf` and `sim_ann_recall` replay end to end in DuckDB
-    * alongside their `_cand` stage companions.
+    * ANN tiers: given fixed seeds (hyperplane splitmix chain,
+    * md5-seeded centroids) and corpus-derived geometry the oracle
+    * recomputes from `COUNT(*)` in exact integer/correctly-rounded
+    * arithmetic, the candidate sets, exact-cosine ranks and recall
+    * fractions are all deterministic, so `sim_ann_lsh`, `sim_ann_ivf`
+    * and `sim_ann_recall` replay end to end in DuckDB at PRODUCTION
+    * geometry, alongside their pinned `_cand` stage companions.
     */
   def oracleSql: Map[String, String] = Map(
     "a1_rowcount_smoke" -> Queries.a1Sql,

@@ -98,6 +98,21 @@ object Similarity {
     * nTables stays fixed — the candidate set stays ~nTables·64 per
     * query at every corpus size, vs N for brute force.
     */
+  /** Auto-sized signature width: the smallest b with 64·2^b ≥ N
+    * (floor 5) — i.e. ceil(log₂(N/64)) computed in EXACT integer
+    * arithmetic. Deliberately not FP log: `ceil(log(n/64.0)/log(2.0))`
+    * can land on either side of an integer when N/64 is a power of two
+    * (libm log is not correctly rounded), and this formula is replayed
+    * verbatim in the DuckDB oracle (`sim_ann_lsh`'s bit-count CTE runs
+    * the same shift search), where an off-by-one in bits changes every
+    * bucket. Integer shifts agree everywhere.
+    */
+  def autoBits(n: Long): Int = {
+    var b = 0
+    while ((64L << b) < n && b < 40) b += 1
+    math.max(5, b)
+  }
+
   /** The DETERMINISTIC candidate stage of [[lshTopK]], exposed on its
     * own: (query_id, neighbor_id) pairs that share a bucket in any
     * table, plus the adaptive Hamming-1 probe expansion for starved
@@ -114,9 +129,7 @@ object Similarity {
     // fixed bits let buckets (and per-query candidates) grow linearly
     // with N, which the r5 sf1 soak measured as 45× cost at 10× data.
     // Costs one count() — pass nBits explicitly to skip it.
-    val bits = if (nBits > 0) nBits
-      else math.max(5, math.ceil(math.log(math.max(1.0,
-        df.count() / 64.0)) / math.log(2.0)).toInt)
+    val bits = if (nBits > 0) nBits else autoBits(df.count())
     val sigCols = (0 until nTables).map(t =>
       hyperplaneSignature(col(vecCol), bits, seed = 42L + 1000L * t).as(s"__sig$t"))
     val sig = df.select(col(idCol).as("id") +: sigCols: _*)
@@ -310,10 +323,22 @@ object Similarity {
   private def seededPairs(df: DataFrame, idCol: String, vecCol: String,
       nLists: Int, nProbe: Int,
       queryFilter: Option[Column => Column]): DataFrame = {
-    val cents = seededCentroids(df, idCol, vecCol, nLists)
+    // nLists ≤ 0 → the production sizing ([[ivfListsFor]]: √N under the
+    // centroid-broadcast budget), nProbe ≤ 0 → max(4, lists/16) —
+    // IDENTICAL to [[ivfTopK]]'s derivation, and replayed in exact SQL
+    // (DuckDB's sqrt/ceil are correctly rounded like Java's, and the
+    // budget cap is integer division) so the graded seeded tier runs
+    // production geometry at every corpus size.
+    val lists = if (nLists > 0) nLists
+      else {
+        val dim = df.select(size(col(vecCol))).head().getInt(0)
+        ivfListsFor(df.count(), dim)
+      }
+    val probe = if (nProbe > 0) nProbe else math.max(4, lists / 16)
+    val cents = seededCentroids(df, idCol, vecCol, lists)
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
-    val (assigned, probes) = assignAndProbe(withNorm, cents, nProbe, queryFilter)
+    val (assigned, probes) = assignAndProbe(withNorm, cents, probe, queryFilter)
     probes.join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
   }
@@ -333,7 +358,7 @@ object Similarity {
     * specs on [[ivfTopK]].
     */
   def ivfSeededTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+      k: Int = 10, nLists: Int = 0, nProbe: Int = 0,
       queryFilter: Option[Column => Column] = None): DataFrame = {
     val scored = seededPairs(df, idCol, vecCol, nLists, nProbe, queryFilter)
       .select(col("query_id"), col("id").as("neighbor_id"),
