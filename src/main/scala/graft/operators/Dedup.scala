@@ -152,7 +152,11 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"), col("__salt"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash", "__salt"))
+    // shuffle-pinned like the embed bucket join below: the banded sides
+    // are n*bands exploded rows whose compressed ids shuffle sits far
+    // under the broadcast threshold while the deserialized relation
+    // (with sig arrays) is GBs at scale
+    a.join(b.hint("merge"), Seq("band", "band_hash", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
@@ -208,7 +212,7 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "band_hash"))),
       Seq("band", "band_hash"), maxBucketSize, saltOn = col("id"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "band_hash", "__salt"))
+    val cand = banded.as("x").join(banded.as("y").hint("merge"), Seq("band", "band_hash", "__salt"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
@@ -300,7 +304,7 @@ object Dedup {
       col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
+    a.join(b.hint("merge"), Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
@@ -444,7 +448,7 @@ object Dedup {
     val inv = Skew.capHotKeys(
       sets.select(col("id"), explode(col("shingles")).as("sh")),
       Seq("sh"), maxDocFreq)
-    val cand = inv.as("x").join(inv.as("y"), Seq("sh"))
+    val cand = inv.as("x").join(inv.as("y").hint("merge"), Seq("sh"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
@@ -799,7 +803,16 @@ object Dedup {
       Seq("bk"), maxBucketSize, saltOn = col("id"))
     val a = exploded.select(col("bk"), col("__salt"), col("id").as("id_a"))
     val b = exploded.select(col("bk"), col("__salt"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("bk", "__salt"))
+    // the bucket SELF-join must stay a shuffle join: its sides are
+    // n·tables ids-only rows that compress ~50× in shuffle files, so
+    // AQE's runtime re-plan (which thresholds on compressed shuffle
+    // bytes) happily converts it to broadcast — and the DESERIALIZED
+    // hash relation is n·tables·~550 B (measured 12.9 GiB at 80 k
+    // vectors × 305 tables, over Spark's 8 GiB broadcast hard limit;
+    // on a cluster it would be an executor OOM instead). The broadcast
+    // TIER below broadcasts only the n-row per-id attaches, never this
+    // exploded frame; the merge hint pins that intent through AQE.
+    val cand = a.join(b.hint("merge"), Seq("bk", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val skA = sig.select(col("id").as("id_a"), col("sk").as("sk_a"))

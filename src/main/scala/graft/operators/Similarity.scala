@@ -143,7 +143,11 @@ object Similarity {
       .select(col("neighbor_id"), col("p.t").as("t"), col("p.b").as("b"))
     val qOwn = qSig.select(col("id").as("query_id"), explode(ownBuckets).as("p"))
       .select(col("query_id"), col("p.t").as("t"), col("p.b").as("b"))
-    val ownPairs = qOwn.join(cB, Seq("t", "b"))
+    // shuffle-pinned: both sides are n*tables exploded ids-only rows —
+    // compressed shuffle bytes undersell the deserialized relation by
+    // ~50x, so AQE's broadcast conversion would build a GB-scale hash
+    // table (see the embed bucket join in Dedup for the measured case)
+    val ownPairs = qOwn.join(cB.hint("merge"), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     if (probeBits >= 1) {
@@ -158,7 +162,7 @@ object Similarity {
       val qProbe = starvedSig
         .select(col("id").as("query_id"), explode(probeBuckets).as("p"))
         .select(col("query_id"), col("p.t").as("t"), col("p.b").as("b"))
-      val probePairs = qProbe.join(cB, Seq("t", "b"))
+      val probePairs = qProbe.join(cB.hint("merge"), Seq("t", "b"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"))
       ownPairs.union(probePairs).distinct()
