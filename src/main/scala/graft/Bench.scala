@@ -67,6 +67,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val unknownExcl = excluded.filterNot(SparkEntry.queries.contains)
     require(unknownExcl.isEmpty, s"unknown excluded queries: ${unknownExcl.mkString(", ")}")
+    // the two selection modes don't compose (which would win for a name
+    // in both?) — refuse instead of silently ignoring the env var
+    require(args.isEmpty || excluded.isEmpty,
+      "SPARK_GRAFT_BENCH_EXCLUDE cannot be combined with positional query args")
     if (excluded.nonEmpty)
       System.err.println(s"[bench] excluding ${excluded.size}: ${excluded.toSeq.sorted.mkString(", ")}")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -90,17 +94,23 @@ object Bench {
         // especially in single-pass soak mode).
         // pre-warm inside the same failure barrier as the query: a
         // label-production failure records -1 for this query instead of
-        // aborting the whole bench. An arg-filtered run SKIPS the
-        // pre-warm — an untimed warm would silently exclude the
-        // dominant production cost from the one number being asked for
-        // (the full run keeps it: there dd_cluster measures production
-        // and consumers measure the post-label marginal cost).
+        // aborting the whole bench. An arg-filtered run CLEARS the label
+        // cache instead of pre-warming, EVERY pass — an untimed warm
+        // would silently exclude the dominant production cost from the
+        // one number being asked for, and without the per-pass clear
+        // only pass 1 would be cold (the memoized labels survive
+        // clearCache(), so median(cold, warm, warm) = warm). The full
+        // run keeps the pre-warm: there dd_cluster measures production
+        // and consumers measure the post-label marginal cost.
         val warmed = try {
           if (name == "dd_cluster") QueriesExt.clearClusterLabelCache()
           else if (LabelConsumers.contains(name)) {
             if (args.isEmpty) QueriesExt.clusterLabels(spark, sfDir)
-            else System.err.println(
-              s"[bench] note: arg-filtered run — $name includes label production on a cold cache")
+            else {
+              QueriesExt.clearClusterLabelCache()
+              System.err.println(
+                s"[bench] note: arg-filtered run — $name includes label production on a cold cache")
+            }
           }
           true
         } catch { case _: Throwable => false }

@@ -574,30 +574,6 @@ object QueriesExt {
         if (size() > LabelCacheCap) { Dedup.release(e.getValue); true } else false
     }
 
-  /** Eviction contract: frames returned here are backed by truncated-
-    * lineage checkpoints and are INVALIDATED when their cache entry is
-    * LRU-evicted (more than [[LabelCacheCap]] distinct (session,
-    * corpus) keys) or [[clearClusterLabelCache]] runs — a held
-    * reference fails on its next action with missing-checkpoint-block
-    * errors rather than silently recomputing. Consume promptly or
-    * re-request by key.
-    *
-    * CACHE-HYGIENE CONTRACT for long-lived library sessions (the bench
-    * clears Spark's SQL cache between passes; a library caller must
-    * release explicitly):
-    *  1. per composed RESULT (e.g. [[cuDedupSemantic]]'s output):
-    *     [[releaseDerived]] once consumed — drops the result's own
-    *     checkpoints, never the shared label stage;
-    *  2. per CORPUS lifetime: [[clearClusterLabelCache]] — drops the
-    *     memoized label frames (LRU eviction covers corpus churn
-    *     automatically);
-    *  3. per batch boundary: [[graft.operators.Dedup.releaseIntermediates]]
-    *     — drops the operators' tracked scratch persists (shingle
-    *     projections, sketch frames) that otherwise accumulate in the
-    *     session's SQL cache.
-    * The `releaseDerived` spec in `ScaleOpsSpec` pins that the three
-    * steps together leave zero persisted blocks.
-    */
   /** Corpus content signature for the label-cache key: path, size and
     * modification time of every input file, read from the relation's
     * file index (already listed at plan time — no extra filesystem
@@ -624,6 +600,30 @@ object QueriesExt {
     else files.sortBy(_._1).hashCode()
   }
 
+  /** Eviction contract: frames returned here are backed by truncated-
+    * lineage checkpoints and are INVALIDATED when their cache entry is
+    * LRU-evicted (more than [[LabelCacheCap]] distinct (session,
+    * corpus) keys) or [[clearClusterLabelCache]] runs — a held
+    * reference fails on its next action with missing-checkpoint-block
+    * errors rather than silently recomputing. Consume promptly or
+    * re-request by key.
+    *
+    * CACHE-HYGIENE CONTRACT for long-lived library sessions (the bench
+    * clears Spark's SQL cache between passes; a library caller must
+    * release explicitly):
+    *  1. per composed RESULT (e.g. [[cuDedupSemantic]]'s output):
+    *     [[releaseDerived]] once consumed — drops the result's own
+    *     checkpoints, never the shared label stage;
+    *  2. per CORPUS lifetime: [[clearClusterLabelCache]] — drops the
+    *     memoized label frames (LRU eviction covers corpus churn
+    *     automatically);
+    *  3. per batch boundary: [[graft.operators.Dedup.releaseIntermediates]]
+    *     — drops the operators' tracked scratch persists (shingle
+    *     projections, sketch frames) that otherwise accumulate in the
+    *     session's SQL cache.
+    * The `releaseDerived` spec in `ScaleOpsSpec` pins that the three
+    * steps together leave zero persisted blocks.
+    */
   def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     // applicationId qualifies the identity hash: a GC'd session's

@@ -109,20 +109,24 @@ object DdlEmitter {
 
   private def q(ident: String): String = "\"" + ident.toLowerCase + "\""
 
-  private def target(schemaName: String, table: String, tablePrefix: String): String =
-    s"$schemaName.${(tablePrefix + table).toLowerCase}"
-
   private def qualified(schemaName: String, table: String, tablePrefix: String): String =
     s"${q(schemaName)}.${q(tablePrefix + table)}"
 
   /** Existence probe run before phase 1 — an existing table means CDC is
     * already connected and the whole table is skipped (reference:
-    * migrate_v3.py:377-389). Parameters are interpolated lowercase, the
-    * way the reference binds them.
+    * migrate_v3.py:377-389). Third deliberate divergence: the schema is
+    * lowercased like every other identifier. The reference binds it
+    * VERBATIM while its phase-1 DDL leaves `schema.table` unquoted — so
+    * Postgres case-folds the created schema to lowercase and a
+    * mixed-case `schema_name` argument would make this probe miss the
+    * table it just created, defeating the skip-if-exists CDC guard (its
+    * deployed configs are all-lowercase, so the slip never fired).
+    * Lowercasing both sides keeps probe and DDL consistent for every
+    * input.
     */
   def tableExistsSql(schemaName: String, table: String, tablePrefix: String = ""): String =
     s"""SELECT EXISTS (SELECT FROM information_schema.tables
-       |  WHERE table_schema = '$schemaName'
+       |  WHERE table_schema = '${schemaName.toLowerCase}'
        |  AND table_name = '${(tablePrefix + table).toLowerCase}')""".stripMargin
 
   /** Phase 1: the bulk-load-shaped CREATE (reference:
@@ -143,7 +147,12 @@ object DdlEmitter {
       colDefs :+ s"PRIMARY KEY (${pk.mkString(", ")})"
     else colDefs
     val unloggedClause = if (unlogged) "UNLOGGED " else ""
-    s"CREATE ${unloggedClause}TABLE ${target(schemaName, table, tablePrefix)} (${defs.mkString(", ")})"
+    // qualified (quoted + lowercased) like phase 3, not the reference's
+    // bare `{schema}.{table}` f-string: a reserved-word table name
+    // (`order`, `user` — common in this domain) breaks unquoted DDL,
+    // and phase 1/3 disagreeing on identifier handling would split a
+    // mixed-case name across two tables
+    s"CREATE ${unloggedClause}TABLE ${qualified(schemaName, table, tablePrefix)} (${defs.mkString(", ")})"
   }
 
   /** Phase 3, step 1: re-enable WAL (reference: migrate_v3.py:440-447).

@@ -37,6 +37,13 @@ object Dedup {
     s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}"
 
   private def persistScratch(df: DataFrame): DataFrame = {
+    // opportunistic pruning keeps the registry bounded without an extra
+    // API: entries of STOPPED sessions pin DataFrames (and their
+    // sessions) forever otherwise — a multi-session app that never
+    // calls releaseIntermediates for a session it already stopped
+    // would accumulate one dead tuple per operator invocation
+    val it = scratchFrames.iterator()
+    while (it.hasNext) if (it.next()._2.sparkSession.sparkContext.isStopped) it.remove()
     val p = df.persist(StorageLevel.MEMORY_AND_DISK): DataFrame
     scratchFrames.add((sessionKey(df.sparkSession), p))
     p
@@ -737,8 +744,10 @@ object Dedup {
       math.ceil(poolBits * (1.0 - p1) + 3.0 * math.sqrt(poolBits.toDouble)).toInt)
   }
 
-  /** `nBits`/`nTables` ≤ 0 → auto from corpus size (one count() of the
-    * corpus; pass explicit values to skip it).
+  /** `nBits`/`nTables` ≤ 0 → auto from corpus size. The corpus is
+    * count()ed unconditionally — the broadcast-vs-shuffle TIER decision
+    * needs n even when the geometry is passed explicitly — so explicit
+    * values skip only the parameter derivation, not the count.
     *
     * Plan shape — two tiers behind one recall contract:
     *  - ONE bit-pool sketch per vector ([[graft.plans.HyperplanePoolSketch]],

@@ -559,10 +559,20 @@ case class PoolBucketKeys(child: Expression, poolBits: Int, bits: Int,
 case class LongArrayHamming(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  // mismatched widths FAIL instead of truncating to the shorter array:
+  // sketches from different poolBits would silently compare a common
+  // prefix, yielding an artificially small distance that slips through
+  // a hammingCutoff computed for the wider pool — a wrong-join bug
+  // masked as a plausible result. One branch per pair, negligible next
+  // to the popcount loop.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"LongArrayHamming: mismatched sketch widths (${n} vs ${y.numElements()} words) " +
+          "— both sides must be built with the same poolBits")
     var hd = 0
     var i = 0
     while (i < n) { hd += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
@@ -574,7 +584,12 @@ case class LongArrayHamming(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val hd = ctx.freshName("hd")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "LongArrayHamming: mismatched sketch widths (" + $n + " vs " +
+         |      $b.numElements() + " words) — both sides must be built with the same poolBits");
+         |}
          |int $hd = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $hd += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));

@@ -114,7 +114,7 @@ class DdlSpec extends AnyFunSuite {
 
   test("phase 1: unlogged constraint-free create, identifiers lowercased") {
     assert(DdlEmitter.createTableSql("public", "Trades", cols, tablePrefix = "x_") ==
-      """CREATE UNLOGGED TABLE public.x_trades ("id" bigint NOT NULL, """ +
+      """CREATE UNLOGGED TABLE "public"."x_trades" ("id" bigint NOT NULL, """ +
         """"user" varchar(64) NOT NULL, "is_active" boolean, """ +
         """"balance" numeric(18,4), "created_date" timestamp)""")
   }
@@ -122,7 +122,7 @@ class DdlSpec extends AnyFunSuite {
   test("phase 1 variant: logged create with inline PK") {
     assert(DdlEmitter.createTableSql("public", "Trades", cols,
       unlogged = false, skipConstraints = false) ==
-      """CREATE TABLE public.trades ("id" bigint NOT NULL, """ +
+      """CREATE TABLE "public"."trades" ("id" bigint NOT NULL, """ +
         """"user" varchar(64) NOT NULL, "is_active" boolean, """ +
         """"balance" numeric(18,4), "created_date" timestamp, PRIMARY KEY ("id"))""")
   }
@@ -157,11 +157,15 @@ class DdlSpec extends AnyFunSuite {
       """SELECT EXISTS (SELECT FROM information_schema.tables
         |  WHERE table_schema = 'public'
         |  AND table_name = 'x_trades')""".stripMargin)
+    // mixed-case schema: probe and DDL agree on the lowercased name
+    // (the reference binds the schema verbatim here while its unquoted
+    // phase-1 DDL case-folds — the probe would never match)
+    assert(DdlEmitter.tableExistsSql("Trading", "T_Deal").contains("table_schema = 'trading'"))
   }
 
   test("migrationDdl composes phase 1 + phase 3 for one table") {
     val ddl = DdlEmitter.migrationDdl("public", "Trades", cols)
-    assert(ddl.head.startsWith("CREATE UNLOGGED TABLE public.trades ("))
+    assert(ddl.head.startsWith("CREATE UNLOGGED TABLE \"public\".\"trades\" ("))
     assert(ddl(1) == """ALTER TABLE "public"."trades" SET LOGGED""")
     assert(ddl(2) == """ALTER TABLE "public"."trades" ADD PRIMARY KEY ("id")""")
     assert(ddl.size == 3)
