@@ -222,4 +222,24 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("exploded candidate self-joins stay shuffle joins through AQE's final re-plan") {
+    // the guard must read the FINAL adaptive plan (after an action):
+    // AQE's broadcast conversion thresholds on COMPRESSED runtime
+    // shuffle bytes, and the exploded ids-only sides compress ~50× —
+    // at test scale the conversion would always fire, which is exactly
+    // why the merge pins exist (at sf4 the deserialized build measured
+    // 12.9 GiB, over the 8 GiB broadcast hard limit; on a cluster an
+    // executor OOM). A broadcast appearing HERE means the pin is lost.
+    for (name <- Seq("dd_minhash_lsh", "dd_embed_neardup")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.count() // drive AQE to the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      val selfJoinKey = if (name == "dd_minhash_lsh") "band_hash" else "bk"
+      assert(("SortMergeJoin \\[" + selfJoinKey).r.findFirstIn(plan).isDefined,
+        s"$name bucket self-join is no longer a sort-merge join:\n$plan")
+      assert(!("BroadcastHashJoin \\[" + selfJoinKey).r.findFirstIn(plan).isDefined,
+        s"$name bucket self-join was broadcast-converted by AQE:\n$plan")
+    }
+  }
 }
