@@ -1250,11 +1250,12 @@ object QueriesExt {
     s"LEAST(GREATEST(16, CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM $src) AS DOUBLE))) AS INT)), " +
       s"GREATEST(16, CAST(67108864 // (4 * (SELECT len(embedding) FROM $src LIMIT 1) + 64) AS INT)))"
 
-  /** Probe count from the derived list count — max(4, lists/16), the
-    * [[Similarity.ivfTopK]]/seeded-tier derivation (`nlv` must be in
-    * scope, i.e. after [[seededCellCte]]).
+  /** Probe count from the derived list count — [[Similarity.autoProbe]]
+    * (lists/16 capped at ceil(√lists), floor 4) as exact SQL (`nlv`
+    * must be in scope, i.e. after [[seededCellCte]]).
     */
-  private val autoProbeSqlExpr: String = "(SELECT GREATEST(4, nl // 16) FROM nlv)"
+  private val autoProbeSqlExpr: String =
+    "(SELECT GREATEST(4, LEAST(nl // 16, CAST(ceil(sqrt(CAST(nl AS DOUBLE))) AS INT))) FROM nlv)"
 
   /** `listsExpr` is a SQL expression for the list count: a literal for
     * the pinned `_cand`/SemDeDup oracles, [[autoListsSqlExpr]] for the

@@ -230,6 +230,21 @@ object Similarity {
     math.min(sqrtN.toLong, cap).toInt
   }
 
+  /** Auto probe count for `lists` cells: lists/16 while small, capped
+    * at ceil(√lists) once lists exceeds 256 (the crossover where the
+    * two agree). The cap is what keeps the operator sub-quadratic: an
+    * UNCAPPED lists/16 pins the probed corpus fraction at 1/16, so
+    * per-query candidates grow as N/16 and total work as N²/16 — the
+    * sf4 probe measured exactly that (36× cost at 40× data). With the
+    * √ cap the fraction shrinks as 1/√lists ~ N^-0.25 and total work
+    * grows as N^1.25. Exact-integer + correctly-rounded sqrt, replayed
+    * verbatim in the `sim_ann_ivf` oracle's probe CTE; at every
+    * grading/bench scale (lists ≤ 283) the value is unchanged from the
+    * old formula.
+    */
+  def autoProbe(lists: Int): Int =
+    math.max(4, math.min(lists / 16, math.ceil(math.sqrt(lists.toDouble)).toInt))
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       nLists: Int = 0, nProbe: Int = 0, seed: Long = 42L,
       queryFilter: Option[Column => Column] = None,
@@ -240,15 +255,13 @@ object Similarity {
     // query = nProbe·N/nLists = nProbe·√N, total work N^1.5 instead of
     // the N²/4 a FIXED list count degrades to — the r5 sf1 soak measured
     // that as 66 s at 20k vectors), and the cap keeps the broadcast
-    // bounded at 10⁹+-vector corpora. nProbe ≤ 0 → nLists/16, floor 4,
-    // so the probed corpus fraction shrinks as the corpus grows instead
-    // of pinning at nProbe/nLists of everything.
+    // bounded at 10⁹+-vector corpora.
     val lists = if (nLists > 0) nLists
       else {
         val dim = df.select(size(col(vecCol))).head().getInt(0)
         ivfListsFor(df.count(), dim, maxCentroidBytes)
       }
-    val probe = if (nProbe > 0) nProbe else math.max(4, lists / 16)
+    val probe = if (nProbe > 0) nProbe else autoProbe(lists)
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -328,7 +341,7 @@ object Similarity {
       nLists: Int, nProbe: Int,
       queryFilter: Option[Column => Column]): DataFrame = {
     // nLists ≤ 0 → the production sizing ([[ivfListsFor]]: √N under the
-    // centroid-broadcast budget), nProbe ≤ 0 → max(4, lists/16) —
+    // centroid-broadcast budget), nProbe ≤ 0 → [[autoProbe]] —
     // IDENTICAL to [[ivfTopK]]'s derivation, and replayed in exact SQL
     // (DuckDB's sqrt/ceil are correctly rounded like Java's, and the
     // budget cap is integer division) so the graded seeded tier runs
@@ -338,7 +351,7 @@ object Similarity {
         val dim = df.select(size(col(vecCol))).head().getInt(0)
         ivfListsFor(df.count(), dim)
       }
-    val probe = if (nProbe > 0) nProbe else math.max(4, lists / 16)
+    val probe = if (nProbe > 0) nProbe else autoProbe(lists)
     val cents = seededCentroids(df, idCol, vecCol, lists)
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
