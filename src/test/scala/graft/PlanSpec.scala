@@ -233,12 +233,18 @@ class BucketingSpec extends SparkSuite {
     // executor OOM). A broadcast appearing HERE means the pin is lost.
     for (name <- Seq("dd_minhash_lsh", "dd_embed_neardup")) {
       val df = SparkEntry.queries(name)(spark, sf001)
-      df.count() // drive AQE to the final plan
-      val plan = df.queryExecution.executedPlan.toString
+      // df.count() would execute a *derived* plan, leaving this one
+      // isFinalPlan=false; executing the plan object itself makes AQE
+      // materialize every stage and commit its final re-plan here
+      val exec = df.queryExecution.executedPlan
+      exec.execute().count()
+      val plan = exec.toString
+      // the bucket join may carry leading keys (e.g. [band, band_hash, __salt]),
+      // so match the distinguishing key anywhere inside the key list
       val selfJoinKey = if (name == "dd_minhash_lsh") "band_hash" else "bk"
-      assert(("SortMergeJoin \\[" + selfJoinKey).r.findFirstIn(plan).isDefined,
+      assert(("SortMergeJoin \\[[^\\]]*" + selfJoinKey).r.findFirstIn(plan).isDefined,
         s"$name bucket self-join is no longer a sort-merge join:\n$plan")
-      assert(!("BroadcastHashJoin \\[" + selfJoinKey).r.findFirstIn(plan).isDefined,
+      assert(("BroadcastHashJoin \\[[^\\]]*" + selfJoinKey).r.findFirstIn(plan).isEmpty,
         s"$name bucket self-join was broadcast-converted by AQE:\n$plan")
     }
   }
