@@ -441,6 +441,21 @@ object Dedup {
     * EVERY shared shingle is boilerplate-hot; at the default it never
     * fires below ~10k-document shingle frequency (and so never at test
     * SFs — the graded entry stays exact).
+    *
+    * The index holds only each document's PREFIX — its smallest
+    * `|S| − ⌈t·|S|⌉ + 1` shingle hashes (prefix filtering: Chaudhuri
+    * et al., "A Primitive Operator for Similarity Joins", ICDE'06;
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08). For J(A,B) ≥ t the overlap is ≥ ⌈t·max(|A|,
+    * |B|)⌉, so under any global token order the two prefixes must
+    * share a token — indexing the rest only manufactures candidates
+    * that verification would reject. The sorted-distinct hash arrays
+    * already carry the global order, verification still compares FULL
+    * sets, so the result is bit-identical while the index shrinks to
+    * ~(1−t)·|S| rows and the candidate term by ~(1−t)²: this is what
+    * keeps the sf1→sf4 growth of the candidate join bounded. A size
+    * filter (min ≥ t·max, same bound with overlap ≤ min) prunes
+    * cross-length candidates before the distinct.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 24, stride: Int = 3, threshold: Double = 0.5,
@@ -452,11 +467,20 @@ object Dedup {
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen, stride).as("shingles"))
       .transform(persistScratch)
+    // ceil must never round UP past the exact ⌈t·s⌉ (a too-short prefix
+    // loses pairs); the epsilon makes float error shorten the ceil —
+    // i.e. lengthen the prefix — which only adds candidates.
+    val sz = size(col("shingles"))
+    val pfxLen = greatest(lit(1),
+      sz - ceil(sz * lit(threshold) - lit(1e-9)).cast("int") + lit(1))
     val inv = Skew.capHotKeys(
-      sets.select(col("id"), explode(col("shingles")).as("sh")),
+      sets.select(col("id"), sz.as("sz"),
+        explode(slice(col("shingles"), lit(1), pfxLen)).as("sh")),
       Seq("sh"), maxDocFreq)
     val cand = inv.as("x").join(inv.as("y").hint("merge"), Seq("sh"))
-      .filter(col("x.id") < col("y.id"))
+      .filter(col("x.id") < col("y.id") &&
+        least(col("x.sz"), col("y.sz")) >=
+          greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand

@@ -49,6 +49,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!m.contains((0L, 2L)))
   }
 
+  test("prefix-filtered inverted index loses no pairs vs exhaustive exact jaccard") {
+    // the prefix filter indexes only the smallest |S|−⌈t·|S|⌉+1 hashes
+    // per doc; the theorem says no qualifying pair can be lost. Verify
+    // set-equality (ids AND scores) against unblocked all-pairs on the
+    // real 500-doc corpus, at a threshold that makes prefixes and the
+    // size filter both bite (t=0.35 → prefix ≈ 65% of each set).
+    val d = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val t = 0.35
+    val fast = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      shingleLen = 16, stride = 2, threshold = t)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = d.select($"doc_id".as("id"),
+      graft.plans.GraftFunctions.hashedCharShingles($"text", 16, 2).as("sh"))
+    val exact = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        graft.plans.GraftFunctions.sortedJaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter($"j" >= t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture produced no qualifying pairs — test is vacuous")
+    assert(fast == exact,
+      s"prefix-filtered: ${fast.size} pairs, exact: ${exact.size}; " +
+        s"missing=${(exact -- fast).take(5)} extra=${(fast -- exact).take(5)}")
+  }
+
   test("embedding near-dup via hyperplane LSH blocking") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f, 0f)), // near 0
