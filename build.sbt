@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness tail-parses the bench's final stdout line as JSON. sbt's
+// default LoggedOutput strategy prefixes every forked-run line with
+// "[info] "/"[error] " and then appends its own "[success] Total time"
+// line — both of which broke the parse in rounds 6-8 (BENCH_r0*.json
+// "parsed": null). StdoutOutput passes the child's stdout/stderr through
+// raw, and showSuccess=false drops the trailing success line, so the
+// compact JSON emitted by graft.Bench is the literal last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -75,7 +75,15 @@ object Bench {
       System.err.println(s"[bench] excluding ${excluded.size}: ${excluded.toSeq.sorted.mkString(", ")}")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs the suite in reverse
+    // alphabetical order — a diagnosis tool for in-run session aging:
+    // if a query's time depends on its position (JVM/code-cache/shuffle
+    // state accumulated by earlier queries), the two orders disagree
+    // while isolated runs match; a plan regression reproduces in both.
+    val ordered0 = selected.toSeq.sortBy(_._1)
+    val ordered = if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+      ordered0.reverse else ordered0
+    val results = ordered.map { case (name, fn) =>
       val passes = (1 to Passes).map { _ =>
         // fresh-cache per pass: operators persist intermediate projections
         // (dedup shingle sets, LSH sketches); a later pass that plan-matches

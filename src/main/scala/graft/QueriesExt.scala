@@ -1082,6 +1082,57 @@ object QueriesExt {
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= $NearDupCosine
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Production operating point of the embedding near-dup: cosine ≥ 0.8
+    * — the regime real corpus dedup runs at, where the hyperplane-LSH
+    * per-bit gap is wide (p₁ ≈ 0.80 vs 0.5 orthogonal) and candidate
+    * volume stays ~linear in N (SCALE_SOAK.md "honest physics"). The
+    * test corpus has no natural pairs above cosine 0.51, so qualifying
+    * pairs are PLANTED deterministically inside the query: for every
+    * 40th vector, a copy with every (5 + vec_id % 4)-th coordinate
+    * zeroed (cosine = √(1 − s/‖v‖²) ≈ 0.89–0.94) is unioned in under
+    * vec_id + 10⁷. Zeroing is float-exact on both engines, so the
+    * DuckDB oracle replays the augmented corpus bit-for-bit and the
+    * all-pairs cosine check grades the blocked plan's recall at 0.8
+    * exactly, same as the adversarial 0.45 entry.
+    */
+  val HiNearDupCosine = 0.8
+  val PlantMod = 40
+  val PlantIdOffset = 10000000L
+  private val PlantStride: Column => Column = id => lit(5) + (id % 4)
+  def plantedHiEmb(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") % PlantMod === 0)
+      .select((col("vec_id") + PlantIdOffset).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i % PlantStride(col("vec_id")) === 0, lit(0f)).otherwise(x))
+          .as("embedding"))
+    e.unionAll(planted)
+  }
+  val ddEmbedNeardupHi: Q = (s, d) =>
+    Dedup.embeddingNearDupPairs(plantedHiEmb(s, d), "embedding", "vec_id",
+      threshold = HiNearDupCosine)
+      .orderBy("id_a", "id_b")
+  val ddEmbedNeardupHiSql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantIdOffset AS vec_id,
+       |    list_transform(list_zip(embedding, range(len(embedding))),
+       |      p -> CASE WHEN CAST(p[2] AS BIGINT) % (5 + vec_id % 4) = 0
+       |                THEN CAST(0.0 AS FLOAT) ELSE p[1] END) AS embedding
+       |  FROM embeddings WHERE vec_id % $PlantMod = 0),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${duckDot("a.embedding", "b.embedding")} AS dotp,
+       |    ${duckNormSq("a.embedding")} AS na,
+       |    ${duckNormSq("b.embedding")} AS nb
+       |  FROM aug a, aug b WHERE a.vec_id < b.vec_id),
+       |c AS (SELECT id_a, id_b,
+       |    CASE WHEN sqrt(na) * sqrt(nb) = 0.0 THEN 0.0
+       |         ELSE dotp / (sqrt(na) * sqrt(nb)) END AS cosine
+       |  FROM p)
+       |SELECT id_a, id_b, cosine FROM c WHERE cosine >= $HiNearDupCosine
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** LSH ANN top-k, hash-graded end to end at PRODUCTION geometry:
     * nBits derives from the corpus count ([[Similarity.autoBits]] —
     * smallest b with 64·2^b ≥ N, an exact-integer ceil(log₂(N/64)))

@@ -113,6 +113,7 @@ object SparkEntry {
     "cu_dedup_keep_best" -> QueriesExt.cuDedupKeepBest,
     "sim_ann_recall" -> QueriesExt.simAnnRecall,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardup,
+    "dd_embed_neardup_hi" -> QueriesExt.ddEmbedNeardupHi,
     // corpus curation
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSample,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurate,
@@ -230,6 +231,7 @@ object SparkEntry {
     "dd_semdedup" -> QueriesExt.ddSemdedupSql,
     "cu_dedup_keep_best" -> QueriesExt.cuDedupKeepBestSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
+    "dd_embed_neardup_hi" -> QueriesExt.ddEmbedNeardupHiSql,
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSampleSql,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,
     "cu_chunk" -> QueriesExt.cuChunkSql,

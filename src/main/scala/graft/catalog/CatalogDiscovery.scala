@@ -118,18 +118,25 @@ object CatalogDiscovery {
     */
   def foreignKeysFromJdbc(spark: SparkSession, url: String, table: String): DataFrame = {
     val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val rs = conn.getMetaData.getImportedKeys(null, null, table)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (rs.next()) {
-        buf += Row(table, rs.getString("FK_NAME"), rs.getString("FKCOLUMN_NAME"),
-          rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME"),
-          rs.getInt("KEY_SEQ"))
-      }
-      rs.close()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(buf.toIndexedSeq, 1), FkSchema)
-    } finally conn.close()
+    try foreignKeysFromJdbc(spark, conn, table) finally conn.close()
+  }
+
+  /** Connection-injected variant — the unit under dialect golden tests
+    * (`DialectSpec` drives it with mocked MySQL- and Postgres-shaped
+    * `DatabaseMetaData`); the URL overload owns connection lifecycle.
+    */
+  def foreignKeysFromJdbc(spark: SparkSession, conn: java.sql.Connection,
+      table: String): DataFrame = {
+    val rs = conn.getMetaData.getImportedKeys(null, null, table)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (rs.next()) {
+      buf += Row(table, rs.getString("FK_NAME"), rs.getString("FKCOLUMN_NAME"),
+        rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME"),
+        rs.getInt("KEY_SEQ"))
+    }
+    rs.close()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(buf.toIndexedSeq, 1), FkSchema)
   }
 
   // ------------------------------------------------ S5c: secondary indexes
@@ -194,7 +201,13 @@ object CatalogDiscovery {
     */
   def indexesFromJdbc(spark: SparkSession, url: String, table: String): DataFrame = {
     val conn = java.sql.DriverManager.getConnection(url)
-    try {
+    try indexesFromJdbc(spark, conn, table) finally conn.close()
+  }
+
+  /** Connection-injected variant (see [[foreignKeysFromJdbc]]). */
+  def indexesFromJdbc(spark: SparkSession, conn: java.sql.Connection,
+      table: String): DataFrame = {
+    {
       val md = conn.getMetaData
       val pkRs = md.getPrimaryKeys(null, null, table)
       val pkCols = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
@@ -218,7 +231,7 @@ object CatalogDiscovery {
         rows.sortBy(_.getInt(3)).map(_.getString(4)).toSeq != pk
       }.values.flatten.toIndexedSeq.sortBy(r => (r.getString(1), r.getInt(3)))
       spark.createDataFrame(spark.sparkContext.parallelize(keep, 1), IndexSchema)
-    } finally conn.close()
+    }
   }
 
   /** Sink-side DDL for one discovered index — delegates to

@@ -12,8 +12,13 @@ import org.apache.spark.sql.types._
   */
 object TypeMapper {
 
-  private val ParamType = """^\s*(\w+)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*(unsigned)?\s*$""".r
-  private val BareType = """^\s*(\w+)\s*(unsigned)?\s*$""".r
+  // `zerofill` (always implies a display width, often follows `unsigned`
+  // in MariaDB's COLUMN_TYPE output, e.g. "int(10) unsigned zerofill")
+  // is a formatting attribute with no value-domain effect — tolerate and
+  // ignore it, like the reference's substring-based checks do
+  // (migrate_v3.py:225-248 match on the base-type substring).
+  private val ParamType = """^\s*(\w+)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*(unsigned)?\s*(?:zerofill)?\s*$""".r
+  private val BareType = """^\s*(\w+)\s*(unsigned)?\s*(?:zerofill)?\s*$""".r
 
   /** Parse a MySQL column type string, e.g. "decimal(10,2)", "tinyint(1)",
     * "int unsigned", "varchar(255)". Unknown types fall back to string

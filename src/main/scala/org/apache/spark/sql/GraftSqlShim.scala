@@ -2,16 +2,32 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-/** Bridge to the `private[sql]` Column↔Expression converters — the
-  * supported pattern for libraries that define custom Catalyst
-  * expressions against Spark 4's unified Column API.
+/** The library's ONLY file inside Spark's package namespace, kept to
+  * the minimum set of `private[sql]` touch points that Spark 4's
+  * public API cannot replace. Each member below documents why the
+  * public surface is insufficient; if a public equivalent appears in
+  * a later Spark, delete the member (and eventually this file).
   */
 object GraftSqlShim {
+  // Spark 4 made Column expression-agnostic (SPARK-46144: Column wraps
+  // a ColumnNode, not an Expression) and moved the converters to
+  // `private[sql] classic.ExpressionUtils`. A library defining custom
+  // Catalyst expressions (GraftExpressions: Winnow, HyperplanePoolSketch,
+  // …) has NO public way to wrap one into a Column or to extract the
+  // Expression a Column resolves to — `expr("...")` only covers
+  // registered SQL functions and `Column(String)` only named columns.
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** Register a temp SQL function on a live session (the extensions
     * path covers new sessions; this covers getOrCreate'd ones).
+    * `sessionState` (and the FunctionRegistry behind it) is
+    * `private[sql]`: the public alternatives register UDFs
+    * (`spark.udf.register`, black-box to codegen) or require a restart
+    * (`SparkSessionExtensions.injectFunction` applies only to sessions
+    * built AFTER the extension is installed). Registering a raw
+    * `Seq[Expression] => Expression` builder keeps the functions
+    * codegen-native for SQL-text callers on an already-live session.
     */
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
@@ -37,7 +53,11 @@ object GraftSqlShim {
   def releaseCheckpoint(df: Dataset[_], exclude: Set[Int]): Unit =
     // traversal, not a top-level match: a renamed/projected view of a
     // checkpointed frame analyzes to Project(LogicalRDD) and a
-    // top-level match would silently no-op on it
+    // top-level match would silently no-op on it.
+    // `queryExecution` and `execution.LogicalRDD` are private[sql]:
+    // the public API exposes neither the analyzed plan nor the RDD a
+    // localCheckpoint materialized, so deterministic storage release
+    // (vs waiting on the ContextCleaner) has no public route.
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         if (!exclude.contains(l.rdd.id)) l.rdd.unpersist(false)
