@@ -138,8 +138,22 @@ object Bench {
     val total = results.map(_._2).sum
     val companions = results.map(_._1).filter(GradingCompanions.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // streaming throughput section (skipped for arg-filtered dev runs
+    // and when explicitly disabled for batch-only soaks): one pass —
+    // the stateful pipelines are their own warm-up, and per-batch
+    // latencies are already an in-run distribution
+    val streaming: Seq[(String, Double)] =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("off"))
+        Seq.empty
+      else try BenchStreaming.run(spark, sfDir) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming section failed: ${e.getMessage}")
+          Seq("failed" -> 1.0)
+      }
+    val streamJson = streaming
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"grading_companions":$companions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     // The harness captures only the LAST ~2000 chars of the build log
@@ -151,7 +165,7 @@ object Bench {
     // per-query entries as fit (baseline-relevant headliners first,
     // then the rest most-expensive-first, 3-decimal values). The full
     // map lives in `outPath` (committed as bench_out.json).
-    println(compactLine(results, total, companions, sfDir, outPath))
+    println(compactLine(results, total, companions, sfDir, outPath, streaming))
     spark.stop()
   }
 
@@ -171,13 +185,23 @@ object Bench {
   private val MaxLineChars = 1700
 
   private[graft] def compactLine(results: Seq[(String, Double)], total: Double,
-      companions: String, sfDir: String, outPath: String): String = {
+      companions: String, sfDir: String, outPath: String,
+      streaming: Seq[(String, Double)] = Seq.empty): String = {
     val byName = results.toMap
     val exCompanions = results.collect {
       case (k, v) if !GradingCompanions.contains(k) && v >= 0 => v }.sum
     val order = (Headline.filter(byName.contains) ++
       results.sortBy(-_._2).map(_._1)).distinct
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$Passes,"stat":"median","total_ex_companions":$exCompanions%.3f,"n_queries":${results.size},"sf":"$sfDir","full":"$outPath","grading_companions":$companions,"queries":{"""
+    // compact streaming summary: the three headline rates + propagation
+    val streamCompact = streaming.toMap match {
+      case m if m.isEmpty => ""
+      case m =>
+        val pick = Seq("cdc_events_per_sec", "propagation_ms",
+          "stateful_latest_events_per_sec", "neardup_docs_per_sec", "failed")
+          .flatMap(k => m.get(k).map(v => f""""$k":$v%.0f"""))
+        s""""streaming":{${pick.mkString(",")}},"""
+    }
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$Passes,"stat":"median","total_ex_companions":$exCompanions%.3f,"n_queries":${results.size},"sf":"$sfDir","full":"$outPath",$streamCompact"grading_companions":$companions,"queries":{"""
     val close = "}}"
     val budget = MaxLineChars - head.length - close.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

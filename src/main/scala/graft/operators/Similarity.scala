@@ -212,14 +212,11 @@ object Similarity {
     * (nProbe·√N candidates per query, N^1.5 total), but uncapped it has
     * a SCALE CEILING: at 10¹⁰ vectors √N = 10⁵ centroids × dim floats
     * is a multi-hundred-MB broadcast, and assignment computes all √N
-    * similarities per corpus vector. The cap trades list selectivity
-    * for a bounded broadcast (nProbe scales with lists, so the probed
-    * FRACTION grows back toward nProbe·N/lists — more candidates per
-    * query, same recall contract). Past the cap the standard fix is
-    * two-level (coarse→fine) centroid assignment — √lists coarse cells
-    * whose members are assigned hierarchically — which this operator
-    * does not implement; the cap makes the degradation explicit and
-    * graceful instead of an invisible driver/broadcast failure.
+    * similarities per corpus vector. This function returns the CAPPED
+    * count for the single-level broadcast tier; [[ivfTopK]] detects the
+    * cap binding and auto-switches to two-level (coarse→fine)
+    * assignment ([[assignAndProbeTwoLevel]]), which keeps the full √N
+    * list count while broadcasting only √lists coarse reps.
     */
   def ivfListsFor(n: Long, dim: Int,
       maxCentroidBytes: Long = 64L << 20): Int = {
@@ -228,6 +225,23 @@ object Similarity {
     val bytesPerCentroid = 4L * dim + 64L
     val cap = math.max(16L, maxCentroidBytes / bytesPerCentroid)
     math.min(sqrtN.toLong, cap).toInt
+  }
+
+  /** Pair-similarity computations per assignment strategy — the cost
+    * model behind [[ivfTopK]]'s two-level auto-switch. Single-level
+    * scores every corpus vector against every fine centroid: n·lists.
+    * Two-level scores n·coarse (corpus→coarse), lists·coarse
+    * (fine→coarse, negligible) and n·coarseProbe·lists/coarse
+    * (corpus→fine within probed coarse cells); with coarse = √lists
+    * that is O(n·√lists·(1+coarseProbe)) — for √N lists, O(N·N^¼)
+    * instead of O(N^1.5).
+    */
+  def ivfAssignOps(n: Long, lists: Int, coarseProbe: Int = 2): (Long, Long) = {
+    val coarseN = math.max(4, math.ceil(math.sqrt(lists.toDouble)).toInt)
+    val single = n * lists
+    val two = n * coarseN + lists.toLong * coarseN +
+      n * coarseProbe * math.max(1L, lists.toLong / coarseN)
+    (single, two)
   }
 
   /** Auto probe count for `lists` cells: lists/16 while small, capped
@@ -255,18 +269,32 @@ object Similarity {
     // query = nProbe·N/nLists = nProbe·√N, total work N^1.5 instead of
     // the N²/4 a FIXED list count degrades to — the r5 sf1 soak measured
     // that as 66 s at 20k vectors), and the cap keeps the broadcast
-    // bounded at 10⁹+-vector corpora.
-    val lists = if (nLists > 0) nLists
+    // bounded at 10⁹+-vector corpora. When √N EXCEEDS the cap, the
+    // operator auto-switches to two-level (coarse→fine) assignment
+    // ([[assignAndProbeTwoLevel]]): the full √N list count is kept —
+    // list selectivity is what bounds per-query candidates — but the
+    // fine-centroid table is never broadcast; only the √lists coarse
+    // reps are, and assignment work drops from O(N·√N) to
+    // O(N·N^¼·(1+coarseProbe)) (see [[ivfAssignOps]]). KMeans sanity
+    // bounds the uncapped count at trainCap/4 so each trained centroid
+    // still sees ≥4 training rows.
+    val (lists, twoLevel) = if (nLists > 0) (nLists, false)
       else {
         val dim = df.select(size(col(vecCol))).head().getInt(0)
-        ivfListsFor(df.count(), dim, maxCentroidBytes)
+        val n = df.count()
+        val sqrtN = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val capped = ivfListsFor(n, dim, maxCentroidBytes)
+        if (sqrtN > capped) (math.min(sqrtN, math.max(capped, trainCap / 4)), true)
+        else (capped, false)
       }
     val probe = if (nProbe > 0) nProbe else autoProbe(lists)
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
-    val (assigned, probes) = assignAndProbe(withNorm, centDf, probe, queryFilter)
+    val (assigned, probes) =
+      if (twoLevel) assignAndProbeTwoLevel(withNorm, centDf, probe, queryFilter)
+      else assignAndProbe(withNorm, centDf, probe, queryFilter)
     // no pair-dedup needed: each corpus vector lives in exactly ONE
     // list and a query's probe lists are distinct, so (query, neighbor)
     // appears at most once — a groupBy here would re-shuffle the whole
@@ -306,6 +334,84 @@ object Similarity {
       .filter(col("__r") <= probe)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
         col("list_id"))
+    (assigned, probes)
+  }
+
+  /** Two-level (coarse→fine) assignment + probe — the past-the-cap tier
+    * of [[ivfTopK]], for corpora where √N fine centroids exceed the
+    * broadcast budget (~10¹⁰ vectors at 64 MB / 768 dims). Shape:
+    *
+    *  1. every ⌈lists/√lists⌉-th fine centroid (by list_id rank) is a
+    *     COARSE rep — ~√lists rows, always broadcastable (√lists·dim
+    *     floats is ≤ a few MB even at 10⁵ fine lists);
+    *  2. fine→coarse: each fine centroid joins its nearest coarse rep
+    *     (lists·√lists scores, metadata-sized);
+    *  3. corpus→coarse: ids-only skinny window picks each vector's
+    *     `coarseProbe` nearest coarse cells (N·√lists scores, broadcast
+    *     map-side; the window shuffles (id, coarse_id) rows only);
+    *  4. corpus→fine: vectors re-attach by id, then a SHUFFLE join on
+    *     coarse_id against the fine table scores only the ~lists/√lists
+    *     fine centroids inside each probed coarse cell — the fine table
+    *     is a join side, never a broadcast, so no byte budget applies;
+    *     Spark picks broadcast-hash at test scale and sort-merge at
+    *     cluster scale on its own statistics.
+    *
+    * Probing a vector's top `coarseProbe` (not 1) coarse cells bounds
+    * the boundary-miss rate of hierarchical assignment: a vector whose
+    * true nearest FINE centroid lives in the neighbouring coarse cell
+    * still scores it unless BOTH its top coarse cells miss. Queries run
+    * the same two-level search and keep their top `probe` fine lists,
+    * which may span coarse cells. Same (csim desc, list_id asc)
+    * tie-break as [[assignAndProbe]] throughout.
+    */
+  private[operators] def assignAndProbeTwoLevel(withNorm: DataFrame,
+      centDf: DataFrame, probe: Int, queryFilter: Option[Column => Column],
+      coarseProbe: Int = 3): (DataFrame, DataFrame) = {
+    val nLists = centDf.count()
+    val coarseN = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride = math.max(1L, math.ceil(nLists.toDouble / coarseN).toLong)
+    // metadata-sized single-partition windows: centDf is the driver-local
+    // centroid table (lists rows), never corpus data
+    val rankW = Window.orderBy(col("list_id"))
+    val coarse = centDf.withColumn("__rk", row_number().over(rankW))
+      .filter(((col("__rk") - 1) % stride) === 0)
+      .select(col("__rk").cast("int").as("coarse_id"),
+        col("centroid").as("ccent"), normSq(col("centroid")).as("cnsq"))
+    val fineW = Window.partitionBy(col("list_id"))
+      .orderBy(col("fsim").desc, col("coarse_id"))
+    val fineAssigned = centDf.crossJoin(broadcast(coarse))
+      .select(col("list_id"), col("centroid"), col("coarse_id"),
+        cosineFromParts(dot(col("centroid"), col("ccent")),
+          normSq(col("centroid")), col("cnsq")).as("fsim"))
+      .withColumn("__r", row_number().over(fineW)).filter(col("__r") === 1)
+      .select(col("coarse_id"), col("list_id"), col("centroid"),
+        normSq(col("centroid")).as("fnsq"))
+    // corpus→coarse: score map-side off the broadcast, window over
+    // SKINNY (id, coarse_id, score) rows, re-attach vectors by id after
+    val coarseW = Window.partitionBy(col("id"))
+      .orderBy(col("csimc").desc, col("coarse_id"))
+    def topCoarse(src: DataFrame): DataFrame = src.crossJoin(broadcast(coarse))
+      .select(col("id"), col("coarse_id"),
+        cosineFromParts(dot(col("vec"), col("ccent")),
+          col("nsq"), col("cnsq")).as("csimc"))
+      .withColumn("__rc", row_number().over(coarseW))
+      .filter(col("__rc") <= coarseProbe)
+      .select(col("id"), col("coarse_id"))
+    def fineScored(src: DataFrame): DataFrame =
+      topCoarse(src).join(src, Seq("id")).join(fineAssigned, Seq("coarse_id"))
+        .select(col("id"), col("vec"), col("nsq"), col("list_id"),
+          cosineFromParts(dot(col("vec"), col("centroid")),
+            col("nsq"), col("fnsq")).as("csim"))
+    val fineRankW = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("list_id"))
+    val assigned = fineScored(withNorm)
+      .withColumn("__r", row_number().over(fineRankW)).filter(col("__r") === 1)
+      .select(col("id"), col("vec"), col("nsq"), col("list_id"))
+    val qSrc = queryFilter.fold(withNorm)(f => withNorm.filter(f(col("id"))))
+    val probes = fineScored(qSrc)
+      .withColumn("__r", row_number().over(fineRankW)).filter(col("__r") <= probe)
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        col("nsq").as("qn"), col("list_id"))
     (assigned, probes)
   }
 

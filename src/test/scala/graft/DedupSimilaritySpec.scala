@@ -429,6 +429,51 @@ class StatefulAnnSpec extends SparkSuite {
     assert(recall > 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("two-level IVF engages past the centroid cap and holds the recall floor") {
+    // sf0.01: 500 vectors, √N = 23 — above the 16-list floor the tiny
+    // budget caps the single-level tier at, so the auto path must take
+    // the two-level branch (lists back at √N = 23, only √lists coarse
+    // reps broadcast) and still meet the single-level recall floor
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val dim = 64
+    val tinyBudget = 16L * (4L * dim + 64L)
+    assert(Similarity.ivfListsFor(n, dim, tinyBudget) == 16)
+    assert(math.ceil(math.sqrt(n.toDouble)).toInt > 16)
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+    val two = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+      maxCentroidBytes = tinyBudget)
+    val twoRecall = Similarity.recallAtK(two, exact)
+    // the honest comparison is SAME geometry: single-level at the same
+    // 23 lists / 4 probes (explicit params skip the auto-switch). The
+    // hierarchical tier may only pay a small boundary-miss tax on top
+    // of that — not collapse — plus an absolute sanity floor.
+    val single = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+      nLists = math.ceil(math.sqrt(n.toDouble)).toInt,
+      nProbe = Similarity.autoProbe(math.ceil(math.sqrt(n.toDouble)).toInt))
+    val singleRecall = Similarity.recallAtK(single, exact)
+    assert(twoRecall >= 0.8 * singleRecall,
+      s"two-level recall $twoRecall vs single-level $singleRecall at same geometry")
+    assert(twoRecall > 0.3, s"two-level IVF recall@5 = $twoRecall")
+  }
+
+  test("two-level assignment cost model: O(N·√N) drops toward O(N·√lists)") {
+    // the cap-binding regime this tier exists for: 10⁹ vectors, √N
+    // fine lists. Single-level assignment scores n·lists pairs; the
+    // hierarchical path's ratio is ~√lists/(1+coarseProbe) — 89/59/36
+    // at coarseProbe 1/2/4 here — so ≥10× cheaper at every plausible
+    // coarseProbe, and ≥50× at the shipped default's neighborhood.
+    val n = 1_000_000_000L
+    val lists = 31623 // ceil(√10⁹)
+    for (cp <- Seq(1, 2, 4)) {
+      val (single, two) = Similarity.ivfAssignOps(n, lists, cp)
+      assert(single == n * lists)
+      assert(two * 10 < single, s"coarseProbe=$cp: $two vs $single")
+    }
+    val (single2, two2) = Similarity.ivfAssignOps(n, lists, 2)
+    assert(two2 * 50 < single2)
+  }
+
   test("IVF training is unbiased on a partition-sorted corpus") {
     // corpus sorted + repartitioned so the first trainCap rows in scan
     // order are ONE cluster: limit-based training would fit all
