@@ -236,7 +236,7 @@ object Similarity {
     * that is O(n·√lists·(1+coarseProbe)) — for √N lists, O(N·N^¼)
     * instead of O(N^1.5).
     */
-  def ivfAssignOps(n: Long, lists: Int, coarseProbe: Int = 2): (Long, Long) = {
+  def ivfAssignOps(n: Long, lists: Int, coarseProbe: Int = 5): (Long, Long) = {
     val coarseN = math.max(4, math.ceil(math.sqrt(lists.toDouble)).toInt)
     val single = n * lists
     val two = n * coarseN + lists.toLong * coarseN +
@@ -358,15 +358,21 @@ object Similarity {
     *
     * Probing a vector's top `coarseProbe` (not 1) coarse cells bounds
     * the boundary-miss rate of hierarchical assignment: a vector whose
-    * true nearest FINE centroid lives in the neighbouring coarse cell
-    * still scores it unless BOTH its top coarse cells miss. Queries run
-    * the same two-level search and keep their top `probe` fine lists,
-    * which may span coarse cells. Same (csim desc, list_id asc)
+    * true nearest FINE centroid lives in a neighbouring coarse cell
+    * still scores it unless ALL its probed coarse cells miss. Queries
+    * run the same two-level search and keep their top `probe` fine
+    * lists, which may span coarse cells. Same (csim desc, list_id asc)
     * tie-break as [[assignAndProbe]] throughout.
+    *
+    * The default coarseProbe = 5 is the measured knee (IvfProbe, sf4 /
+    * 80 k vectors / 283 lists): recall retention vs single-level at
+    * identical geometry is 0.72×/0.80×/0.86× at coarseProbe 3/5/8 for
+    * wall 6.6/6.1/7.7 s — 5 buys the retention step for free, 8 pays
+    * +26% wall for the next step. Recorded in SCALE_SOAK.md round 9.
     */
   private[operators] def assignAndProbeTwoLevel(withNorm: DataFrame,
       centDf: DataFrame, probe: Int, queryFilter: Option[Column => Column],
-      coarseProbe: Int = 3): (DataFrame, DataFrame) = {
+      coarseProbe: Int = 5): (DataFrame, DataFrame) = {
     val nLists = centDf.count()
     val coarseN = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
     val stride = math.max(1L, math.ceil(nLists.toDouble / coarseN).toLong)
