@@ -492,6 +492,44 @@ object QueriesExt {
       .orderBy("id_a", "id_b")
   val ddNgramJaccardSql = shingleJaccardSql(24, 3, JaccardThreshold)
 
+  /** Cross-source duplication-leakage matrix: which data sources
+    * near-duplicate each other, and how strongly — the corpus
+    * diagnostic a training-data pipeline runs before mixing crawl
+    * snapshots / feeds (pairs within one source are ordinary dups;
+    * pairs ACROSS sources mean the mixture double-counts content).
+    * Composes the blocked n-gram Jaccard pair list with a source
+    * attach and an order-free aggregate (count + min/max jaccard —
+    * no double summation, so the values stay bit-reproducible across
+    * engines). Scale shape: the pair list is the blocked (never
+    * all-pairs) join; the source attach joins pairs→corpus on id.
+    */
+  val ddSourceOverlap: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+      shingleLen = 24, stride = 3, threshold = JaccardThreshold)
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("id_a", "src_a"), Seq("id_a"))
+      .join(src.toDF("id_b", "src_b"), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+  val ddSourceOverlapSql: String =
+    s"""WITH ${shingleJaccardCte(24, 3, JaccardThreshold)},
+       |sp AS (SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b, jaccard
+       |  FROM pairs
+       |  JOIN documents da ON da.doc_id = pairs.id_a
+       |  JOIN documents db ON db.doc_id = pairs.id_b)
+       |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+       |FROM sp GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** MinHash-LSH-blocked exact near-dup, graded against the exact
     * all-pairs 8-gram Jaccard SQL: a green hash row certifies the banded
     * candidate generation is lossless at the graded threshold (the

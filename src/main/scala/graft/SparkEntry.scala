@@ -114,6 +114,7 @@ object SparkEntry {
     "sim_ann_recall" -> QueriesExt.simAnnRecall,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardup,
     "dd_embed_neardup_hi" -> QueriesExt.ddEmbedNeardupHi,
+    "dd_source_overlap" -> QueriesExt.ddSourceOverlap,
     // corpus curation
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSample,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurate,
@@ -232,6 +233,7 @@ object SparkEntry {
     "cu_dedup_keep_best" -> QueriesExt.cuDedupKeepBestSql,
     "dd_embed_neardup" -> QueriesExt.ddEmbedNeardupSql,
     "dd_embed_neardup_hi" -> QueriesExt.ddEmbedNeardupHiSql,
+    "dd_source_overlap" -> QueriesExt.ddSourceOverlapSql,
     "cu_stratified_sample" -> QueriesExt.cuStratifiedSampleSql,
     "cu_corpus_curate" -> QueriesExt.cuCorpusCurateSql,
     "cu_chunk" -> QueriesExt.cuChunkSql,
