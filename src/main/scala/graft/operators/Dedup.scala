@@ -223,11 +223,18 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // merge-pinned verify attaches: the persisted corpus frame's
+    // PRE-materialization size estimate is tiny, so an unpinned join
+    // lets AQE build a broadcast of the full shingle-set relation —
+    // at 500 k docs that collect exceeded spark.driver.maxResultSize
+    // (r9 sf10 soak, 1 GB of task results); on a cluster it's a
+    // driver/executor OOM. Same cliff class as the r7 embed-family
+    // bucket joins; same pin.
     cand
       .join(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-        col("sig").as("sig_a")), Seq("id_a"))
+        col("sig").as("sig_a")).hint("merge"), Seq("id_a"))
       .join(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-        col("sig").as("sig_b")), Seq("id_b"))
+        col("sig").as("sig_b")).hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
@@ -280,11 +287,15 @@ object Dedup {
     val cand = banded(nsig).as("p").join(idx.as("x"), Seq("band", "band_hash"))
       .select(col("p.id").as("new_id"), col("x.id").as("old_id"))
       .distinct()
+    // corpus-side attach merge-pinned (see minhashNearDupPairs — the
+    // r9 sf10 driver-collect cliff); the NEW-shard attach stays
+    // unpinned: a shard is bounded by the ingest batch and broadcasting
+    // it is the intended plan
     cand
       .join(nsig.select(col("id").as("new_id"), col("shingles").as("sh_n")),
         Seq("new_id"))
-      .join(csig.select(col("id").as("old_id"), col("shingles").as("sh_o")),
-        Seq("old_id"))
+      .join(csig.select(col("id").as("old_id"), col("shingles").as("sh_o"))
+        .hint("merge"), Seq("old_id"))
       .select(col("new_id"), col("old_id"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_n"), col("sh_o")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -418,11 +429,13 @@ object Dedup {
         hamming64(col("x.sim"), col("y.sim")) <= hammingRadius)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // merge-pinned verify attaches — see minhashNearDupPairs (the r9
+    // sf10 driver-collect cliff)
     cand
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-        col("sim").as("sim_a")), Seq("id_a"))
+        col("sim").as("sim_a")).hint("merge"), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-        col("sim").as("sim_b")), Seq("id_b"))
+        col("sim").as("sim_b")).hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
         hamming64(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
@@ -486,9 +499,13 @@ object Dedup {
           greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // merge-pinned verify attaches — see minhashNearDupPairs (the r9
+    // sf10 driver-collect cliff)
     cand
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+        .hint("merge"), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+        .hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -865,9 +882,14 @@ object Dedup {
       else
         // over-budget corpora: dedup collisions first (ids-only rows),
         // then shuffle-attach the narrow sketches and prefilter before
-        // any dim-float row is shuffled
+        // any dim-float row is shuffled. merge-pinned: this tier exists
+        // BECAUSE the corpus exceeds the broadcast budget, so an AQE
+        // broadcast of the attach side (possible while the persisted
+        // frame's pre-materialization estimate is tiny — the r9 sf10
+        // driver-collect cliff in the shingle family) must be forbidden
+        // by plan shape, not by statistics.
         cand.distinct()
-          .join(skA, Seq("id_a")).join(skB, Seq("id_b"))
+          .join(skA.hint("merge"), Seq("id_a")).join(skB.hint("merge"), Seq("id_b"))
           .filter(arrayHamming(col("sk_a"), col("sk_b")) <= maxHd)
           .select(col("id_a"), col("id_b"))
     val vecA = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
@@ -875,8 +897,8 @@ object Dedup {
     val vecB = sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
       col("nsq").as("nsq_b"))
     survivors
-      .join(if (broadcastTier) broadcast(vecA) else vecA, Seq("id_a"))
-      .join(if (broadcastTier) broadcast(vecB) else vecB, Seq("id_b"))
+      .join(if (broadcastTier) broadcast(vecA) else vecA.hint("merge"), Seq("id_a"))
+      .join(if (broadcastTier) broadcast(vecB) else vecB.hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineFromParts(dot(col("vec_a"), col("vec_b")),
           col("nsq_a"), col("nsq_b")).as("cosine"))

@@ -77,13 +77,27 @@ object ScaleDataGen {
     write(docs, "documents", 8)
 
     val dim = read("embeddings").select(size(col("embedding"))).first().getInt(0)
+    // copy transform = rotation (c % dim) composed with an odd-element
+    // sign flip when c ≥ dim — both orthogonal, so norms and
+    // WITHIN-copy cosines are exactly preserved (both sides of a pair
+    // get the same transform) while cross-copy cosines decorrelate;
+    // without the sign tier, copy c and copy c−dim would share a
+    // rotation and be exact cross-copy duplicates. Output is unchanged
+    // for copies ≤ dim (the sign tier never fires).
+    require(copies <= 2 * dim,
+      s"embedding transform family supports ≤ ${2 * dim} copies (rotation × sign tiers)")
+    val rot = col("__c") % dim
+    val rotated = when(rot === 0, col("embedding"))
+      .otherwise(concat(
+        slice(col("embedding"), rot + 1, lit(dim) - rot),
+        slice(col("embedding"), lit(1), rot)))
     val emb = read("embeddings")
       .withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
       .withColumn("vec_id", col("vec_id") + col("__c") * Stride)
-      .withColumn("embedding", when(col("__c") === 0, col("embedding"))
-        .otherwise(concat(
-          slice(col("embedding"), col("__c") + 1, lit(dim) - col("__c")),
-          slice(col("embedding"), lit(1), col("__c")))))
+      .withColumn("embedding",
+        when(col("__c") < dim, rotated)
+          .otherwise(transform(rotated, (x, i) =>
+            when(i % 2 === 1, -x).otherwise(x))))
       .drop("__c")
     write(emb, "embeddings", 4)
 
