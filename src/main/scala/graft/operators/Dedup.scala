@@ -49,6 +49,22 @@ object Dedup {
     p
   }
 
+  /** Persist an operator-scratch frame hash-partitioned AND sorted by
+    * `id` — the layout every verify-attach join requires. The cached
+    * plan's partitioning/ordering survive the cache (Spark leaves
+    * cached-plan output partitioning alone by default) and propagate
+    * through the `id → id_a`/`id_b` alias projections, so a merge-pinned
+    * attach against this frame inserts NO exchange and NO sort on the
+    * corpus side: the shingle arrays are shuffled exactly once, at
+    * materialization. Without this the r9 sf10 soak sort-spilled the
+    * full array frame on the corpus side of BOTH verify joins of
+    * `dd_minhash_lsh`/`dd_simhash` (×2 joins × 2-pass external sort)
+    * and exhausted the box's ~22 GB scratch — on a cluster the same
+    * plan repeats corpus-wide sorts that the layout makes free.
+    */
+  private def persistScratchById(df: DataFrame): DataFrame =
+    persistScratch(df.repartition(col("id")).sortWithinPartitions("id"))
+
   /** Unpersist every tracked operator-scratch frame of `spark`'s
     * session, returning how many were dropped. Call at a corpus/batch
     * boundary (after consuming the operators' results) — not
@@ -191,6 +207,9 @@ object Dedup {
     * Oversized band buckets are salt-split, not dropped, so identical-
     * doc clusters (hot in every band) degrade gracefully: within-salt
     * pairs always survive and each band retries the split independently.
+    * A signature-estimate prefilter (threshold − 4σ, see the stage-1
+    * comment below) additionally rejects a true pair with ≤ ~3e-6
+    * probability — orders of magnitude inside the banding budget.
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 8,
@@ -208,7 +227,7 @@ object Dedup {
         col(textCol), shingleLen).as("shingles"))
       .select(col("id"), col("shingles"),
         graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
-      .transform(persistScratch)
+      .transform(persistScratchById)
     // ids-only banding: candidates shuffle (id, band, hash) rows, never
     // the shingle sets or signatures
     val banded = Skew.saltOversized(withSig.select(
@@ -223,23 +242,46 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // merge-pinned verify attaches: the persisted corpus frame's
+    // Verify in two stages, both against the co-partitioned scratch
+    // (attaches insert no exchange/sort on the corpus side — see
+    // persistScratchById; merge-pinned because the persisted frame's
     // PRE-materialization size estimate is tiny, so an unpinned join
     // lets AQE build a broadcast of the full shingle-set relation —
     // at 500 k docs that collect exceeded spark.driver.maxResultSize
     // (r9 sf10 soak, 1 GB of task results); on a cluster it's a
     // driver/executor OOM. Same cliff class as the r7 embed-family
-    // bucket joins; same pin.
-    cand
-      .join(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-        col("sig").as("sig_a")).hint("merge"), Seq("id_a"))
-      .join(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-        col("sig").as("sig_b")).hint("merge"), Seq("id_b"))
+    // bucket joins; same pin).
+    //
+    // Stage 1 attaches only the NARROW signatures (numHashes longs —
+    // ~100× smaller than the shingle arrays) and prefilters on the
+    // signature Jaccard estimate: est ~ Binomial(k, J)/k, so a pair at
+    // true J ≥ threshold falls below threshold − 4σ (σ = √(J(1−J)/k))
+    // with ~3e-6 probability — far inside the banding miss budget —
+    // while the random band collisions that dominate the candidate set
+    // (est ≈ 0) are rejected before any array is moved. Stage 2 then
+    // attaches the shingle arrays for SURVIVORS only, so the one
+    // remaining array-carrying sort (re-keying the stage-2 left side by
+    // id_b) is survivor-proportional, not candidate-proportional.
+    val estCutoff = math.max(0.0,
+      threshold - 4.0 * math.sqrt(threshold * (1.0 - threshold) / numHashes))
+    val prefiltered = cand
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("merge"), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, lit(1)).otherwise(lit(null))), v => v.isNotNull))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estCutoff)
+    prefiltered
+      .join(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+        .hint("merge"), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+        .hint("merge"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        col("est_jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -267,12 +309,17 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    def prep(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
-      graft.plans.GraftFunctions.hashedCharShingles(
-        col(textCol), shingleLen).as("shingles"))
-      .select(col("id"), col("shingles"),
-        graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
-      .transform(persistScratch)
+    // corpus scratch co-partitioned by id (persistScratchById) so its
+    // merge-pinned attach below is exchange- and sort-free; the NEW
+    // shard stays naturally partitioned — its attach broadcasts
+    def prep(df: DataFrame, copartition: Boolean): DataFrame = {
+      val base = df.select(col(idCol).as("id"),
+        graft.plans.GraftFunctions.hashedCharShingles(
+          col(textCol), shingleLen).as("shingles"))
+        .select(col("id"), col("shingles"),
+          graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
+      if (copartition) persistScratchById(base) else persistScratch(base)
+    }
     def banded(sig: DataFrame): DataFrame = sig.select(
       col("id"),
       posexplode(
@@ -280,8 +327,8 @@ object Dedup {
           b => xxhash64(concat_ws("_",
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "band_hash")))
-    val nsig = prep(newDocs)
-    val csig = prep(corpus)
+    val nsig = prep(newDocs, copartition = false)
+    val csig = prep(corpus, copartition = true)
     val idx = Skew.truncateHotKeys(banded(csig), Seq("band", "band_hash"),
       maxBucketSize, col("id"))
     val cand = banded(nsig).as("p").join(idx.as("x"), Seq("band", "band_hash"))
@@ -408,7 +455,7 @@ object Dedup {
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
-      .transform(persistScratch)
+      .transform(persistScratchById)
     // truncate (not drop) hot index values: an identical-content flood
     // saturates EVERY chunk position at once, so dropping hot buckets
     // would zero its pairs with no retry path; truncation keeps the
@@ -424,21 +471,30 @@ object Dedup {
     // d(chunk_x, chunk_y) ≤ 1 ⟺ x's probe set hits y's exact value AND
     // vice versa, so the asymmetric probe→index join still sees every
     // qualifying pair in both orientations; id ordering + distinct dedup.
+    // the pair's Hamming distance is a function of the pair, identical
+    // across its chunk collisions — aggregating it here (min ≡ the
+    // value) both dedups collisions AND means the verify stage never
+    // re-attaches `sim`: the attaches below move ONLY the shingle
+    // arrays, once each
     val cand = probes.as("x").join(idx.as("y"), Seq("chunk", "chunk_val"))
-      .filter(col("x.id") < col("y.id") &&
-        hamming64(col("x.sim"), col("y.sim")) <= hammingRadius)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming64(col("x.sim"), col("y.sim")).cast("int").as("hamming"))
+      .filter(col("hamming") <= hammingRadius)
+      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
     // merge-pinned verify attaches — see minhashNearDupPairs (the r9
-    // sf10 driver-collect cliff)
+    // sf10 driver-collect cliff). Corpus side is the co-partitioned
+    // scratch: no exchange, no sort of the array frame
+    // (persistScratchById); the one array-carrying re-sort (stage-2
+    // left side by id_b) moves sh_a for radius-filtered candidates only.
     cand
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-        col("sim").as("sim_a")).hint("merge"), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
-        col("sim").as("sim_b")).hint("merge"), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+        .hint("merge"), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+        .hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
-        hamming64(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
+        col("hamming"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -482,7 +538,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen, stride).as("shingles"))
-      .transform(persistScratch)
+      .transform(persistScratchById)
     // ceil must never round UP past the exact ⌈t·s⌉ (a too-short prefix
     // loses pairs); the epsilon makes float error shorten the ceil —
     // i.e. lengthen the prefix — which only adds candidates.
@@ -846,10 +902,15 @@ object Dedup {
     val tabs = if (nTables > 0) nTables
       else math.min(maxTables, embeddingLshTablesFor(bits, threshold))
     val maxHd = hammingCutoff(poolBits, threshold)
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      normSq(col(vecCol)).as("nsq"),
-      hyperplanePoolSketch(col(vecCol), poolBits).as("sk"))
-      .transform(persistScratch)
+    // shuffle tier co-partitions the scratch by id (persistScratchById)
+    // so the merge-pinned sketch/vector attaches below are exchange- and
+    // sort-free on the corpus side; the broadcast tier keeps the natural
+    // layout — its attaches broadcast and a repartition would be a
+    // wasted full shuffle of the vectors
+    val sig = (if (broadcastTier) persistScratch _ else persistScratchById _)(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        normSq(col(vecCol)).as("nsq"),
+        hyperplanePoolSketch(col(vecCol), poolBits).as("sk")))
     val exploded = Skew.saltOversized(
       sig.select(col("id"),
         explode(poolBucketKeys(col("sk"), poolBits, bits, tabs)).as("bk")),

@@ -223,6 +223,47 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("verify-attach joins read the co-partitioned scratch with zero exchange and zero sort") {
+    // the r9 sf10 soak died sort-spilling the full shingle-array frame on
+    // the corpus side of every verify attach; persistScratchById lays the
+    // scratch out hash-partitioned + sorted by id so the merge-pinned
+    // attaches must plan the cached side BARE — any Sort or Exchange
+    // between the join and the InMemoryTableScan means the layout (or its
+    // alias propagation) regressed and the array frame is being re-sorted
+    import org.apache.spark.sql.execution.{SparkPlan, SortExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case r: ReusedExchangeExec => p +: flatten(r.child)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    for (name <- Seq("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      val exec = df.queryExecution.executedPlan
+      exec.execute().count() // finalize AQE so the guard reads the real plan
+      // the attach joins are the single-key SMJs on id_a/id_b; the band /
+      // inverted-index self-joins key on band_hash/sh and legitimately
+      // shuffle above the same cached scratch
+      val attachSides = flatten(exec).collect {
+        case j: SortMergeJoinExec
+            if j.leftKeys.length == 1 && j.leftKeys.head.references.toSeq
+              .exists(a => a.name == "id_a" || a.name == "id_b") =>
+          flatten(j.right)
+      }.filter(_.exists(_.isInstanceOf[InMemoryTableScanExec]))
+      assert(attachSides.nonEmpty, s"$name: no attach join against the cached scratch found")
+      for (side <- attachSides) {
+        assert(!side.exists(_.isInstanceOf[SortExec]),
+          s"$name: verify attach re-sorts the scratch side:\n${side.head}")
+        assert(!side.exists(p => p.isInstanceOf[Exchange] || p.isInstanceOf[ShuffleQueryStageExec]),
+          s"$name: verify attach re-shuffles the scratch side:\n${side.head}")
+      }
+    }
+  }
+
   test("exploded candidate self-joins stay shuffle joins through AQE's final re-plan") {
     // the guard must read the FINAL adaptive plan (after an action):
     // AQE's broadcast conversion thresholds on COMPRESSED runtime
