@@ -39,6 +39,17 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Locale-pinned fixed-decimal rendering for every machine-parsed
+    * number: the f-interpolator formats with the JVM default locale, so
+    * a comma-decimal default (de_DE, fr_FR, ...) would turn both the
+    * bench artifact and the harness-parsed stdout line into invalid
+    * JSON. Raw `Double.toString` (the unformatted `$v` emissions) is
+    * locale-independent already.
+    */
+  private[graft] def fmt(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      java.lang.Double.valueOf(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -151,7 +162,7 @@ object Bench {
           Seq("failed" -> 1.0)
       }
     val streamJson = streaming
-      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${fmt(v, 1)}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -198,16 +209,16 @@ object Bench {
       case m =>
         val pick = Seq("cdc_events_per_sec", "propagation_ms",
           "stateful_latest_events_per_sec", "neardup_docs_per_sec", "failed")
-          .flatMap(k => m.get(k).map(v => f""""$k":$v%.0f"""))
+          .flatMap(k => m.get(k).map(v => s""""$k":${fmt(v, 0)}"""))
         s""""streaming":{${pick.mkString(",")}},"""
     }
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$Passes,"stat":"median","total_ex_companions":$exCompanions%.3f,"n_queries":${results.size},"sf":"$sfDir","full":"$outPath",$streamCompact"grading_companions":$companions,"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$Passes,"stat":"median","total_ex_companions":${fmt(exCompanions, 3)},"n_queries":${results.size},"sf":"$sfDir","full":"$outPath",$streamCompact"grading_companions":$companions,"queries":{"""
     val close = "}}"
     val budget = MaxLineChars - head.length - close.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     for (n <- order) {
-      val e = f""""$n":${byName(n)}%.3f"""
+      val e = s""""$n":${fmt(byName(n), 3)}"""
       val add = e.length + (if (entries.isEmpty) 0 else 1)
       if (used + add <= budget) { entries += e; used += add }
     }

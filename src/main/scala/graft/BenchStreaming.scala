@@ -54,7 +54,16 @@ object BenchStreaming {
       graft.sources.Tables(spark, sfDir, "documents").count()).toInt
     val keyspace = math.max(1, nEvents / 5)
     val batches = 10
-    val perBatch = nEvents / batches
+    // half-open per-batch ranges partitioning [0, nEvents) exactly: the
+    // last batch takes the division remainder (a plain nEvents/batches
+    // split silently dropped up to batches-1 events from every rate),
+    // and a fixture smaller than `batches` yields fewer, 1-event
+    // batches instead of ten empty ones under an unchanged event count
+    val perBatch = math.max(1, nEvents / batches)
+    val batchRanges = (0 until batches).map { b =>
+      (b * perBatch,
+        if (b == batches - 1) nEvents else math.min(nEvents, (b + 1) * perBatch))
+    }.filter { case (lo, hi) => hi > lo }
 
     def env(i: Int): Env = {
       val k = (i * 2654435761L) % keyspace
@@ -69,8 +78,8 @@ object BenchStreaming {
       s"$tmp/table", s"$tmp/ckpt", numBuckets = 16)
     val cdcStream = MemoryStream[Env]
     val q2 = pipe.start(cdcStream.toDF(), Trigger.ProcessingTime("50 milliseconds"))
-    val batchMs = (0 until batches).map { b =>
-      cdcStream.addData((b * perBatch until (b + 1) * perBatch).map(env))
+    val batchMs = batchRanges.map { case (lo, hi) =>
+      cdcStream.addData((lo until hi).map(env))
       timeMs(q2.processAllAvailable())._2
     }
     // propagation: one 100-event batch through the warm pipeline
@@ -87,8 +96,8 @@ object BenchStreaming {
     val slq = slOut.writeStream.format("noop")
       .option("checkpointLocation", s"$tmp/ckpt_sl")
       .outputMode("append").start()
-    val slMs = (0 until batches).map { b =>
-      slStream.addData((b * perBatch until (b + 1) * perBatch).map { i =>
+    val slMs = batchRanges.map { case (lo, hi) =>
+      slStream.addData((lo until hi).map { i =>
         StatefulLatest.KeyedChange((i * 2654435761L) % keyspace,
           if (i % 10 == 9) "d" else "u", i.toLong, i.toLong, s"v$i")
       })
@@ -116,7 +125,7 @@ object BenchStreaming {
     Seq(
       "cdc_events" -> nEvents.toDouble,
       "cdc_events_per_sec" -> (if (cdcSecs > 0) nEvents / cdcSecs else -1.0),
-      "cdc_batch_ms_avg" -> batchMs.sum / batches,
+      "cdc_batch_ms_avg" -> batchMs.sum / batchMs.size,
       "propagation_ms" -> propMs,
       "propagation_target_ms" -> 10000.0,
       "stateful_latest_events_per_sec" ->
