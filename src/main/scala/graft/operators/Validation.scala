@@ -358,63 +358,83 @@ object Validation {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** One-scan per-side profile: row count, distinct PKs, NULL-PK rows,
-    * and (when configured) max timestamp — the reference's combined
-    * multi-aggregate single-scan technique (reference:
-    * tests/validation.py:480-486) extended to cover checks 2–4 and 6.
+  /** Both sides' profiles AND the orphan count out of ONE shuffle.
+    *
+    * The suite needs, per side: row count, distinct PKs, NULL-PK rows,
+    * max timestamp — plus the sink⟂source PK anti-join count. Computed
+    * independently (as rounds ≤ 9 did) that is three exact
+    * `countDistinct` shuffles of the full PK column plus the
+    * anti-join's two exchanges: ~5 corpus-sized shuffles per table,
+    * and the r9 sf10 soak measured the suite super-linear (8.6× for
+    * 2.5× data — shuffle spill, not scan, is what bends the curve).
+    *
+    * All five quantities are functions of ONE side-tagged PK-grouped
+    * frame: group the union of both sides by the PK columns, counting
+    * per-key source/sink rows (carrying per-key max-ts), then fold the
+    * per-key frame in a scalar aggregate —
+    *   distinct(side)  = keys with a non-NULL PK seen on that side
+    *   orphans         = non-NULL keys with sink rows and no source row
+    *   totals / NULL-PK rows = sums of the per-key counts
+    *   max-ts(side)    = max of the per-key side maxima
+    * One shuffle of skinny `(pk, counts, ts-maxima)` rows replaces all
+    * five, and both tables are scanned exactly once. Semantics parity:
+    * `countDistinct` skips tuples with any NULL field, so the distinct
+    * counters exclude NULL-PK keys the same way; the orphan counter
+    * reproduces [[orphans]]'s non-NULL filter + distinct.
     */
   private case class SideProfile(total: Long, distinctPks: Long, nullPk: Long,
       maxTs: Option[java.sql.Timestamp])
 
-  private def sideProfile(df: DataFrame, meta: TableMeta): SideProfile = {
+  private def fusedSuiteProfile(source: DataFrame, sink: DataFrame,
+      meta: TableMeta): (SideProfile, SideProfile, Long) = {
+    val pk = meta.pkCols.map(col)
+    def side(df: DataFrame, s: Int): DataFrame = {
+      val tsCols = meta.tsCol.toSeq.map(t => col(t).cast("timestamp").as("__ts"))
+      df.select(pk ++ tsCols ++ Seq(lit(s).as("__s")): _*)
+    }
+    val tagged = side(source, 1).unionByName(side(sink, 0))
+    val perKeyTs = meta.tsCol.toSeq.flatMap(_ => Seq(
+      max(when(col("__s") === 1, col("__ts"))).as("__s_max"),
+      max(when(col("__s") === 0, col("__ts"))).as("__k_max")))
+    val perKeyAggs =
+      count(when(col("__s") === 1, 1)).as("__s_cnt") +:
+      count(when(col("__s") === 0, 1)).as("__k_cnt") +: perKeyTs
+    val perKey = tagged.groupBy(pk: _*).agg(perKeyAggs.head, perKeyAggs.tail: _*)
     val nullPk = meta.pkCols.map(col(_).isNull).reduce(_ || _)
-    val aggs = Seq(
-      count(lit(1)).as("total"),
-      pkCountDistinct(meta.pkCols).as("distinct"),
-      coalesce(sum(when(nullPk, 1L).otherwise(0L)), lit(0L)).as("nullpk")) ++
-      meta.tsCol.map(ts => max(col(ts)).cast("timestamp").as("maxts")).toSeq
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    SideProfile(r.getLong(0), r.getLong(1), r.getLong(2),
-      meta.tsCol.flatMap(_ => Option(r.getTimestamp(3))))
+    val nonNull = !nullPk
+    val finalTs = meta.tsCol.toSeq.flatMap(_ => Seq(
+      max(col("__s_max")).as("s_max"), max(col("__k_max")).as("k_max")))
+    val aggCols =
+      coalesce(sum(col("__s_cnt")), lit(0L)).as("s_total") +:
+      coalesce(sum(col("__k_cnt")), lit(0L)).as("k_total") +:
+      count(when(col("__s_cnt") > 0 && nonNull, 1)).as("s_distinct") +:
+      count(when(col("__k_cnt") > 0 && nonNull, 1)).as("k_distinct") +:
+      coalesce(sum(when(nullPk, col("__s_cnt")).otherwise(0L)), lit(0L)).as("s_nullpk") +:
+      coalesce(sum(when(nullPk, col("__k_cnt")).otherwise(0L)), lit(0L)).as("k_nullpk") +:
+      count(when(col("__k_cnt") > 0 && col("__s_cnt") === 0 && nonNull, 1))
+        .as("orphans") +: finalTs
+    val r = perKey.agg(aggCols.head, aggCols.tail: _*).head()
+    val sMax = meta.tsCol.flatMap(_ => Option(r.getTimestamp(7)))
+    val kMax = meta.tsCol.flatMap(_ => Option(r.getTimestamp(8)))
+    (SideProfile(r.getLong(0), r.getLong(2), r.getLong(4), sMax),
+      SideProfile(r.getLong(1), r.getLong(3), r.getLong(5), kMax),
+      r.getLong(6))
   }
 
-  /** Small daemon pool for submitting a table's independent check
-    * actions as CONCURRENT Spark jobs — the scheduler interleaves their
-    * stages, so a suite's wall time tracks the slowest scan instead of
-    * the sum of scans. Shared across tables (ValidationRunner's
-    * per-table futures already fan out on their own pool; this bounds
-    * total in-flight jobs, not per-table).
-    */
-  private lazy val actionPool: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(6,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-validation-action")
-          t.setDaemon(true); t
-        }))
-
   /** Checks 1–6 — the reference's `run_all_checks` orchestration
-    * (reference: tests/validation.py:735-788), computed in four Spark
-    * actions — one combined-aggregate scan per side, the distributed
-    * anti-join, and the side-tagged recent-activity count — of which
-    * the first three run CONCURRENTLY (the recent-activity scan chains
-    * onto the source profile, whose max-ts is its anchor).
+    * (reference: tests/validation.py:735-788), computed in TWO Spark
+    * actions: the fused one-shuffle profile ([[fusedSuiteProfile]] —
+    * both side profiles and the orphan count) and the side-tagged
+    * recent-activity count, which chains on the profile because the
+    * source max-ts is its anchor. Multi-table concurrency lives in
+    * [[ValidationRunner]]'s pool.
     */
   def runAllChecks(source: DataFrame, sink: DataFrame, meta: TableMeta,
       slaMinutes: Double = 15.0): TableValidationReport = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = actionPool
     val (shape, _) = schemaShape(source.schema, sink.schema, meta)
-    val spF = Future(sideProfile(source, meta))
-    val kpF = Future(sideProfile(sink, meta))
-    val orphF = Future(orphans(sink, source, meta.pkCols).count())
-    // sp.maxTs is the anchor recentActivity needs — chain on the source
-    // profile so the check costs one tagged count, not an anchor re-scan
-    val recentF = spF.map(sp => meta.tsCol.map(ts =>
-      recentActivity(source, sink, ts, knownAnchor = sp.maxTs)))
-    val sp = Await.result(spF, Duration.Inf)
-    val kp = Await.result(kpF, Duration.Inf)
+    val (sp, kp, orphanCount) = fusedSuiteProfile(source, sink, meta)
+    val recent = meta.tsCol.map(ts =>
+      recentActivity(source, sink, ts, knownAnchor = sp.maxTs))
 
     val driftPct = if (sp.total == 0) (if (kp.total == 0) 0.0 else 100.0)
       else math.abs(sp.total - kp.total) * 100.0 / sp.total
@@ -437,13 +457,12 @@ object Validation {
         "duplicate_rows" -> dupRows.toString,
         "null_pk_rows" -> kp.nullPk.toString))
 
-    val orphanCount = Await.result(orphF, Duration.Inf)
     val orphanCheck = CheckResult("anti_join_orphans",
       if (orphanCount == 0) "PASS" else "FAIL", Map("orphans" -> orphanCount.toString))
 
     // check 6 — in a keyed CDC mirror an unpropagated delete IS an orphan
-    // (both are the sink⟂source anti-join), so the one anti-join above
-    // feeds both report rows instead of running twice
+    // (both are the sink⟂source anti-join), so the fused profile's one
+    // orphan counter feeds both report rows instead of running twice
     val deletes = CheckResult("delete_semantics",
       if (orphanCount == 0) "PASS" else "FAIL",
       Map("ghost_rows" -> orphanCount.toString))
@@ -461,8 +480,6 @@ object Validation {
           "sink_max_ts" -> fmtTs(kp.maxTs.orNull),
           "lag_minutes" -> fmtLag(lagMin)))
     }
-
-    val recent = Await.result(recentF, Duration.Inf)
 
     TableValidationReport(meta.name,
       Seq(shape, smoke, distinct, dupCheck, orphanCheck, deletes) ++
