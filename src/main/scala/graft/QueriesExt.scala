@@ -504,14 +504,18 @@ object QueriesExt {
     * all-pairs) join; the source attach joins pairs→corpus on id.
     */
   val ddSourceOverlap: Q = (s, d) => {
+    // the source tags ride the pair list's own verify-attach (`carry`)
+    // instead of two post-hoc pairs→corpus joins: those joins re-keyed
+    // the pair list twice and re-scanned the corpus, making this the
+    // heaviest non-ANN query of the r9 sf10 soak (75 s vs 50 s for the
+    // bare pair list); carried, the matrix costs the pair list + one
+    // tiny aggregate
     val pairs = Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
-      shingleLen = 24, stride = 3, threshold = JaccardThreshold)
-    val src = docs(s, d).select(col("doc_id"), col("source"))
+      shingleLen = 24, stride = 3, threshold = JaccardThreshold,
+      carry = Seq("source"))
     pairs
-      .join(src.toDF("id_a", "src_a"), Seq("id_a"))
-      .join(src.toDF("id_b", "src_b"), Seq("id_b"))
-      .select(least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .select(least(col("source_a"), col("source_b")).as("source_a"),
+        greatest(col("source_a"), col("source_b")).as("source_b"), col("jaccard"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).cast("long").as("n_pairs"),
         min(col("jaccard")).as("min_jaccard"),
@@ -1126,9 +1130,13 @@ object QueriesExt {
     * volume stays ~linear in N (SCALE_SOAK.md "honest physics"). The
     * test corpus has no natural pairs above cosine 0.51, so qualifying
     * pairs are PLANTED deterministically inside the query: for every
-    * 40th vector, a copy with every (5 + vec_id % 4)-th coordinate
+    * 40th vector, a copy with every (5 + (vec_id/40) % 4)-th coordinate
     * zeroed (cosine = √(1 − s/‖v‖²) ≈ 0.89–0.94) is unioned in under
-    * vec_id + 10⁷. Zeroing is float-exact on both engines, so the
+    * vec_id + 10⁷. The stride derives from vec_id/PlantMod, not vec_id:
+    * planted ids are all ≡ 0 (mod 40), so a `vec_id % 4` term would be
+    * constant 0 and the intended stride diversity would never fire —
+    * dividing first cycles the stride 5,6,7,8 across consecutive
+    * planted vectors. Zeroing is float-exact on both engines, so the
     * DuckDB oracle replays the augmented corpus bit-for-bit and the
     * all-pairs cosine check grades the blocked plan's recall at 0.8
     * exactly, same as the adversarial 0.45 entry.
@@ -1136,7 +1144,8 @@ object QueriesExt {
   val HiNearDupCosine = 0.8
   val PlantMod = 40
   val PlantIdOffset = 10000000L
-  private val PlantStride: Column => Column = id => lit(5) + (id % 4)
+  private val PlantStride: Column => Column =
+    id => lit(5) + (id / lit(PlantMod)).cast("long") % 4
   def plantedHiEmb(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).select("vec_id", "embedding")
     val planted = e.filter(col("vec_id") % PlantMod === 0)
@@ -1156,7 +1165,7 @@ object QueriesExt {
        |  UNION ALL
        |  SELECT vec_id + $PlantIdOffset AS vec_id,
        |    list_transform(list_zip(embedding, range(len(embedding))),
-       |      p -> CASE WHEN CAST(p[2] AS BIGINT) % (5 + vec_id % 4) = 0
+       |      p -> CASE WHEN CAST(p[2] AS BIGINT) % (5 + (vec_id // $PlantMod) % 4) = 0
        |                THEN CAST(0.0 AS FLOAT) ELSE p[1] END) AS embedding
        |  FROM embeddings WHERE vec_id % $PlantMod = 0),
        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

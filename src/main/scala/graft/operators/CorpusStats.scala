@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, size}
+
+/** Memoized auto-sizing actions (r9 verdict ask #5).
+  *
+  * Every blocked dedup/ANN operator derives its geometry from the
+  * corpus — `df.count()` for band/bit/list counts, a `head()` for the
+  * embedding dimension. Each is a cheap scalar aggregate, but a
+  * composed pipeline (e.g. `cu_dedup_semantic` = exact dedup → minhash
+  * → semdedup) re-derives them once per operator over the SAME corpus:
+  * at 100 TB that is several full-scan jobs spent re-learning one
+  * number. This cache keys the result by (session, semantic plan,
+  * input-file signature) so a pipeline run pays each sizing action once
+  * per distinct frame.
+  *
+  * Key design (same class as `QueriesExt.clusterLabels`' label cache):
+  *  - session: applicationId + session identity hash — a restarted
+  *    app or a second session never aliases;
+  *  - `Dataset.semanticHash` over the canonicalized plan — two
+  *    lexically different but semantically equal frames share an
+  *    entry; hash collisions are caught by a `sameSemantics` check on
+  *    the stored frame (collision ⇒ treated as a miss, entry replaced);
+  *  - [[fileSignature]] — path, length and mtime of every input file,
+  *    read from the already-materialized file index (no extra
+  *    filesystem RPCs): an in-place rewrite or an appended ingest shard
+  *    (the `dd_incremental` corpus between calls) changes the
+  *    signature, so sizing never reuses a stale count. Non-file plans
+  *    (memory relations) carry their data in the canonicalized plan,
+  *    which `semanticHash` already covers.
+  *
+  * Entries hold the frame's LINEAGE (plan + session refs), never data;
+  * the LRU cap bounds them. Wrong-sizing blast radius on a stale hit
+  * is performance-shaped (blocking parameters tuned for the wrong N),
+  * not correctness — every operator's recall contract is over its
+  * derived parameters, whatever they are — but the file signature
+  * makes the stale hit a non-event anyway.
+  */
+object CorpusStats {
+
+  private val Cap = 128
+  // accessOrder = true: LRU on both reads and writes
+  private val cache =
+    new java.util.LinkedHashMap[String, (DataFrame, Long)](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (DataFrame, Long)]): Boolean = size() > Cap
+    }
+
+  // test hooks: ScaleOpsSpec pins "one sizing job per frame per
+  // pipeline run" by watching the miss counter across a composed call
+  private val missCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def misses: Long = missCounter.get()
+  private[graft] def clear(): Unit = cache.synchronized(cache.clear())
+
+  /** Content signature of a frame's file-based inputs: (path, size,
+    * mtime) of every file, from the plan's file index. Size+mtime catch
+    * in-place rewrites that reuse file names; new files (ingest append)
+    * change the set. Falls back to path-only hashing for plans whose
+    * relation exposes no file index.
+    */
+  def fileSignature(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    val files: Seq[(String, Long, Long)] = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case p: PartitioningAwareFileIndex =>
+            p.allFiles().map(f =>
+              (f.getPath.toString, f.getLen, f.getModificationTime))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }.flatten
+    if (files.isEmpty)
+      java.util.Arrays.hashCode(df.inputFiles.sorted.map(_.hashCode): Array[Int])
+    else files.sortBy(_._1).hashCode()
+  }
+
+  private def sessionKey(df: DataFrame): String = {
+    val s = df.sparkSession
+    s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}"
+  }
+
+  private def memo(df: DataFrame, kind: String)(compute: => Long): Long = {
+    val k = s"${sessionKey(df)}|$kind|${df.semanticHash()}|${fileSignature(df)}"
+    cache.synchronized(Option(cache.get(k))) match {
+      // sameSemantics guards the Int-hash collision case; a stopped
+      // session can't be hit (sessionKey pins the live session)
+      case Some((stored, v)) if stored.sameSemantics(df) => v
+      case _ =>
+        missCounter.incrementAndGet()
+        val v = compute
+        cache.synchronized(cache.put(k, (df, v)))
+        v
+    }
+  }
+
+  /** Memoized `df.count()` for geometry derivation. */
+  def rowCount(df: DataFrame): Long = memo(df, "rows")(df.count())
+
+  /** Memoized embedding dimension (`size(vecCol)` of an arbitrary row;
+    * 0 for an empty frame — callers guard on rowCount first).
+    */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    memo(df, s"dim:$vecCol") {
+      df.select(size(col(vecCol))).head(1) match {
+        case Array(r) => r.getInt(0).toLong
+        case _ => 0L
+      }
+    }.toInt
+}

@@ -445,9 +445,11 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 8, threshold: Double = 0.5, chunkBits: Int = 0,
       maxBucketSize: Int = 10000, hammingRadius: Int = 12): DataFrame = {
-    // chunkBits ≤ 0 → derive from corpus size (one count()) so the
-    // docstring's 100 TB guidance is enforced by code, not by the reader
-    val cb = if (chunkBits > 0) chunkBits else simhashChunkBitsFor(df.count())
+    // chunkBits ≤ 0 → derive from corpus size (one memoized count —
+    // CorpusStats) so the docstring's 100 TB guidance is enforced by
+    // code, not by the reader
+    val cb = if (chunkBits > 0) chunkBits
+      else simhashChunkBitsFor(CorpusStats.rowCount(df))
     val nChunks = 64 / cb
     val mask = (1L << cb) - 1
     // persisted: feeds the index, the probes, and both verify-side joins
@@ -528,16 +530,26 @@ object Dedup {
     * keeps the sf1→sf4 growth of the candidate join bounded. A size
     * filter (min ≥ t·max, same bound with overlap ≤ min) prunes
     * cross-length candidates before the distinct.
+    *
+    * `carry` names additional `df` columns to surface on the pair
+    * output as `<col>_a`/`<col>_b` (e.g. a `source` tag for the
+    * cross-source overlap matrix). Carried values ride the persisted
+    * scratch frame through the verify attaches the operator already
+    * performs — attaching them via extra post-hoc joins would re-key
+    * the (large) pair list once per join and re-scan the corpus, which
+    * at the r9 sf10 soak made the overlap matrix the heaviest
+    * non-ANN query (75 s vs the bare pair list's 50 s).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 24, stride: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Int = 10000): DataFrame = {
+      maxDocFreq: Int = 10000, carry: Seq[String] = Nil): DataFrame = {
     // per-doc sorted hash set: the inverted index blocks on the 64-bit
     // shingle hash and pair verification merge-scans primitive longs.
     // Persisted: feeds the index build and both verify-side joins.
-    val sets = df.select(col(idCol).as("id"),
+    val sets = df.select(col(idCol).as("id") +:
       graft.plans.GraftFunctions.hashedCharShingles(
-        col(textCol), shingleLen, stride).as("shingles"))
+        col(textCol), shingleLen, stride).as("shingles") +:
+      carry.map(col): _*)
       .transform(persistScratchById)
     // ceil must never round UP past the exact ⌈t·s⌉ (a too-short prefix
     // loses pairs); the epsilon makes float error shorten the ceil —
@@ -558,12 +570,15 @@ object Dedup {
     // merge-pinned verify attaches — see minhashNearDupPairs (the r9
     // sf10 driver-collect cliff)
     cand
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      .join(sets.select(col("id").as("id_a") +: col("shingles").as("sh_a") +:
+        carry.map(c => col(c).as(s"${c}_a")): _*)
         .hint("merge"), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+      .join(sets.select(col("id").as("id_b") +: col("shingles").as("sh_b") +:
+        carry.map(c => col(c).as(s"${c}_b")): _*)
         .hint("merge"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a") +: col("id_b") +:
+        graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -811,10 +826,8 @@ object Dedup {
       nLists: Int = 0, threshold: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions._
     val lists = if (nLists > 0) nLists
-      else {
-        val dim = df.select(size(col(vecCol))).head().getInt(0)
-        Similarity.ivfListsFor(df.count(), dim)
-      }
+      else Similarity.ivfListsFor(CorpusStats.rowCount(df),
+        CorpusStats.vecDim(df, vecCol))
     val cents = Similarity.seededCentroids(df, idCol, vecCol, lists)
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
@@ -829,6 +842,72 @@ object Dedup {
         cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb"))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Optimal hyperplane-LSH exponent ρ at a cosine threshold: a
+    * qualifying pair agrees per hyperplane bit with p₁ = 1 − θ/π, an
+    * orthogonal pair with p₂ = 1/2, and any (bits, tables) geometry
+    * meeting the recall contract does Θ(N^(1+ρ)) pair work with
+    * ρ = ln p₁ / ln p₂ (Indyk–Motwani analysis; SCALE_SOAK.md "honest
+    * physics"). Pure — shared by the planner docs, the runtime
+    * advisory, and its spec.
+    */
+  def embedThresholdRho(threshold: Double): Double = {
+    val p1 = 1.0 - math.acos(math.max(-1.0, math.min(threshold, 0.999))) / math.Pi
+    math.log(p1) / math.log(0.5)
+  }
+
+  /** Threshold→regime contract of [[embeddingNearDupPairs]] surfaced at
+    * runtime (advisory only — behavior never changes): when the
+    * requested threshold implies ρ > 0.5, total pair work grows faster
+    * than N^1.5 BY LSH PHYSICS — no parameter choice fixes it, and on a
+    * large corpus the caller should know before the job runs for hours.
+    * At the production regime (cosine ≥ ~0.7, ρ ≤ ~0.44) the advisory
+    * stays silent. Returns the advisory it recorded, if any; recent
+    * advisories are also queryable via [[drainAdvisories]] (the "report"
+    * surface) and logged at WARN.
+    */
+  case class RegimeAdvisory(threshold: Double, corpusRows: Long, rho: Double) {
+    def message: String = {
+      val r = "%.2f".formatLocal(java.util.Locale.ROOT, rho)
+      val e = "%.2f".formatLocal(java.util.Locale.ROOT, 1.0 + rho)
+      s"embeddingNearDupPairs(threshold=$threshold) on $corpusRows rows: " +
+        s"hyperplane-LSH exponent rho=$r > 0.5 at this threshold, so candidate+verify " +
+        s"work scales ~N^$e regardless of (bits, tables) — information-theoretic, not " +
+        "tunable (SCALE_SOAK.md: honest physics). Near-dup corpora usually operate at " +
+        "cosine >= 0.7 (rho <= 0.44, near-linear); use a higher threshold, or budget " +
+        "for the super-linear cost."
+    }
+  }
+
+  private val advisoryLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[RegimeAdvisory]()
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Evaluate (and if super-linear, record + log) the regime advisory.
+    * Called by [[embeddingNearDupPairs]] on every invocation.
+    */
+  def embedRegimeAdvisory(threshold: Double, corpusRows: Long): Option[RegimeAdvisory] = {
+    val rho = embedThresholdRho(threshold)
+    if (rho <= 0.5) None
+    else {
+      val a = RegimeAdvisory(threshold, corpusRows, rho)
+      advisoryLog.add(a)
+      while (advisoryLog.size > 64) advisoryLog.poll() // bounded report buffer
+      logger.warn(a.message)
+      Some(a)
+    }
+  }
+
+  /** Drain and return the advisories recorded since the last drain —
+    * the programmatic report surface for pipeline drivers that collect
+    * operator warnings.
+    */
+  def drainAdvisories(): Seq[RegimeAdvisory] = {
+    val b = Seq.newBuilder[RegimeAdvisory]
+    var a = advisoryLog.poll()
+    while (a != null) { b += a; a = advisoryLog.poll() }
+    b.result()
   }
 
   /** Hamming-prefilter cutoff on a `poolBits` sketch for pairs at
@@ -885,9 +964,9 @@ object Dedup {
       maxTables: Int = 4096, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     import graft.functions.VectorFunctions._
     import graft.plans.GraftFunctions.{arrayHamming, hyperplanePoolSketch, poolBucketKeys}
-    val n = df.count()
-    val dim = if (n == 0) 0
-      else df.select(size(col(vecCol))).head().getInt(0)
+    val n = CorpusStats.rowCount(df)
+    val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
+    embedRegimeAdvisory(threshold, n) // advisory only; never changes the plan
     // per-row broadcast payload: id + dim floats + sketch words + row overhead
     val rowBytes = 8L + 4L * dim + 8L * ((poolBits + 63) / 64) + 48L
     val broadcastTier = n > 0 && n * rowBytes <= maxBroadcastBytes

@@ -29,11 +29,11 @@ object Similarity {
   val QuadraticRowCap = 200000L
 
   /** Throws unless `df` is within the quadratic-oracle row cap; returns
-    * the counted size. One metadata-light count() action — negligible
+    * the counted size. One memoized count ([[CorpusStats]]) — negligible
     * next to the quadratic join it fences.
     */
   def requireQuadraticCap(df: DataFrame, maxRows: Long, what: String): Long = {
-    val n = df.count()
+    val n = CorpusStats.rowCount(df)
     require(n <= maxRows,
       s"$what is quadratic by design and fenced at $maxRows rows " +
         s"(got $n): it is a recall/grading baseline, not a scale path — " +
@@ -129,7 +129,7 @@ object Similarity {
     // fixed bits let buckets (and per-query candidates) grow linearly
     // with N, which the r5 sf1 soak measured as 45× cost at 10× data.
     // Costs one count() — pass nBits explicitly to skip it.
-    val bits = if (nBits > 0) nBits else autoBits(df.count())
+    val bits = if (nBits > 0) nBits else autoBits(CorpusStats.rowCount(df))
     val sigCols = (0 until nTables).map(t =>
       hyperplaneSignature(col(vecCol), bits, seed = 42L + 1000L * t).as(s"__sig$t"))
     val sig = df.select(col(idCol).as("id") +: sigCols: _*)
@@ -280,8 +280,8 @@ object Similarity {
     // still sees ≥4 training rows.
     val (lists, twoLevel) = if (nLists > 0) (nLists, false)
       else {
-        val dim = df.select(size(col(vecCol))).head().getInt(0)
-        val n = df.count()
+        val dim = CorpusStats.vecDim(df, vecCol)
+        val n = CorpusStats.rowCount(df)
         val sqrtN = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
         val capped = ivfListsFor(n, dim, maxCentroidBytes)
         if (sqrtN > capped) (math.min(sqrtN, math.max(capped, trainCap / 4)), true)
@@ -460,8 +460,8 @@ object Similarity {
     // production geometry at every corpus size.
     val lists = if (nLists > 0) nLists
       else {
-        val dim = df.select(size(col(vecCol))).head().getInt(0)
-        ivfListsFor(df.count(), dim)
+        val dim = CorpusStats.vecDim(df, vecCol)
+        ivfListsFor(CorpusStats.rowCount(df), dim)
       }
     val probe = if (nProbe > 0) nProbe else autoProbe(lists)
     val cents = seededCentroids(df, idCol, vecCol, lists)
@@ -535,9 +535,10 @@ object Similarity {
       val vecs = df.select(array_to_vector(
         col(vecCol).cast("array<double>")).as("features"))
       // unbiased bounded slice: count once per corpus version (training
-      // is cached, so this scan does not recur), sample to ~1.2*cap for
-      // slack against Bernoulli variance, hard-cap at trainCap
-      val n = vecs.count()
+      // is cached and the count memoized, so this scan does not recur),
+      // sample to ~1.2*cap for slack against Bernoulli variance,
+      // hard-cap at trainCap
+      val n = CorpusStats.rowCount(vecs)
       val train = if (n <= trainCap) vecs
         else vecs.sample(withReplacement = false,
           math.min(1.0, trainCap * 1.2 / n), seed).limit(trainCap)

