@@ -117,6 +117,62 @@ class UpsertStoreSpec extends SparkSuite {
     assert(epochs.contains("e00006") && !epochs.contains("e00000"))
     assert(t.read().as[KV].collect().toSeq == Seq(KV(1, "v6")))
   }
+
+  test("steady-state retention under continuous merge: disk is bounded, the reader window is whole") {
+    // The r9 verdict asked for the continuous-merge disk story to be
+    // pinned: epochs × buckets growth must be bounded by the manifest
+    // window, and an epoch may be vacuumed ONLY once no kept manifest
+    // references it (a reader that resolved any kept manifest must
+    // still find every file it points at).
+    val path = tmpDir("retain") + "/t"
+    val buckets = 4
+    val t = new ParquetUpsertTable(spark, path, Seq("k"), numBuckets = buckets)
+    t.seed((1L to 16L).map(i => KV(i, s"v$i")).toDF("k", "v"))
+
+    def keptManifestFiles: Seq[java.io.File] =
+      new java.io.File(s"$path/_manifest").listFiles().toSeq
+        .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+    def epochDirsOnDisk: Set[String] =
+      Option(new java.io.File(s"$path/data").listFiles()).getOrElse(Array.empty)
+        .map(f => s"data/${f.getName}").toSet
+    // manifest JSON → the epoch dirs it references ("data/eNNNNN/...")
+    def referenced(f: java.io.File): Set[String] = {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      "data/e\\d{5}".r.findAllIn(s).toSet
+    }
+
+    (1 to 20).foreach { i =>
+      // touch a rotating subset of keys so epochs carry different buckets
+      t.merge(changes(
+        ((i % 16) + 1L, s"u$i", "u", i.toLong),
+        (((i * 5) % 16) + 1L, s"w$i", "u", i.toLong)),
+        Seq(col("__source_ts_ms"), col("__seq")))
+      val kept = keptManifestFiles
+      // (1) the manifest window is exactly KeptManifests once warm
+      assert(kept.size == math.min(i + 1, ParquetUpsertTable.KeptManifests),
+        s"step $i: ${kept.map(_.getName).sorted}")
+      val refs = kept.map(referenced)
+      val live = refs.reduce(_ ++ _)
+      val disk = epochDirsOnDisk
+      // (2) reader-window wholeness: EVERY kept manifest (including the
+      // oldest — the in-flight reader's view) only references epoch
+      // dirs still on disk
+      assert(live.subsetOf(disk),
+        s"step $i: kept manifest references vacuumed epochs: ${live -- disk}")
+      // (3) bounded steady state: nothing unreferenced survives, so
+      // disk = live window, whose size is capped by window × buckets
+      assert(disk == live, s"step $i: orphan epoch dirs ${disk -- live}")
+      assert(disk.size <= ParquetUpsertTable.KeptManifests * buckets + 1)
+    }
+    // (4) the oldest kept manifest is actually READABLE end to end, not
+    // just present: load each of its referenced epoch dirs via Spark
+    val oldest = keptManifestFiles.minBy(_.getName)
+    referenced(oldest).foreach { rel =>
+      assert(spark.read.parquet(s"$path/$rel").count() > 0, s"unreadable $rel")
+    }
+    // the latest state is intact after 20 merges + continuous GC
+    assert(t.read().count() == 16)
+  }
 }
 
 /** Model-based randomized test: a long random op sequence applied to both
