@@ -410,15 +410,25 @@ object Dedup {
     * 64-bit simhash Hamming distance exceeds the radius are discarded
     * BEFORE the exact-Jaccard verify, so a pair with shingle Jaccard ≥
     * threshold but simhash distance > hammingRadius is not returned.
-    * This is the knob that bounds verify cost: candidates within the
-    * simhash index grow steeply with radius (on the sf0.1 corpus:
-    * 419k pairs at radius 11 vs 1.38M at 16) while genuine near-dups
-    * concentrate at small distances (max observed 10 across test
-    * corpora; token-simhash theory puts J ≥ 0.5 pairs well inside
-    * radius 12 for ~50-word docs). The default (12) sits above both the
-    * pigeonhole guarantee (7) and the observed near-dup band; raise it
-    * — at quadratic verify cost — if your corpus pairs high-Jaccard
-    * docs with unusually divergent token distributions.
+    * Candidates within the simhash index grow steeply with radius (on
+    * the sf0.1 corpus: 419k pairs at radius 11 vs 1.38M at 16) while
+    * genuine near-dups concentrate at small distances (max observed 10
+    * across test corpora; token-simhash theory puts J ≥ 0.5 pairs well
+    * inside radius 12 for ~50-word docs). The default (12) sits above
+    * both the pigeonhole guarantee (7) and the observed near-dup band;
+    * raise it — at quadratic verify cost — if your corpus pairs
+    * high-Jaccard docs with unusually divergent token distributions.
+    *
+    * The radius alone does NOT bound exact-verify cost on a templated
+    * corpus (simhash proximity measures token-distribution overlap, not
+    * shingle Jaccard — the r10 sf10 soak saw 3% of all same-template
+    * pairs inside radius 12), so radius survivors additionally pass a
+    * 256-bit one-permutation minhash sketch reject
+    * ([[graft.plans.OnePermMinhashBits]]) carried on the candidate rows:
+    * pairs whose sketch-estimated Jaccard sits 4σ below `threshold` are
+    * dropped before any shingle array moves, discarding a TRUE pair at
+    * J ≥ threshold with ~3e-5 probability — the same class as the
+    * radius and banding contracts.
     *
     * 32-BIT REGIME CAVEAT: when the auto-switch (corpus > 10⁸ rows,
     * [[simhashChunkBitsFor]]) selects 32-bit chunks, nChunks drops to 2
@@ -457,19 +467,40 @@ object Dedup {
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
+      .select(col("id"), col("shingles"), col("sim"),
+        graft.plans.GraftFunctions.onePermMinhashBits(col("shingles")).as("sk"))
       .transform(persistScratchById)
     // truncate (not drop) hot index values: an identical-content flood
     // saturates EVERY chunk position at once, so dropping hot buckets
     // would zero its pairs with no retry path; truncation keeps the
     // deterministic first maxBucketSize ids pairing with each other
-    val idx = Skew.truncateHotKeys(sets.select(col("id"), col("sim"),
+    val idx = Skew.truncateHotKeys(sets.select(col("id"), col("sim"), col("sk"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * cb).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val"))),
       Seq("chunk", "chunk_val"), maxBucketSize, col("id"))
-    val probes = idx.select(col("id"), col("sim"), col("chunk"),
+    val probes = idx.select(col("id"), col("sim"), col("sk"), col("chunk"),
       explode(array(col("chunk_val") +: (0 until cb).map(b =>
         col("chunk_val").bitwiseXOR(lit(1L << b))): _*)).as("chunk_val"))
+    // Jaccard-sketch reject cutoff, in sketch-Hamming space: matching
+    // bits m of 256 estimate (1+J)/2, so requiring
+    // m ≥ 256·((1+τ)/2 − 4σ) — i.e. sketch Hamming ≤ skCutoff — rejects
+    // a TRUE pair at J ≥ τ with ~3e-5 probability (the radius contract's
+    // class) while dropping the radius-band mass at J ≪ τ before the
+    // pair aggregate. This is the scale valve the r10 sf10 soak forced:
+    // on a templated corpus simhash distances concentrate (~3% of all
+    // same-template pairs inside radius 12 — 42 M candidate pairs at
+    // 500 k docs), so WITHOUT a pair-level similarity reject the exact
+    // verify attaches shingle arrays to every radius survivor (~300 GB
+    // of shuffle at sf10) — the radius alone does not bound verify cost,
+    // because simhash proximity measures token-DISTRIBUTION overlap,
+    // not the shingle-set Jaccard the operator grades. The 32-byte
+    // sketch rides the probe/index rows (no extra join) and the reject
+    // runs inside the candidate join, so array movement is bounded by
+    // pairs that are plausibly ≥ τ.
+    val pTau = (1.0 + threshold) / 2.0
+    val mCut = pTau - 4.0 * math.sqrt(pTau * (1.0 - pTau) / 256.0)
+    val skCutoff = (256.0 * (1.0 - mCut)).toInt
     // d(chunk_x, chunk_y) ≤ 1 ⟺ x's probe set hits y's exact value AND
     // vice versa, so the asymmetric probe→index join still sees every
     // qualifying pair in both orientations; id ordering + distinct dedup.
@@ -480,6 +511,8 @@ object Dedup {
     // arrays, once each
     val cand = probes.as("x").join(idx.as("y"), Seq("chunk", "chunk_val"))
       .filter(col("x.id") < col("y.id"))
+      .filter(graft.plans.GraftFunctions.arrayHamming(
+        col("x.sk"), col("y.sk")) <= lit(skCutoff))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming64(col("x.sim"), col("y.sim")).cast("int").as("hamming"))
       .filter(col("hamming") <= hammingRadius)

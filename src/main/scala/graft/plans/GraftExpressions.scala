@@ -310,6 +310,64 @@ case class MinHashSigL(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 256-bit one-permutation b-bit minhash sketch (Li/Owen/Zhang's one
+  * permutation hashing with rotation densification), packed into 4
+  * longs, from a SORTED distinct hash-set array (the
+  * [[HashedCharShingles]] output): the hash space is cut into 256
+  * buckets by the value's top byte, bucket minimum = first element of
+  * the bucket in the sorted array (one pass, no re-hashing), and the
+  * sketch bit is the minimum's lowest bit. Empty buckets borrow the
+  * next non-empty bucket's bit cyclically — deterministic, so two docs
+  * with equal occupancy patterns and equal minima densify identically.
+  *
+  * Estimator: matching bits m of k follow E[m/k] = (1+J)/2, so
+  * Ĵ = 2m/k − 1 with σ_Ĵ = 2·√(p(1−p)/k), p = (1+J)/2 — at J = 0.5,
+  * k = 256 that is σ ≈ 0.054. Purpose: a 32-byte pair-level REJECT
+  * filter (est 4σ under the threshold ⇒ drop before any shingle array
+  * moves) that rides candidate rows through a join, where the full
+  * minhash signature (256 B) or shingle set (KBs) would dominate the
+  * shuffle. Match count = 256 − [[LongArrayHamming]] of two sketches.
+  * A true pair at J ≥ τ clears a (τ−4σ) cutoff with ~3e-5 miss — the
+  * same probability class as the banding/radius recall contracts of
+  * the operators that use it.
+  */
+case class OnePermMinhashBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val bits = new Array[Byte](256) // -1 = empty, else 0/1
+    java.util.Arrays.fill(bits, -1.toByte)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      // top byte = bucket; the input is sorted ascending (signed), and
+      // within one top-byte bucket signed order equals unsigned order,
+      // so the FIRST element seen per bucket is the bucket minimum
+      val b = ((x >>> 56) & 0xff).toInt
+      if (bits(b) < 0) bits(b) = (x & 1L).toByte
+      i += 1
+    }
+    val words = new Array[Long](4)
+    var j = 0
+    while (j < 256) {
+      var bit = bits(j)
+      if (bit < 0) {
+        // rotation densification: borrow the next non-empty bucket's
+        // bit (cyclic). All-empty input leaves 0s — the empty sketch.
+        var d = 1
+        while (d < 256 && bit < 0) { bit = bits((j + d) & 0xff); d += 1 }
+        if (bit < 0) bit = 0
+      }
+      if (bit == 1) words(j >>> 6) |= 1L << (j & 63)
+      j += 1
+    }
+    new GenericArrayData(words)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's MOSS
   * algorithm): Karp-Rabin ROLLING hash over character k-grams, then the
   * minimum hash of every window of `w` consecutive k-gram hashes
@@ -632,4 +690,6 @@ object GraftFunctions {
     col(LongArrayHamming(e(a), e(b)))
   def minhashSigL(hashedSet: Column, numHashes: Int): Column =
     col(MinHashSigL(e(hashedSet), numHashes))
+  def onePermMinhashBits(hashedSet: Column): Column =
+    col(OnePermMinhashBits(e(hashedSet)))
 }

@@ -17,11 +17,24 @@ import org.apache.spark.sql.functions._
   *  - fact/dim tables: PK and FK columns shifted by `copy * stride`
   *    (stride > any source key), everything else unchanged — aggregates
   *    and joins scale exactly linearly by construction;
-  *  - documents: every whitespace token of copies ≥ 1 gets a per-copy
-  *    suffix, so within-copy shingle-set Jaccard relationships are
-  *    preserved (both sides of a near-dup pair are rewritten by the same
-  *    token map) while cross-copy char-shingle overlap collapses far
-  *    below the graded 0.5 threshold;
+  *  - documents: copies ≥ 1 apply a per-copy class-preserving BIJECTIVE
+  *    character substitution (a seeded permutation of a–z, A–Z and 0–9,
+  *    each class onto itself; whitespace/punctuation untouched). A
+  *    bijection on characters induces an injection on char n-grams, so
+  *    EVERY within-copy shingle-set Jaccard — same-base or cross-base —
+  *    is exactly the copy-0 value, while cross-copy shingle sets
+  *    decorrelate (two copies' permutations agree on a given n-gram
+  *    only by chance). Doc lengths, whitespace/token structure and
+  *    character-class counts are preserved, so every text metric
+  *    (token counts, quality ratios, n_chars) is copy-invariant. The
+  *    r9 scheme (per-token "~c" suffixes) decorrelated SAME-base
+  *    cross-copy pairs but silently injected shared "~c" boilerplate
+  *    shingles into every doc of a copy, lifting CROSS-base within-copy
+  *    char-8-gram Jaccard from avg 0.044 (copy 0) to avg 0.277 — at 100
+  *    copies that is ~1.2 B moderate-similarity pairs and 58 M LSH band
+  *    candidates whose exact verification no box can hold, i.e. the
+  *    soak was measuring a datagen pathology, not operator scaling
+  *    (round-10 probes, SCALE_SOAK.md);
   *  - embeddings: vectors of copy c are circularly rotated by c
   *    dimensions — norms and within-copy cosines are exactly preserved,
   *    cross-copy cosines decorrelate.
@@ -66,14 +79,25 @@ object ScaleDataGen {
     // written back as long — Tables.events converts either encoding.
     write(shifted(read("events"), copies, Seq("event_id", "user_id")), "events", 16)
 
+    // per-copy alphabet permutations: one seeded Fisher-Yates shuffle of
+    // each character class per copy (copy 0 = identity), applied via
+    // translate() so the map is a strict char bijection
+    val alphaFrom = ('a' to 'z').mkString + ('A' to 'Z').mkString + ('0' to '9').mkString
+    def permuted(copy: Int): String = {
+      if (copy == 0) return alphaFrom
+      val rnd = new scala.util.Random(0x5ca1eda7aL + copy)
+      def shuf(s: Seq[Char]) = rnd.shuffle(s).mkString
+      shuf('a' to 'z') + shuf('A' to 'Z') + shuf('0' to '9')
+    }
+    val perms = spark.createDataFrame(
+      (0 until copies).map(c => (c, permuted(c)))).toDF("__c", "__to")
     val docs = read("documents")
       .withColumn("__c", explode(sequence(lit(0), lit(copies - 1))))
       .withColumn("doc_id", col("doc_id") + col("__c") * Stride)
-      .withColumn("text", when(col("__c") === 0, col("text"))
-        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("$1~"), col("__c")))))
+      .join(broadcast(perms), Seq("__c"))
+      .withColumn("text", expr(s"translate(text, '$alphaFrom', __to)"))
       .withColumn("n_chars", length(col("text")))
-      .drop("__c")
+      .drop("__c", "__to")
     write(docs, "documents", 8)
 
     val dim = read("embeddings").select(size(col("embedding"))).first().getInt(0)

@@ -246,6 +246,58 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(maxHam <= 7, s"max hamming among exact near-dups = $maxHam")
   }
 
+  test("one-perm minhash sketch: estimator tracks Jaccard; reject cutoff separates") {
+    import graft.plans.GraftFunctions.{arrayHamming, hashedCharShingles, onePermMinhashBits}
+    // crafted texts at three similarity regimes; sketch estimate
+    // Ĵ = 2m/256 − 1 must track the exact hash-set Jaccard within ~4σ
+    val t = Seq(
+      (0L, base), (1L, base), // identical: J = 1
+      (2L, base + " extra trailing words appended here"), // high J
+      (3L, "totally different subject matter entirely " * 10)) // J ≈ 0
+      .toDF("doc_id", "text")
+    val sk = t.select(col("doc_id"),
+      hashedCharShingles(col("text"), 8).as("sh"),
+      onePermMinhashBits(hashedCharShingles(col("text"), 8)).as("sk"))
+    val rows = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        graft.plans.GraftFunctions.sortedJaccard(col("a.sh"), col("b.sh")).as("j"),
+        ((lit(256) - arrayHamming(col("a.sk"), col("b.sk"))).cast("double") / 128.0 - 1.0)
+          .as("est"))
+      .collect()
+    rows.foreach { r =>
+      val (j, est) = (r.getDouble(2), r.getDouble(3))
+      val sigma = 2.0 * math.sqrt((1 + j) / 2 * (1 - (1 + j) / 2) / 256.0)
+      assert(math.abs(est - j) <= math.max(4 * sigma, 0.06),
+        s"sketch estimate $est vs exact $j (σ=$sigma) for ${r.getLong(0)}-${r.getLong(1)}")
+    }
+    // identical docs: zero sketch hamming (determinism incl. densification)
+    val idPair = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(idPair.getDouble(3) == 1.0)
+    // empty input: the all-zero sketch, not an error
+    val empty = Seq((9L, "ab")).toDF("doc_id", "text")
+      .select(onePermMinhashBits(hashedCharShingles(col("text"), 8)).as("sk"))
+      .head.getSeq[Long](0)
+    assert(empty == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("simhash sketch reject: templated radius-band mass drops, near-dups survive") {
+    // 40 docs from one template with distinct tails: token distributions
+    // nearly identical (simhash distances inside the radius) but shingle
+    // Jaccard far below threshold — the r10 sf10 explosion in miniature.
+    // Near-dup planted pair must survive the sketch reject.
+    val templated = (0L until 40L).map(i =>
+      (i, s"shared template preamble common across every document body " +
+        (0 until 12).map(k => s"unique${i}x${k}token${i * 31 + k * 7}")
+          .mkString(" "))) :+
+      (100L, base) :+ (101L, base + " tail")
+    val pairs = Dedup.simhashNearDupPairs(templated.toDF("doc_id", "text"),
+      "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)), s"planted near-dup lost: $pairs")
+    assert(!pairs.exists(p => p._1 < 40L && p._2 < 40L && p._1 != p._2),
+      "templated low-Jaccard pair emitted")
+  }
+
   test("hot LSH buckets are salt-split: bounded candidates, graceful recall") {
     import graft.operators.Skew
     // 200 identical docs = one boilerplate cluster -> every band bucket
