@@ -973,7 +973,7 @@ object QueriesExt {
     // clusterLabels checkpoint, and an unscoped release would poison the
     // label cache for every later family consumer.
     val pairs = Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
-      nLists = SemDedupLists, threshold = NearDupCosine)
+      threshold = NearDupCosine)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
     survivors
@@ -984,13 +984,13 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens"))
       .orderBy("doc_id")
   }
-  // lazy: references SemDedupLists/NearDupCosine declared later in this
-  // object — a strict val here would capture their pre-init defaults
+  // lazy: references NearDupCosine declared later in this
+  // object — a strict val here would capture its pre-init default
   lazy val cuDedupSemanticSql: String =
     s"""$ddClusterCte,
        |surv AS (SELECT doc_id FROM labeled WHERE cluster_id = doc_id),
        |surv_emb AS (SELECT e.* FROM embeddings e JOIN surv s ON e.vec_id = s.doc_id),
-       |${seededCellCte(SemDedupLists.toString, src = "surv_emb")},
+       |${seededCellCte(autoListsSqlExpr(src = "surv_emb"), src = "surv_emb")},
        |pr2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
@@ -1412,14 +1412,20 @@ object QueriesExt {
     * cell boundaries, graded end-to-end (assignment AND pair decisions
     * replayed in SQL). Complements `dd_embed_neardup`, whose LSH
     * blocking is recall-bounded instead of cell-bounded.
+    *
+    * Graded at PRODUCTION geometry: the cell count is the √N
+    * derivation of [[Similarity.ivfListsFor]], replayed exactly in SQL
+    * by [[autoListsSqlExpr]] (r10 — formerly pinned at 16 cells, which
+    * made the graded plan N²/16 by construction: 70 s of the sf10 soak
+    * against ~3 s at √N cells, a grading-companion cost the production
+    * path never pays).
     */
-  val SemDedupLists = 16
   val ddSemdedup: Q = (s, d) =>
     Dedup.semDedupPairs(emb(s, d), "embedding", "vec_id",
-      nLists = SemDedupLists, threshold = NearDupCosine)
+      threshold = NearDupCosine)
       .orderBy("id_a", "id_b")
   val ddSemdedupSql: String =
-    s"""WITH ${seededCellCte(SemDedupLists.toString)},
+    s"""WITH ${seededCellCte(autoListsSqlExpr())},
        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.list_id,
        |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))
@@ -1443,7 +1449,7 @@ object QueriesExt {
   val cuDecontaminateSem: Q = (s, d) => {
     val isEvalV = (c: Column) => c % DecontamEvalMod === 0
     val pairs = Dedup.semDedupPairs(emb(s, d), "embedding", "vec_id",
-      nLists = SemDedupLists, threshold = NearDupCosine)
+      threshold = NearDupCosine)
     val hits = pairs
       .filter(isEvalV(col("id_a")) =!= isEvalV(col("id_b")))
       .select(when(isEvalV(col("id_a")), col("id_b")).otherwise(col("id_a"))
@@ -1458,7 +1464,7 @@ object QueriesExt {
   }
   // lazy: references DecontamEvalMod declared later in this object
   lazy val cuDecontaminateSemSql: String =
-    s"""WITH ${seededCellCte(SemDedupLists.toString)},
+    s"""WITH ${seededCellCte(autoListsSqlExpr())},
        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    CASE WHEN sqrt(ra.nsq) * sqrt(rb.nsq) = 0.0 THEN 0.0
        |         ELSE ${duckDot("ra.embedding", "rb.embedding")} / (sqrt(ra.nsq) * sqrt(rb.nsq))

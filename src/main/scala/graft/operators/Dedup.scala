@@ -852,8 +852,10 @@ object Dedup {
     * operator a deterministic function of the data: the graded query
     * reproduces assignment AND pair decisions in SQL. Production
     * sizing: `nLists ≤ 0` derives √N cells via [[Similarity.ivfListsFor]]
-    * (cell size ~√N, pair work ~N^1.5 — the SemDeDup paper's regime);
-    * the graded entry pins nLists so both engines share geometry.
+    * (cell size ~√N, pair work ~N^1.5 — the SemDeDup paper's regime).
+    * The graded entries run THIS production derivation: the oracle
+    * replays it in SQL from COUNT(*) (r10; formerly pinned at 16
+    * cells, which made the graded plan N²/16 by construction).
     */
   def semDedupPairs(df: DataFrame, vecCol: String, idCol: String,
       nLists: Int = 0, threshold: Double = 0.45): DataFrame = {
@@ -869,7 +871,11 @@ object Dedup {
       col("vec").as("va"), col("nsq").as("na"))
     val b = assigned.select(col("list_id"), col("id").as("id_b"),
       col("vec").as("vb"), col("nsq").as("nb"))
-    a.join(b, Seq("list_id"))
+    // merge-pinned: the cell self-join's sides are the full
+    // vector-carrying corpus (scan-sized estimates after the r10
+    // map-side assignment) — a broadcast conversion would build the
+    // whole corpus as a hash relation, the r7 embed-family cliff class
+    a.join(b.hint("merge"), Seq("list_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("list_id"),
         cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb"))

@@ -298,8 +298,15 @@ object Similarity {
     // no pair-dedup needed: each corpus vector lives in exactly ONE
     // list and a query's probe lists are distinct, so (query, neighbor)
     // appears at most once — a groupBy here would re-shuffle the whole
-    // candidate stream for nothing
-    val pairs = probes.join(assigned, Seq("list_id"))
+    // candidate stream for nothing.
+    // merge-pinned: with the map-side assignment (r10) both sides carry
+    // scan-sized estimates, and the optimizer broadcasts the PROBES
+    // side (N·probe vector-carrying rows — 1.3 GB at sf10) and lands
+    // the N·probe·listSize pair stream in a handful of scan partitions
+    // whose rank-window sorts then spill; the pin keeps the candidate
+    // stream on the 32-partition exchange shape the windowed assignment
+    // produced implicitly. Same cliff class as the r7 embed-family pins.
+    val pairs = probes.join(assigned.hint("merge"), Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq")).as("cosine"))
@@ -320,20 +327,39 @@ object Similarity {
     */
   private[operators] def assignAndProbe(withNorm: DataFrame, centDf: DataFrame,
       probe: Int, queryFilter: Option[Column => Column]): (DataFrame, DataFrame) = {
-    val scored = withNorm.crossJoin(broadcast(centDf))
-      .select(col("id"), col("vec"), col("nsq"), col("list_id"),
-        cosineFromParts(dot(col("vec"), col("centroid")),
-          col("nsq"), normSq(col("centroid"))).as("csim"))
-    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("list_id"))
-    val assigned = scored.withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1).select(col("id"), col("vec"), col("nsq"), col("list_id"))
+    // r10: assignment is a per-row argmax, so it runs as a MAP-SIDE
+    // expression against a broadcast centroid bank
+    // (NearestCentroidLists) instead of the former
+    // crossJoin(broadcast(cents)) → Window(partitionBy id) shape, which
+    // shuffled N·lists VECTOR-carrying rows through a sort (27 GB at
+    // sf10's 200 k vectors × 447 lists — it was the dominant cost of
+    // dd_semdedup and a large slice of sim_ann_ivf). Unlike the r9
+    // "skinny window" rework (reverted, SCALE_SOAK round 9 negative
+    // result), no re-attach joins appear: vectors never leave their
+    // rows, both branches are pure projections, and zero exchanges are
+    // inserted before the downstream list_id join. The collect() is
+    // bounded by the centroid-broadcast budget ([[ivfListsFor]]) — the
+    // same bytes the former broadcast(centDf) shipped — and the
+    // expression's fold order/tie-break replicate the windowed
+    // (csim desc, list_id asc) decision bit-for-bit (oracle parity;
+    // see NearestCentroidLists).
+    val bankRows = centDf.select(col("list_id").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val bank = withNorm.sparkSession.sparkContext
+      .broadcast(graft.plans.CentroidBank(bankRows))
+    val assigned = withNorm
+      .withColumn("__l",
+        graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), bank, 1))
+      .filter(size(col("__l")) > 0)
+      .select(col("id"), col("vec"), col("nsq"),
+        element_at(col("__l"), 1).as("list_id"))
     // queries probe their nProbe nearest lists; a query filter narrows
     // only this side (clustering + corpus assignment stay full)
-    val probes = queryFilter.fold(scored)(f => scored.filter(f(col("id"))))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= probe)
+    val probes = queryFilter.fold(withNorm)(f => withNorm.filter(f(col("id"))))
       .select(col("id").as("query_id"), col("vec").as("qv"), col("nsq").as("qn"),
-        col("list_id"))
+        explode(graft.plans.GraftFunctions.nearestCentroidLists(
+          col("vec"), bank, probe)).as("list_id"))
     (assigned, probes)
   }
 
@@ -468,7 +494,9 @@ object Similarity {
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
     val (assigned, probes) = assignAndProbe(withNorm, cents, probe, queryFilter)
-    probes.join(assigned, Seq("list_id"))
+    // merge-pinned for the same reason as [[ivfTopK]]'s pairs join (the
+    // map-side assignment leaves scan-sized estimates on both sides)
+    probes.join(assigned.hint("merge"), Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
   }
 
