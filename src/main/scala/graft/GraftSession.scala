@@ -26,6 +26,15 @@ object GraftSession {
       // shingles) broadcasting instead of shuffling multi-GB candidate
       // streams through a sort-merge join.
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // The top-k rankers aggregate with a typed-imperative bounded
+      // heap (TopKNeighbors, ~16·k+50 B per group). The stock 128-group
+      // fallback threshold is sized for unbounded object state
+      // (collect_list) and would flip these to SORT-based aggregation —
+      // re-sorting the billion-row candidate streams the aggregate
+      // exists to avoid. 2 M groups ≈ 500 MB/task at k=10, far above
+      // any ranker's per-partition group count (= query count).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (2 * 1000 * 1000).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.parquet carries TIMESTAMP(NANOS), which Spark only reads

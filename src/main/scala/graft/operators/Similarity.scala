@@ -41,6 +41,28 @@ object Similarity {
     n
   }
 
+  /** Rank a (query_id, neighbor_id, cosine) candidate stream to each
+    * query's top-k, k best (cosine desc, neighbor_id asc) first with a
+    * 1-based rank — the aggregate form of
+    * `row_number() over (partition by query_id order by cosine desc,
+    * neighbor_id asc) <= k`, emitting the identical rows
+    * ([[graft.plans.TopKNeighbors]] docs carry the proof). The window
+    * form sorts the full candidate stream twice (the partial
+    * WindowGroupLimit's local sort, then again after the partition-by
+    * exchange); here candidates die map-side in the producing stage —
+    * one bounded-heap probe each, no sort — and the exchange carries
+    * ≤ queries·k packed entries. At the sf10 soak the ANN rankers feed
+    * this ~2·10⁹ candidate rows, where the two sorts were the dominant
+    * cost of `sim_ann_ivf`.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.GraftFunctions.topKNeighbors(
+        col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"),
+        col("__e.cosine").as("cosine"), (col("__p") + 1).cast("int").as("rank"))
+
   /** Exact top-k neighbors per query vector (excluding self), ranked by
     * cosine desc with id tiebreak. `queries` and `corpus` may be the same
     * DataFrame for all-pairs self-search.
@@ -69,12 +91,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("__rank").cast("int").as("rank"))
+    rankTopK(pairs, k)
   }
 
   /** Approximate top-k: multi-table hyperplane LSH. Each of `nTables`
@@ -184,12 +201,7 @@ object Similarity {
     val scored = pairs.join(qVec, Seq("query_id")).join(cVec, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("__rank").cast("int").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: k-means partitions the
@@ -310,12 +322,7 @@ object Similarity {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq")).as("cosine"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("__rank", row_number().over(rankW))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("__rank").cast("int").as("rank"))
+    rankTopK(pairs, k)
   }
 
   /** The shared IVF assignment + probe stage: assign every corpus
@@ -520,12 +527,7 @@ object Similarity {
     val scored = seededPairs(df, idCol, vecCol, nLists, nProbe, queryFilter)
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("__rank").cast("int").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** Per-corpus-version centroid cache: keyed on the analyzed plan's

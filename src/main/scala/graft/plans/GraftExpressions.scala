@@ -777,4 +777,6 @@ object GraftFunctions {
       bank: org.apache.spark.broadcast.Broadcast[CentroidBank],
       probe: Int): Column =
     col(NearestCentroidLists(e(vec), bank, probe))
+  def topKNeighbors(score: Column, id: Column, k: Int): Column =
+    col(TopKNeighbors(e(score), e(id), k).toAggregateExpression())
 }

@@ -298,6 +298,34 @@ class DedupSimilaritySpec extends SparkSuite {
       "templated low-Jaccard pair emitted")
   }
 
+  test("top-k heap aggregate equals the rank window, including cosine ties") {
+    import org.apache.spark.sql.expressions.Window
+    // synthetic candidate stream with deliberate score ties (ids 20/21
+    // share a cosine; the tie must break to the smaller neighbor_id),
+    // duplicates of the same score across queries, and a query with
+    // fewer than k candidates
+    val cand = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 20L, 0.7), (1L, 21L, 0.7),
+      (1L, 12L, 0.6), (1L, 13L, 0.5),
+      (2L, 30L, 0.4), (2L, 31L, 0.4),
+      (3L, 40L, 1.0)).toDF("query_id", "neighbor_id", "cosine")
+    val viaAgg = cand.groupBy(col("query_id"))
+      .agg(graft.plans.GraftFunctions.topKNeighbors(
+        col("cosine"), col("neighbor_id"), 4).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"),
+        col("__e.cosine").as("cosine"), (col("__p") + 1).cast("int").as("rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val viaWindow = cand.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= 4)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rank").cast("int").as("rank"))
+    val a = viaAgg.orderBy("query_id", "rank").collect().toSeq
+    val b = viaWindow.orderBy("query_id", "rank").collect().toSeq
+    assert(a == b, s"aggregate top-k diverged from the window form:\n$a\nvs\n$b")
+  }
+
   test("hot LSH buckets are salt-split: bounded candidates, graceful recall") {
     import graft.operators.Skew
     // 200 identical docs = one boilerplate cluster -> every band bucket

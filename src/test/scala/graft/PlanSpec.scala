@@ -295,4 +295,21 @@ class BucketingSpec extends SparkSuite {
         s"$name bucket self-join was broadcast-converted by AQE:\n$plan")
     }
   }
+
+  test("ANN rankers consume candidates with a bounded-heap aggregate, not a window sort") {
+    // the window form sorts the full N·probe·listSize candidate stream
+    // twice; the TopKNeighbors aggregate kills candidates map-side in
+    // the producing stage (ObjectHashAggregate partial mode) and its
+    // exchange carries ≤ queries·k packed entries — at sf10 the sorts
+    // were the dominant cost of sim_ann_ivf (~2e9 candidate rows)
+    for (name <- Seq("sim_ann_ivf", "sim_ann_lsh")) {
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate") &&
+        plan.contains("graft_top_k_neighbors"),
+        s"$name no longer ranks via the TopKNeighbors aggregate:\n$plan")
+      assert(!plan.contains("WindowGroupLimit"),
+        s"$name still sorts candidates for a rank window:\n$plan")
+    }
+  }
 }
