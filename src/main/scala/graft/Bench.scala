@@ -141,6 +141,21 @@ object Bench {
         }
       }
       val sec = median(passes)
+      // query boundary = the library's batch boundary: drop the dedup
+      // operators' tracked scratch persists. clearCache() (per pass,
+      // above) already unpersists the BLOCKS, but the scratch registry
+      // still pins every frame's lineage — plan trees, broadcast
+      // handles — with strong references, and over a 95-query soak that
+      // accumulated old-gen mass was measured as a ~2× in-suite vs
+      // isolated gap on the sf10 shingle family (r10 verdict ask #2).
+      graft.operators.Dedup.releaseIntermediates(spark)
+      // in soak mode (single-pass, sf1+) additionally run a full GC at
+      // the boundary so each query starts from the heap an isolated run
+      // would see; skipped for multi-pass sf0.1 runs where ~100 forced
+      // full GCs would cost more than the hygiene buys
+      val gcMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC",
+        if (Passes == 1) "on" else "off")
+      if (gcMode == "on") System.gc()
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  (passes: ${passes.map(p => f"$p%.2f").mkString(", ")})")
       name -> sec
     }

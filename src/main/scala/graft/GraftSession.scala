@@ -33,6 +33,13 @@ object GraftSession {
       // re-sorting the billion-row candidate streams the aggregate
       // exists to avoid. 2 M groups ≈ 500 MB/task at k=10, far above
       // any ranker's per-partition group count (= query count).
+      // SESSION-GLOBAL CONSTRAINT: this also disarms the sort-based
+      // spill valve for every OTHER ObjectHashAggregate in the session,
+      // so any new TypedImperativeAggregate added to this library MUST
+      // keep its per-group state bounded (a few hundred bytes) — an
+      // unbounded-state aggregate (collect_list-style) over millions of
+      // groups would OOM where stock Spark would have spilled. The rule
+      // is restated at the definition site (plans/GraftAggregates.scala).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (2 * 1000 * 1000).toString)
       .config("spark.sql.session.timeZone", "UTC")

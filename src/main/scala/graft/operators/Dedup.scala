@@ -65,6 +65,31 @@ object Dedup {
   private def persistScratchById(df: DataFrame): DataFrame =
     persistScratch(df.repartition(col("id")).sortWithinPartitions("id"))
 
+  /** Corpus-row floor above which the shingle near-dup operators attach
+    * their SCALE machinery: the id-co-partitioned scratch layout, the
+    * 32-byte one-perm minhash sketch column + pair-level reject
+    * (simhash), the signature-estimate prefilter stage (minhash), and
+    * the merge pins on the candidate/verify joins. All of it exists for
+    * the 10⁵⁺-doc regime (the r9 sf10 sort-spill/driver-collect
+    * cliffs); below the floor it costs a measured ~1.5-2× (r10 sf0.1:
+    * `dd_minhash_lsh` 0.83→1.44 s, `dd_ngram_jaccard` 0.55→0.99 s)
+    * while AQE's broadcast attach is both safe and faster. The floor is
+    * set by `spark.graft.dedup.scaleFloor` (session conf; ≤ 0 forces
+    * the scale path — plan-shape specs use that to pin the 100 TB plan
+    * on a test corpus). Path choice never changes RESULTS: the small
+    * path is the same candidate generation with strictly FEWER lossy
+    * layers (no sketch/prefilter rejects), verified by the
+    * path-equivalence spec in DedupSimilaritySpec. Costs one memoized
+    * count ([[CorpusStats.rowCount]]).
+    */
+  val ScaleFloorKey = "spark.graft.dedup.scaleFloor"
+  val ScaleFloorDefault = 20000L
+  private def scaleAttach(df: DataFrame): Boolean = {
+    val floor = df.sparkSession.conf.getOption(ScaleFloorKey)
+      .map(_.toLong).getOrElse(ScaleFloorDefault)
+    floor <= 0 || CorpusStats.rowCount(df) >= floor
+  }
+
   /** Unpersist every tracked operator-scratch frame of `spark`'s
     * session, returning how many were dropped. Call at a corpus/batch
     * boundary (after consuming the operators' results) — not
@@ -215,6 +240,9 @@ object Dedup {
       shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // the scale machinery (co-partitioned scratch, two-stage prefilter
+    // verify, merge pins) pays for itself above [[ScaleFloorKey]] only
+    val scale = scaleAttach(df)
     // per-doc sorted hash set: pair verification below runs a primitive
     // merge-scan instead of string-set operations, and the minhash
     // signature derives from the same base hashes (identical output to
@@ -227,7 +255,8 @@ object Dedup {
         col(textCol), shingleLen).as("shingles"))
       .select(col("id"), col("shingles"),
         graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
-      .transform(persistScratchById)
+      .transform(if (scale) persistScratchById else persistScratch)
+    def pin(d: DataFrame): DataFrame = if (scale) d.hint("merge") else d
     // ids-only banding: candidates shuffle (id, band, hash) rows, never
     // the shingle sets or signatures
     val banded = Skew.saltOversized(withSig.select(
@@ -238,10 +267,32 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "band_hash"))),
       Seq("band", "band_hash"), maxBucketSize, saltOn = col("id"))
-    val cand = banded.as("x").join(banded.as("y").hint("merge"), Seq("band", "band_hash", "__salt"))
+    val cand = banded.as("x").join(pin(banded.as("y")), Seq("band", "band_hash", "__salt"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    def estJaccard(sigA: Column, sigB: Column): Column =
+      size(filter(zip_with(sigA, sigB, (x, y) =>
+        when(x === y, lit(1)).otherwise(lit(null))), v => v.isNotNull))
+        .cast("double") / lit(numHashes.toDouble)
+    if (!scale) {
+      // small-corpus path: one attach stage carrying sig AND shingles —
+      // the candidate set is small enough that staging the attaches
+      // (and the prefilter's two extra joins) costs more than the array
+      // movement it would save; AQE broadcasts the scratch attach.
+      // Result-identical to the scale path minus its (empirically
+      // no-op at this size) lossy prefilter.
+      return cand
+        .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a"),
+          col("shingles").as("sh_a")), Seq("id_a"))
+        .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b"),
+          col("shingles").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.plans.GraftFunctions.sortedJaccard(
+            col("sh_a"), col("sh_b")).as("jaccard"),
+          estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
     // Verify in two stages, both against the co-partitioned scratch
     // (attaches insert no exchange/sort on the corpus side — see
     // persistScratchById; merge-pinned because the persisted frame's
@@ -265,20 +316,18 @@ object Dedup {
     val estCutoff = math.max(0.0,
       threshold - 4.0 * math.sqrt(threshold * (1.0 - threshold) / numHashes))
     val prefiltered = cand
-      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))
-        .hint("merge"), Seq("id_a"))
-      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))
-        .hint("merge"), Seq("id_b"))
+      .join(pin(withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))),
+        Seq("id_a"))
+      .join(pin(withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, lit(1)).otherwise(lit(null))), v => v.isNotNull))
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= estCutoff)
     prefiltered
-      .join(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-        .hint("merge"), Seq("id_a"))
-      .join(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-        .hint("merge"), Seq("id_b"))
+      .join(pin(withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))),
+        Seq("id_a"))
+      .join(pin(withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
         col("est_jaccard"))
@@ -311,7 +360,10 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // corpus scratch co-partitioned by id (persistScratchById) so its
     // merge-pinned attach below is exchange- and sort-free; the NEW
-    // shard stays naturally partitioned — its attach broadcasts
+    // shard stays naturally partitioned — its attach broadcasts. Both
+    // gated on the CORPUS size ([[ScaleFloorKey]]) like the batch
+    // operator — a small corpus broadcasts its attach instead.
+    val scale = scaleAttach(corpus)
     def prep(df: DataFrame, copartition: Boolean): DataFrame = {
       val base = df.select(col(idCol).as("id"),
         graft.plans.GraftFunctions.hashedCharShingles(
@@ -328,7 +380,7 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               _.cast("string")))))).as(Seq("band", "band_hash")))
     val nsig = prep(newDocs, copartition = false)
-    val csig = prep(corpus, copartition = true)
+    val csig = prep(corpus, copartition = scale)
     val idx = Skew.truncateHotKeys(banded(csig), Seq("band", "band_hash"),
       maxBucketSize, col("id"))
     val cand = banded(nsig).as("p").join(idx.as("x"), Seq("band", "band_hash"))
@@ -341,8 +393,10 @@ object Dedup {
     cand
       .join(nsig.select(col("id").as("new_id"), col("shingles").as("sh_n")),
         Seq("new_id"))
-      .join(csig.select(col("id").as("old_id"), col("shingles").as("sh_o"))
-        .hint("merge"), Seq("old_id"))
+      .join({
+        val o = csig.select(col("id").as("old_id"), col("shingles").as("sh_o"))
+        if (scale) o.hint("merge") else o
+      }, Seq("old_id"))
       .select(col("new_id"), col("old_id"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_n"), col("sh_o")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -427,7 +481,11 @@ object Dedup {
     * ([[graft.plans.OnePermMinhashBits]]) carried on the candidate rows:
     * pairs whose sketch-estimated Jaccard sits 4σ below `threshold` are
     * dropped before any shingle array moves, discarding a TRUE pair at
-    * J ≥ threshold with ~3e-5 probability — the same class as the
+    * J ≥ threshold with ~3e-5 probability. σ is computed PER PAIR from
+    * the smaller doc's expected sketch occupancy (one-permutation
+    * hashing draws an independent bit only per occupied bucket), so the
+    * 4σ margin holds for short docs too instead of silently narrowing
+    * to ~3σ below ~200 distinct shingles — the same class as the
     * radius and banding contracts.
     *
     * 32-BIT REGIME CAVEAT: when the auto-switch (corpus > 10⁸ rows,
@@ -462,26 +520,36 @@ object Dedup {
       else simhashChunkBitsFor(CorpusStats.rowCount(df))
     val nChunks = 64 / cb
     val mask = (1L << cb) - 1
+    // co-partitioned scratch + merge pins are scale machinery
+    // ([[ScaleFloorKey]]); the SKETCH is NOT gated — unlike minhash's
+    // prefilter, the radius-band mass it rejects is a property of the
+    // corpus's template structure, not its size (r11 measured: gating
+    // the sketch off at sf0.1/5k docs REGRESSED dd_simhash 1.44→2.56 s
+    // — the sketch pays for itself at every scale)
+    val scale = scaleAttach(df)
+    def pin(d: DataFrame): DataFrame = if (scale) d.hint("merge") else d
     // persisted: feeds the index, the probes, and both verify-side joins
-    val sets = df.select(col(idCol).as("id"),
+    val base = df.select(col(idCol).as("id"),
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
       .select(col("id"), col("shingles"), col("sim"),
-        graft.plans.GraftFunctions.onePermMinhashBits(col("shingles")).as("sk"))
-      .transform(persistScratchById)
+        graft.plans.GraftFunctions.onePermMinhashBits(col("shingles")).as("sk"),
+        size(col("shingles")).as("nsh"))
+    val sets = (if (scale) persistScratchById(base) else persistScratch(base))
+    val carryCols: Seq[Column] = Seq(col("id"), col("sim"), col("sk"), col("nsh"))
     // truncate (not drop) hot index values: an identical-content flood
     // saturates EVERY chunk position at once, so dropping hot buckets
     // would zero its pairs with no retry path; truncation keeps the
     // deterministic first maxBucketSize ids pairing with each other
-    val idx = Skew.truncateHotKeys(sets.select(col("id"), col("sim"), col("sk"),
+    val idx = Skew.truncateHotKeys(sets.select(carryCols :+
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * cb).bitwiseAND(lit(mask))): _*))
-        .as(Seq("chunk", "chunk_val"))),
+        .as(Seq("chunk", "chunk_val")): _*),
       Seq("chunk", "chunk_val"), maxBucketSize, col("id"))
-    val probes = idx.select(col("id"), col("sim"), col("sk"), col("chunk"),
+    val probes = idx.select(carryCols :+ col("chunk") :+
       explode(array(col("chunk_val") +: (0 until cb).map(b =>
-        col("chunk_val").bitwiseXOR(lit(1L << b))): _*)).as("chunk_val"))
+        col("chunk_val").bitwiseXOR(lit(1L << b))): _*)).as("chunk_val"): _*)
     // Jaccard-sketch reject cutoff, in sketch-Hamming space: matching
     // bits m of 256 estimate (1+J)/2, so requiring
     // m ≥ 256·((1+τ)/2 − 4σ) — i.e. sketch Hamming ≤ skCutoff — rejects
@@ -498,9 +566,28 @@ object Dedup {
     // sketch rides the probe/index rows (no extra join) and the reject
     // runs inside the candidate join, so array movement is bounded by
     // pairs that are plausibly ≥ τ.
+    //
+    // σ uses the pair's EFFECTIVE sample size, not a flat 256: one-
+    // permutation hashing only draws an independent bit per OCCUPIED
+    // bucket (densified bits are correlated copies), and a doc with s
+    // distinct shingles occupies 256·(1−(255/256)^s) buckets in
+    // expectation — ~139 at s = 200, where a flat-256 σ would shrink
+    // the stated 4σ margin to ~3σ and quietly raise the true-pair
+    // reject rate on short docs. The per-pair cutoff takes the SMALLER
+    // doc's shingle count (a 4-byte column riding the same rows as the
+    // sketch), so short-doc pairs get a proportionally wider margin —
+    // degenerating to reject-nothing as s → 0 — while long-doc pairs
+    // keep the tight 256-bit cutoff. ceil() rounds the allowed sketch
+    // Hamming UP (the keep direction): truncation was up to one bit
+    // stricter than the stated margin.
     val pTau = (1.0 + threshold) / 2.0
-    val mCut = pTau - 4.0 * math.sqrt(pTau * (1.0 - pTau) / 256.0)
-    val skCutoff = (256.0 * (1.0 - mCut)).toInt
+    def skCutoff(nshMin: Column): Column = {
+      val effK = greatest(lit(1.0),
+        lit(256.0) * (lit(1.0) - pow(lit(255.0 / 256.0), nshMin.cast("double"))))
+      val sigma = sqrt(lit(pTau * (1.0 - pTau)) / effK)
+      least(lit(256.0),
+        ceil(lit(256.0) * (lit(1.0) - (lit(pTau) - lit(4.0) * sigma))))
+    }
     // d(chunk_x, chunk_y) ≤ 1 ⟺ x's probe set hits y's exact value AND
     // vice versa, so the asymmetric probe→index join still sees every
     // qualifying pair in both orientations; id ordering + distinct dedup.
@@ -512,7 +599,7 @@ object Dedup {
     val cand = probes.as("x").join(idx.as("y"), Seq("chunk", "chunk_val"))
       .filter(col("x.id") < col("y.id"))
       .filter(graft.plans.GraftFunctions.arrayHamming(
-        col("x.sk"), col("y.sk")) <= lit(skCutoff))
+        col("x.sk"), col("y.sk")) <= skCutoff(least(col("x.nsh"), col("y.nsh"))))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming64(col("x.sim"), col("y.sim")).cast("int").as("hamming"))
       .filter(col("hamming") <= hammingRadius)
@@ -523,10 +610,10 @@ object Dedup {
     // (persistScratchById); the one array-carrying re-sort (stage-2
     // left side by id_b) moves sh_a for radius-filtered candidates only.
     cand
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-        .hint("merge"), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-        .hint("merge"), Seq("id_b"))
+      .join(pin(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"))),
+        Seq("id_a"))
+      .join(pin(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
         col("hamming"))
@@ -579,11 +666,14 @@ object Dedup {
     // per-doc sorted hash set: the inverted index blocks on the 64-bit
     // shingle hash and pair verification merge-scans primitive longs.
     // Persisted: feeds the index build and both verify-side joins.
+    // Co-partition + merge pins are scale machinery ([[ScaleFloorKey]])
+    val scale = scaleAttach(df)
+    def pin(d: DataFrame): DataFrame = if (scale) d.hint("merge") else d
     val sets = df.select(col(idCol).as("id") +:
       graft.plans.GraftFunctions.hashedCharShingles(
         col(textCol), shingleLen, stride).as("shingles") +:
       carry.map(col): _*)
-      .transform(persistScratchById)
+      .transform(if (scale) persistScratchById else persistScratch)
     // ceil must never round UP past the exact ⌈t·s⌉ (a too-short prefix
     // loses pairs); the epsilon makes float error shorten the ceil —
     // i.e. lengthen the prefix — which only adds candidates.
@@ -594,7 +684,7 @@ object Dedup {
       sets.select(col("id"), sz.as("sz"),
         explode(slice(col("shingles"), lit(1), pfxLen)).as("sh")),
       Seq("sh"), maxDocFreq)
-    val cand = inv.as("x").join(inv.as("y").hint("merge"), Seq("sh"))
+    val cand = inv.as("x").join(pin(inv.as("y")), Seq("sh"))
       .filter(col("x.id") < col("y.id") &&
         least(col("x.sz"), col("y.sz")) >=
           greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(1e-9))
@@ -603,12 +693,10 @@ object Dedup {
     // merge-pinned verify attaches — see minhashNearDupPairs (the r9
     // sf10 driver-collect cliff)
     cand
-      .join(sets.select(col("id").as("id_a") +: col("shingles").as("sh_a") +:
-        carry.map(c => col(c).as(s"${c}_a")): _*)
-        .hint("merge"), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b") +: col("shingles").as("sh_b") +:
-        carry.map(c => col(c).as(s"${c}_b")): _*)
-        .hint("merge"), Seq("id_b"))
+      .join(pin(sets.select(col("id").as("id_a") +: col("shingles").as("sh_a") +:
+        carry.map(c => col(c).as(s"${c}_a")): _*)), Seq("id_a"))
+      .join(pin(sets.select(col("id").as("id_b") +: col("shingles").as("sh_b") +:
+        carry.map(c => col(c).as(s"${c}_b")): _*)), Seq("id_b"))
       .select(col("id_a") +: col("id_b") +:
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)

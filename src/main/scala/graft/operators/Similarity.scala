@@ -349,12 +349,15 @@ object Similarity {
     // same bytes the former broadcast(centDf) shipped — and the
     // expression's fold order/tie-break replicate the windowed
     // (csim desc, list_id asc) decision bit-for-bit (oracle parity;
-    // see NearestCentroidLists).
-    val bankRows = centDf.select(col("list_id").cast("int"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    val bank = withNorm.sparkSession.sparkContext
-      .broadcast(graft.plans.CentroidBank(bankRows))
+    // see NearestCentroidLists). NOTE (explain-path trade): the bank
+    // materializes at DataFrame-CONSTRUCTION time, so merely building
+    // this plan (explain tooling, plan-shape tests) runs the centroid
+    // job — accepted for the map-side assignment, and amortized by
+    // [[bankBroadcastFor]]: repeated construction over the same
+    // centroid frame (bench passes, recall harness, semdedup + its
+    // curation consumers) reuses one broadcast instead of re-collecting
+    // and leaking a new one per call.
+    val bank = bankBroadcastFor(centDf)
     val assigned = withNorm
       .withColumn("__l",
         graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), bank, 1))
@@ -544,6 +547,44 @@ object Similarity {
     * sampled centroid quality is equivalent for IVF cell assignment, and
     * the training cost stops scaling with the corpus.
     */
+  /** Memoized centroid-bank broadcast for [[assignAndProbe]]: keyed on
+    * the centroid frame's canonicalized plan hash + input-file
+    * signature (the [[CorpusStats]] key design — seeded centroids
+    * derive from the corpus scan, trained centroids are a LocalRelation
+    * whose rows are part of the canonical plan), so repeated
+    * construction over the same centroids collects and broadcasts ONCE.
+    * Evicted/stale entries drop their reference only — the
+    * ContextCleaner reclaims the broadcast once no live plan holds it
+    * (an explicit destroy() could race a still-referenced lazy plan).
+    */
+  private val MaxCachedBanks = 8
+  private val bankCache = new java.util.LinkedHashMap[
+      String, org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]]): Boolean =
+      size() > MaxCachedBanks
+  }
+
+  private def bankBroadcastFor(centDf: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank] = {
+    val sc = centDf.sparkSession.sparkContext
+    val key = s"${sc.applicationId}|${System.identityHashCode(centDf.sparkSession)}|" +
+      s"${centDf.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(centDf)}"
+    bankCache.synchronized(Option(bankCache.get(key))).getOrElse {
+      val bankRows = centDf.select(col("list_id").cast("int"), col("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      val b = sc.broadcast(graft.plans.CentroidBank(bankRows))
+      bankCache.synchronized(bankCache.put(key, b))
+      b
+    }
+  }
+
+  // test hook (BankCacheSpec): observe hit/miss behavior across calls
+  private[graft] def bankCacheSize: Int = bankCache.synchronized(bankCache.size())
+  private[graft] def clearBankCache(): Unit = bankCache.synchronized(bankCache.clear())
+
   private val MaxCachedCentroids = 8
   private val centroidCache =
     new java.util.LinkedHashMap[String, Array[(Int, Array[Float])]](16, 0.75f, true) {

@@ -428,6 +428,12 @@ object Validation {
     * recent-activity count, which chains on the profile because the
     * source max-ts is its anchor. Multi-table concurrency lives in
     * [[ValidationRunner]]'s pool.
+    *
+    * `anti_join_orphans` and `delete_semantics` report the SAME fused
+    * counter BY DESIGN: in a keyed CDC mirror an unpropagated delete IS
+    * an orphan (both are the sink⟂source PK anti-join; only the
+    * narrative differs) — do not split them back into two jobs. Pinned
+    * by ValidationSpec ("report the SAME counter by design").
     */
   def runAllChecks(source: DataFrame, sink: DataFrame, meta: TableMeta,
       slaMinutes: Double = 15.0): TableValidationReport = {

@@ -8,6 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+// INVARIANT FOR NEW AGGREGATES IN THIS FILE: GraftSession raises
+// spark.sql.objectHashAggregate.sortBased.fallbackThreshold to 2M
+// groups session-wide, which disables ObjectHashAggregate's sort-based
+// spill valve. Every TypedImperativeAggregate here must therefore keep
+// its per-group state BOUNDED (TopKHeap: ~16·k+50 B); an
+// unbounded-state aggregate (collect_list-style) over many groups
+// would OOM where stock Spark would have spilled. If you need
+// unbounded state, scope the threshold back down around that query.
+
 /** Bounded top-k buffer for [[TopKNeighbors]]: the k best
   * (score desc, id asc) entries, held as a binary min-heap on that
   * ordering so the root is always the current evictee — offer() is

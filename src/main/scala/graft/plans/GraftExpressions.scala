@@ -407,6 +407,13 @@ object CentroidBank {
   * (strict-greater replacement over a list_id-ascending scan), exactly
   * the `row_number over (csim desc, list_id asc)` the window computed,
   * so graded assignments stay bit-identical to the DuckDB oracle.
+  * Comparisons use `java.lang.Double.compare` — Spark's SQL total
+  * order, where NaN sorts GREATER than every value and equal to
+  * itself — so a vector with a non-finite component (all csims NaN)
+  * still assigns to its smallest-list_id centroid exactly as the
+  * window form did, instead of falling out of the result via an empty
+  * list (a plain `>` is always false for NaN; r10's scan silently
+  * DROPPED such rows where the windowed plan kept them).
   */
 case class NearestCentroidLists(child: Expression,
     bank: org.apache.spark.broadcast.Broadcast[CentroidBank], probe: Int)
@@ -434,10 +441,12 @@ case class NearestCentroidLists(child: Expression,
       while (k < m) { d += vec.getFloat(k).toDouble * cv(k).toDouble; k += 1 }
       val nn = math.sqrt(nsq) * math.sqrt(b.norms(c))
       val csim = if (nn == 0.0) 0.0 else d / nn
-      // strict > over a list_id-ascending scan = (csim desc, list_id asc)
-      if (csim > topSim(p - 1)) {
+      // strict > over a list_id-ascending scan = (csim desc, list_id
+      // asc); Double.compare = the SQL total order (NaN greatest), so
+      // NaN csims rank first with list_id tiebreak like the window did
+      if (java.lang.Double.compare(csim, topSim(p - 1)) > 0) {
         var j = p - 1
-        while (j > 0 && csim > topSim(j - 1)) {
+        while (j > 0 && java.lang.Double.compare(csim, topSim(j - 1)) > 0) {
           topSim(j) = topSim(j - 1); topIdx(j) = topIdx(j - 1); j -= 1
         }
         topSim(j) = csim; topIdx(j) = c

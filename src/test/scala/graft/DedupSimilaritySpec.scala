@@ -290,12 +290,54 @@ class DedupSimilaritySpec extends SparkSuite {
         (0 until 12).map(k => s"unique${i}x${k}token${i * 31 + k * 7}")
           .mkString(" "))) :+
       (100L, base) :+ (101L, base + " tail")
-    val pairs = Dedup.simhashNearDupPairs(templated.toDF("doc_id", "text"),
-      "text", "doc_id", threshold = 0.5)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((100L, 101L)), s"planted near-dup lost: $pairs")
-    assert(!pairs.exists(p => p._1 < 40L && p._2 < 40L && p._1 != p._2),
-      "templated low-Jaccard pair emitted")
+    // the sketch only attaches above the corpus-size floor (r11) —
+    // force the scale path so this exercises the reject, not the
+    // small-corpus bypass
+    spark.conf.set(Dedup.ScaleFloorKey, "0")
+    try {
+      val pairs = Dedup.simhashNearDupPairs(templated.toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((100L, 101L)), s"planted near-dup lost: $pairs")
+      assert(!pairs.exists(p => p._1 < 40L && p._2 < 40L && p._1 != p._2),
+        "templated low-Jaccard pair emitted")
+    } finally spark.conf.unset(Dedup.ScaleFloorKey)
+  }
+
+  test("scale and small-corpus paths emit identical pairs (minhash, simhash, ngram)") {
+    // r11: co-partitioned scratch / sketch reject / prefilter only
+    // attach above ScaleFloorKey. Path choice must never change
+    // RESULTS — compare both paths on the real 500-doc corpus PLUS a
+    // block of SHORT near-dup docs (~2 lines ≈ 60-100 distinct
+    // shingles), where the old flat-256 sketch σ understated the
+    // estimator variance and could wrongly reject a true at-threshold
+    // pair that the small path (no sketch) keeps.
+    val d0 = Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val short = (0 until 30).flatMap { i =>
+      val stem = s"short doc $i with a modest amount of content token${i * 13} " +
+        s"and some shared phrasing about data pipelines run${i}"
+      Seq((9000L + 2 * i, stem), (9001L + 2 * i, stem + s" plus tail$i"))
+    }.toDF("doc_id", "text")
+    val d = d0.unionByName(short)
+    def run(floor: String, q: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(Dedup.ScaleFloorKey, floor)
+      try q(d).collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset(Dedup.ScaleFloorKey)
+    }
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "minhash" -> (df => Dedup.minhashNearDupPairs(df, "text", "doc_id", threshold = 0.5)),
+      "simhash" -> (df => Dedup.simhashNearDupPairs(df, "text", "doc_id", threshold = 0.5)),
+      "ngram" -> (df => Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        shingleLen = 24, stride = 3, threshold = 0.5)))
+    for ((name, q) <- ops) {
+      val scalePath = run("0", q)
+      val smallPath = run(Long.MaxValue.toString, q)
+      assert(scalePath == smallPath,
+        s"$name: scale path diverged from small path " +
+          s"(${scalePath.size} vs ${smallPath.size} rows); " +
+          s"onlyScale=${scalePath.diff(smallPath).take(5)} " +
+          s"onlySmall=${smallPath.diff(scalePath).take(5)}")
+    }
   }
 
   test("top-k heap aggregate equals the rank window, including cosine ties") {
@@ -489,6 +531,46 @@ class DedupSimilaritySpec extends SparkSuite {
     val expect = (4.0 + 10.0 + 18.0) /
       (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
     assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("centroid assignment keeps NaN vectors with the window form's NaN-greatest order") {
+    // r11 (ADVICE): a plain `>` is false for NaN, so a vector with a
+    // non-finite component produced an EMPTY list and silently fell out
+    // of the assignment, where `row_number over (csim desc, list_id
+    // asc)` — NaN greatest in Spark's ordering — assigned it to the
+    // smallest list_id. The expression now uses the same total order.
+    import graft.plans.{CentroidBank, GraftFunctions}
+    val bank = spark.sparkContext.broadcast(CentroidBank(Array(
+      (3, Array(0f, 1f)), (1, Array(1f, 0f)), (2, Array(0.6f, 0.8f)))))
+    val df = Seq(
+      (10L, Array(1f, 0.1f)),       // finite: nearest list 1
+      (11L, Array(Float.NaN, 1f)),  // NaN csims: smallest list_id first
+      (12L, Array(0f, 1f))          // finite: nearest list 3
+    ).toDF("id", "vec")
+    val got = df.select($"id",
+      GraftFunctions.nearestCentroidLists($"vec", bank, 2).as("l"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(10L).head == 1, s"finite vector misassigned: ${got(10L)}")
+    assert(got(12L).head == 3, s"finite vector misassigned: ${got(12L)}")
+    assert(got(11L) == Seq(1, 2),
+      s"NaN vector must rank all-NaN csims by list_id asc, got ${got(11L)}")
+  }
+
+  test("centroid bank broadcast is memoized per centroid frame") {
+    Similarity.clearBankCache()
+    val emb = Tables.embeddings(spark, sf001)
+    Similarity.ivfSeededCandidates(emb, "vec_id", "embedding",
+      nLists = 8, nProbe = 2).count()
+    assert(Similarity.bankCacheSize == 1)
+    // same frame → same canonical plan + file signature → cache hit
+    Similarity.ivfSeededCandidates(emb, "vec_id", "embedding",
+      nLists = 8, nProbe = 2).count()
+    assert(Similarity.bankCacheSize == 1,
+      "repeated construction re-collected the centroid bank")
+    // different centroid geometry → different plan → new entry
+    Similarity.ivfSeededCandidates(emb, "vec_id", "embedding",
+      nLists = 4, nProbe = 2).count()
+    assert(Similarity.bankCacheSize == 2)
   }
 }
 

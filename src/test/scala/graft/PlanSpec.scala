@@ -229,7 +229,10 @@ class BucketingSpec extends SparkSuite {
     // scratch out hash-partitioned + sorted by id so the merge-pinned
     // attaches must plan the cached side BARE — any Sort or Exchange
     // between the join and the InMemoryTableScan means the layout (or its
-    // alias propagation) regressed and the array frame is being re-sorted
+    // alias propagation) regressed and the array frame is being re-sorted.
+    // The machinery under test only attaches above the corpus-size floor
+    // (r11) — force the scale path on the test corpus
+    spark.conf.set(graft.operators.Dedup.ScaleFloorKey, "0")
     import org.apache.spark.sql.execution.{SparkPlan, SortExec}
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
@@ -241,7 +244,7 @@ class BucketingSpec extends SparkSuite {
       case r: ReusedExchangeExec => p +: flatten(r.child)
       case _ => p +: p.children.flatMap(flatten)
     }
-    for (name <- Seq("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard")) {
+    try for (name <- Seq("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard")) {
       val df = SparkEntry.queries(name)(spark, sf001)
       val exec = df.queryExecution.executedPlan
       exec.execute().count() // finalize AQE so the guard reads the real plan
@@ -261,7 +264,7 @@ class BucketingSpec extends SparkSuite {
         assert(!side.exists(p => p.isInstanceOf[Exchange] || p.isInstanceOf[ShuffleQueryStageExec]),
           s"$name: verify attach re-shuffles the scratch side:\n${side.head}")
       }
-    }
+    } finally spark.conf.unset(graft.operators.Dedup.ScaleFloorKey)
   }
 
   test("exploded candidate self-joins stay shuffle joins through AQE's final re-plan") {
@@ -272,7 +275,9 @@ class BucketingSpec extends SparkSuite {
     // why the merge pins exist (at sf4 the deserialized build measured
     // 12.9 GiB, over the 8 GiB broadcast hard limit; on a cluster an
     // executor OOM). A broadcast appearing HERE means the pin is lost.
-    for (name <- Seq("dd_minhash_lsh", "dd_embed_neardup")) {
+    // Pins only attach above the corpus-size floor (r11) — force them
+    spark.conf.set(graft.operators.Dedup.ScaleFloorKey, "0")
+    try for (name <- Seq("dd_minhash_lsh", "dd_embed_neardup")) {
       val df = SparkEntry.queries(name)(spark, sf001)
       // df.count() would execute a *derived* plan, leaving this one
       // isFinalPlan=false; executing the plan object itself makes AQE
@@ -293,7 +298,7 @@ class BucketingSpec extends SparkSuite {
         s"$name bucket self-join is no longer a sort-merge join:\n$plan")
       assert(bhjSelf.findFirstIn(plan).isEmpty,
         s"$name bucket self-join was broadcast-converted by AQE:\n$plan")
-    }
+    } finally spark.conf.unset(graft.operators.Dedup.ScaleFloorKey)
   }
 
   test("ANN rankers consume candidates with a bounded-heap aggregate, not a window sort") {

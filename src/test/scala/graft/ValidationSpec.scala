@@ -45,6 +45,35 @@ class ValidationSpec extends SparkSuite {
     assert(report.checks.exists(c => c.check == "anti_join_orphans" && c.status == "FAIL"))
   }
 
+  test("anti_join_orphans and delete_semantics report the SAME counter by design") {
+    // fused-suite contract (Validation.fusedSuiteProfile): in a keyed
+    // CDC mirror an unpropagated delete IS an orphan — both are the
+    // sink⟂source anti-join on PK — so runAllChecks feeds ONE orphan
+    // counter into both report rows. Pin it with a sink that carries
+    // BOTH flavors at once: a ghost from a missed delete (source rows
+    // removed, sink kept) and a phantom from bad routing (sink row that
+    // never existed upstream). A future reader must not "fix" this into
+    // two separate anti-join jobs — the semantics are identical; only
+    // the narrative differs.
+    val ghosts = li.filter(col("l_orderkey") % 101 === 0) // will be "deleted" upstream
+    val source = li.exceptAll(ghosts)
+    val phantom = li.limit(3)
+      .withColumn("l_orderkey", lit(888888888L))
+      .withColumn("l_linenumber",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())))
+    val sink = li.unionByName(phantom)
+    val expected = Validation.orphans(sink, source, meta.pkCols).count()
+    assert(expected > 3, s"fixture must carry both ghost and phantom keys, got $expected")
+    val report = Validation.runAllChecks(source, sink, meta)
+    val byName = report.checks.map(c => c.check -> c).toMap
+    assert(byName("anti_join_orphans").status == "FAIL")
+    assert(byName("delete_semantics").status == "FAIL")
+    assert(byName("anti_join_orphans").details("orphans") == expected.toString)
+    assert(byName("delete_semantics").details("ghost_rows") == expected.toString,
+      "delete_semantics must report the same fused counter as anti_join_orphans")
+  }
+
   test("HLL approx distinct agrees with exact within rsd") {
     val exact = li.select("l_orderkey").distinct().count()
     val approx = Validation.distinctPkApprox(li, Seq("l_orderkey"), rsd = 0.02)
