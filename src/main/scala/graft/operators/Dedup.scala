@@ -478,14 +478,16 @@ object Dedup {
     * shingle Jaccard — the r10 sf10 soak saw 3% of all same-template
     * pairs inside radius 12), so radius survivors additionally pass a
     * 256-bit one-permutation minhash sketch reject
-    * ([[graft.plans.OnePermMinhashBits]]) carried on the candidate rows:
+    * ([[graft.plans.MinhashBits256]]) carried on the candidate rows:
     * pairs whose sketch-estimated Jaccard sits 4σ below `threshold` are
     * dropped before any shingle array moves, discarding a TRUE pair at
-    * J ≥ threshold with ~3e-5 probability. σ is computed PER PAIR from
-    * the smaller doc's expected sketch occupancy (one-permutation
-    * hashing draws an independent bit only per occupied bucket), so the
-    * 4σ margin holds for short docs too instead of silently narrowing
-    * to ~3σ below ~200 distinct shingles — the same class as the
+    * J ≥ threshold with ~3e-5 probability. The sketch bits are 256
+    * INDEPENDENT 1-bit minwise hashes, so σ = √(p(1−p)/256) is exact at
+    * every doc length — short docs keep the full 4σ margin without the
+    * per-pair cutoff widening an occupancy-limited one-permutation
+    * sketch would need (r11; that widening doubled the surviving
+    * radius-band mass on the 78–520-char bench corpus) — the same
+    * class as the
     * radius and banding contracts.
     *
     * 32-BIT REGIME CAVEAT: when the auto-switch (corpus > 10⁸ rows,
@@ -534,10 +536,9 @@ object Dedup {
         col(textCol), shingleLen).as("shingles"),
       simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
       .select(col("id"), col("shingles"), col("sim"),
-        graft.plans.GraftFunctions.onePermMinhashBits(col("shingles")).as("sk"),
-        size(col("shingles")).as("nsh"))
+        graft.plans.GraftFunctions.minhashBits256(col("shingles")).as("sk"))
     val sets = (if (scale) persistScratchById(base) else persistScratch(base))
-    val carryCols: Seq[Column] = Seq(col("id"), col("sim"), col("sk"), col("nsh"))
+    val carryCols: Seq[Column] = Seq(col("id"), col("sim"), col("sk"))
     // truncate (not drop) hot index values: an identical-content flood
     // saturates EVERY chunk position at once, so dropping hot buckets
     // would zero its pairs with no retry path; truncation keeps the
@@ -567,27 +568,17 @@ object Dedup {
     // runs inside the candidate join, so array movement is bounded by
     // pairs that are plausibly ≥ τ.
     //
-    // σ uses the pair's EFFECTIVE sample size, not a flat 256: one-
-    // permutation hashing only draws an independent bit per OCCUPIED
-    // bucket (densified bits are correlated copies), and a doc with s
-    // distinct shingles occupies 256·(1−(255/256)^s) buckets in
-    // expectation — ~139 at s = 200, where a flat-256 σ would shrink
-    // the stated 4σ margin to ~3σ and quietly raise the true-pair
-    // reject rate on short docs. The per-pair cutoff takes the SMALLER
-    // doc's shingle count (a 4-byte column riding the same rows as the
-    // sketch), so short-doc pairs get a proportionally wider margin —
-    // degenerating to reject-nothing as s → 0 — while long-doc pairs
-    // keep the tight 256-bit cutoff. ceil() rounds the allowed sketch
+    // The flat /256 σ is EXACT at every doc length because the sketch
+    // bits are 256 independent 1-bit minwise hashes (MinhashBits256 —
+    // r11; the one-permutation/densified form it replaced only drew an
+    // independent bit per occupied bucket, which on the short-doc
+    // bench corpus forced a per-pair widened cutoff that doubled the
+    // surviving radius-band mass). ceil() rounds the allowed sketch
     // Hamming UP (the keep direction): truncation was up to one bit
-    // stricter than the stated margin.
+    // stricter than the stated 4σ margin.
     val pTau = (1.0 + threshold) / 2.0
-    def skCutoff(nshMin: Column): Column = {
-      val effK = greatest(lit(1.0),
-        lit(256.0) * (lit(1.0) - pow(lit(255.0 / 256.0), nshMin.cast("double"))))
-      val sigma = sqrt(lit(pTau * (1.0 - pTau)) / effK)
-      least(lit(256.0),
-        ceil(lit(256.0) * (lit(1.0) - (lit(pTau) - lit(4.0) * sigma))))
-    }
+    val mCut = pTau - 4.0 * math.sqrt(pTau * (1.0 - pTau) / 256.0)
+    val skCutoff = math.min(256, math.ceil(256.0 * (1.0 - mCut)).toInt)
     // d(chunk_x, chunk_y) ≤ 1 ⟺ x's probe set hits y's exact value AND
     // vice versa, so the asymmetric probe→index join still sees every
     // qualifying pair in both orientations; id ordering + distinct dedup.
@@ -599,7 +590,7 @@ object Dedup {
     val cand = probes.as("x").join(idx.as("y"), Seq("chunk", "chunk_val"))
       .filter(col("x.id") < col("y.id"))
       .filter(graft.plans.GraftFunctions.arrayHamming(
-        col("x.sk"), col("y.sk")) <= skCutoff(least(col("x.nsh"), col("y.nsh"))))
+        col("x.sk"), col("y.sk")) <= lit(skCutoff))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming64(col("x.sim"), col("y.sim")).cast("int").as("hamming"))
       .filter(col("hamming") <= hammingRadius)

@@ -310,62 +310,86 @@ case class MinHashSigL(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 256-bit one-permutation b-bit minhash sketch (Li/Owen/Zhang's one
-  * permutation hashing with rotation densification), packed into 4
-  * longs, from a SORTED distinct hash-set array (the
-  * [[HashedCharShingles]] output): the hash space is cut into 256
-  * buckets by the value's top byte, bucket minimum = first element of
-  * the bucket in the sorted array (one pass, no re-hashing), and the
-  * sketch bit is the minimum's lowest bit. Empty buckets borrow the
-  * next non-empty bucket's bit cyclically — deterministic, so two docs
-  * with equal occupancy patterns and equal minima densify identically.
+/** 256-bit b-bit minhash sketch from 256 INDEPENDENT 1-bit minwise
+  * hashes (Li & König, "b-Bit Minwise Hashing", WWW'10), packed into 4
+  * longs: bit j is the lowest bit of min over the set of
+  * splitmix64(x ⊕ seed_j) — the [[MinHashSigL]] mixing family, one
+  * independent permutation per bit.
   *
-  * Estimator: matching bits m of k follow E[m/k] = (1+J)/2, so
-  * Ĵ = 2m/k − 1 with σ_Ĵ = 2·√(p(1−p)/k), p = (1+J)/2 — at J = 0.5,
-  * k = 256 that is σ ≈ 0.054. Purpose: a 32-byte pair-level REJECT
-  * filter (est 4σ under the threshold ⇒ drop before any shingle array
-  * moves) that rides candidate rows through a join, where the full
-  * minhash signature (256 B) or shingle set (KBs) would dominate the
-  * shuffle. Match count = 256 − [[LongArrayHamming]] of two sketches.
-  * A true pair at J ≥ τ clears a (τ−4σ) cutoff with ~3e-5 miss — the
-  * same probability class as the banding/radius recall contracts of
-  * the operators that use it.
+  * Estimator: each bit matches with EXACTLY p = J + (1−J)/2 = (1+J)/2
+  * (same minimizer element with probability J ⇒ equal bits; different
+  * minimizers ⇒ independent low bits), and the 256 draws are
+  * INDEPENDENT AT EVERY SET SIZE — unlike the one-permutation/
+  * densified form this replaces (r11), whose effective sample size was
+  * the occupied-bucket count: on a short-doc corpus (the bench docs
+  * are 78–520 chars) the one-perm σ had to be widened per pair to keep
+  * the 4σ contract, which doubled the radius-band mass surviving the
+  * reject (dd_simhash sf4 5.0→10.7 s). Here σ = √(p(1−p)/256) is exact
+  * for every doc length, so the cutoff stays flat AND honest.
+  *
+  * Purpose: a 32-byte pair-level REJECT filter (est 4σ under the
+  * threshold ⇒ drop before any shingle array moves) that rides
+  * candidate rows through a join, where the full minhash signature
+  * (256 B) or shingle set (KBs) would dominate the shuffle. Match
+  * count = 256 − [[LongArrayHamming]] of two sketches. A true pair at
+  * J ≥ τ clears a (τ−4σ) cutoff with ~3e-5 miss — the same probability
+  * class as the banding/radius recall contracts of the operators that
+  * use it.
+  *
+  * Cost design: the inner loop is O(256·|set|) and sits in the scan
+  * stage of every simhash run, so each of the 256 orders is a cheap
+  * AFFINE permutation of Z/2⁶⁴ (odd a_j · x + b_j — 1 IMUL + 1 ADD +
+  * unsigned compare per bit; a full splitmix per (element, bit) was
+  * measured at 10 s of the sf4 scratch build, ~3× this form). Affine
+  * families are only approximately min-wise independent, which is fine
+  * here: the sketch is a reject HEURISTIC backed by an exact verify,
+  * and the estimator spec gates tracking error empirically. The bit is
+  * NOT taken from the min value directly — bit0 of a·x+b is
+  * bit0(x)⊕bit0(b) for odd a, perfectly correlated across j — but from
+  * one FINAL splitmix of the per-bit minimum (256 mixes per doc, not
+  * per element): same minimizer ⇒ same bit; different minimizers ⇒
+  * independent mixed bits. Empty sets get the all-zero sketch.
   */
-case class OnePermMinhashBits(child: Expression)
+case class MinhashBits256(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  import MinhashBits256.{MulA, AddB}
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val bits = new Array[Byte](256) // -1 = empty, else 0/1
-    java.util.Arrays.fill(bits, -1.toByte)
+    val words = new Array[Long](4)
+    if (n == 0) return new GenericArrayData(words)
+    val mins = new Array[Long](256)
+    java.util.Arrays.fill(mins, -1L) // unsigned max
     var i = 0
     while (i < n) {
       val x = arr.getLong(i)
-      // top byte = bucket; the input is sorted ascending (signed), and
-      // within one top-byte bucket signed order equals unsigned order,
-      // so the FIRST element seen per bucket is the bucket minimum
-      val b = ((x >>> 56) & 0xff).toInt
-      if (bits(b) < 0) bits(b) = (x & 1L).toByte
+      var j = 0
+      while (j < 256) {
+        val p = MulA(j) * x + AddB(j)
+        if (java.lang.Long.compareUnsigned(p, mins(j)) < 0) mins(j) = p
+        j += 1
+      }
       i += 1
     }
-    val words = new Array[Long](4)
     var j = 0
     while (j < 256) {
-      var bit = bits(j)
-      if (bit < 0) {
-        // rotation densification: borrow the next non-empty bucket's
-        // bit (cyclic). All-empty input leaves 0s — the empty sketch.
-        var d = 1
-        while (d < 256 && bit < 0) { bit = bits((j + d) & 0xff); d += 1 }
-        if (bit < 0) bit = 0
-      }
-      if (bit == 1) words(j >>> 6) |= 1L << (j & 63)
+      if ((Hash64.splitmix64(mins(j)) & 1L) == 1L) words(j >>> 6) |= 1L << (j & 63)
       j += 1
     }
     new GenericArrayData(words)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinhashBits256 {
+  // deterministic per-bit affine permutations of Z/2^64: odd multiplier
+  // (any odd constant is invertible mod 2^64) + independent offset,
+  // both derived from the shared splitmix stream
+  private val MulA: Array[Long] =
+    Array.tabulate(256)(j => Hash64.splitmix64(0x9e3779b97f4a7c15L * (j + 1)) | 1L)
+  private val AddB: Array[Long] =
+    Array.tabulate(256)(j => Hash64.splitmix64(0xc2b2ae3d27d4eb4fL * (j + 1)))
 }
 
 /** Broadcast centroid bank for [[NearestCentroidLists]]: ids,
@@ -780,8 +804,8 @@ object GraftFunctions {
     col(LongArrayHamming(e(a), e(b)))
   def minhashSigL(hashedSet: Column, numHashes: Int): Column =
     col(MinHashSigL(e(hashedSet), numHashes))
-  def onePermMinhashBits(hashedSet: Column): Column =
-    col(OnePermMinhashBits(e(hashedSet)))
+  def minhashBits256(hashedSet: Column): Column =
+    col(MinhashBits256(e(hashedSet)))
   def nearestCentroidLists(vec: Column,
       bank: org.apache.spark.broadcast.Broadcast[CentroidBank],
       probe: Int): Column =

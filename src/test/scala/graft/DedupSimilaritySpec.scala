@@ -246,10 +246,12 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(maxHam <= 7, s"max hamming among exact near-dups = $maxHam")
   }
 
-  test("one-perm minhash sketch: estimator tracks Jaccard; reject cutoff separates") {
-    import graft.plans.GraftFunctions.{arrayHamming, hashedCharShingles, onePermMinhashBits}
+  test("b-bit minhash sketch: estimator tracks Jaccard; reject cutoff separates") {
+    import graft.plans.GraftFunctions.{arrayHamming, hashedCharShingles, minhashBits256}
     // crafted texts at three similarity regimes; sketch estimate
     // Ĵ = 2m/256 − 1 must track the exact hash-set Jaccard within ~4σ
+    // (the 256 bits are independent minwise hashes, so the /256 σ is
+    // exact at every doc length — r11)
     val t = Seq(
       (0L, base), (1L, base), // identical: J = 1
       (2L, base + " extra trailing words appended here"), // high J
@@ -257,7 +259,7 @@ class DedupSimilaritySpec extends SparkSuite {
       .toDF("doc_id", "text")
     val sk = t.select(col("doc_id"),
       hashedCharShingles(col("text"), 8).as("sh"),
-      onePermMinhashBits(hashedCharShingles(col("text"), 8)).as("sk"))
+      minhashBits256(hashedCharShingles(col("text"), 8)).as("sk"))
     val rows = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
         graft.plans.GraftFunctions.sortedJaccard(col("a.sh"), col("b.sh")).as("j"),
@@ -270,12 +272,13 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(math.abs(est - j) <= math.max(4 * sigma, 0.06),
         s"sketch estimate $est vs exact $j (σ=$sigma) for ${r.getLong(0)}-${r.getLong(1)}")
     }
-    // identical docs: zero sketch hamming (determinism incl. densification)
+    // identical docs: zero sketch hamming (deterministic mins)
     val idPair = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
     assert(idPair.getDouble(3) == 1.0)
-    // empty input: the all-zero sketch, not an error
+    // empty input: the documented all-zero sketch, not an error; two
+    // empty docs "match" and are settled by the exact verify (J = 0)
     val empty = Seq((9L, "ab")).toDF("doc_id", "text")
-      .select(onePermMinhashBits(hashedCharShingles(col("text"), 8)).as("sk"))
+      .select(minhashBits256(hashedCharShingles(col("text"), 8)).as("sk"))
       .head.getSeq[Long](0)
     assert(empty == Seq(0L, 0L, 0L, 0L))
   }
@@ -305,13 +308,14 @@ class DedupSimilaritySpec extends SparkSuite {
   }
 
   test("scale and small-corpus paths emit identical pairs (minhash, simhash, ngram)") {
-    // r11: co-partitioned scratch / sketch reject / prefilter only
-    // attach above ScaleFloorKey. Path choice must never change
-    // RESULTS — compare both paths on the real 500-doc corpus PLUS a
-    // block of SHORT near-dup docs (~2 lines ≈ 60-100 distinct
+    // r11: co-partitioned scratch / merge pins / minhash prefilter only
+    // attach above ScaleFloorKey (simhash keeps its sketch reject in
+    // BOTH paths — it pays off at every scale). Path choice must never
+    // change RESULTS — compare both paths on the real 500-doc corpus
+    // PLUS a block of SHORT near-dup docs (~2 lines ≈ 60-100 distinct
     // shingles), where the old flat-256 sketch σ understated the
     // estimator variance and could wrongly reject a true at-threshold
-    // pair that the small path (no sketch) keeps.
+    // pair that the prefilter-free minhash small path keeps.
     val d0 = Tables.documents(spark, sf001).select($"doc_id", $"text")
     val short = (0 until 30).flatMap { i =>
       val stem = s"short doc $i with a modest amount of content token${i * 13} " +
