@@ -1029,16 +1029,26 @@ object Dedup {
   }
 
   /** Hamming-prefilter cutoff on a `poolBits` sketch for pairs at
-    * cosine ≥ `threshold`: expected disagreement is poolBits·θ/π, and a
-    * 6σ one-sided margin (σ ≤ √poolBits/2) bounds the per-pair prefilter
-    * miss at ~1e-9 — far inside the LSH maxMiss budget — while an
-    * orthogonal pair (expected poolBits/2) sits many σ above the cutoff
-    * at any threshold with a usable LSH gap.
+    * cosine ≥ `threshold`: expected disagreement is poolBits·θ/π, plus a
+    * 4σ one-sided keep margin (σ ≤ √poolBits/2, the binomial sd bound —
+    * the true sd at any usable threshold is smaller, so the effective
+    * margin is >4σ) — per-pair prefilter miss ~3e-5, the same contract
+    * class as the LSH banding recall budget and the simhash sketch
+    * reject. The margin is THE knee of the whole adversarial-threshold
+    * pipeline: every σ of slack lowers the cosine the cutoff admits
+    * (cutoff c keeps pairs down to cos(c·π/poolBits)), and on a
+    * ρ>0.5 corpus the candidate mass grows fast as that boundary
+    * drops. Probe-measured at sf4/θ=0.45/poolBits=2048 (EmbedProbe,
+    * r11): 6σ admitted cos ≳ 0.255 → 271 M prefilter survivors and a
+    * 74.7 M-pair distinct+verify; 4σ admits cos ≳ 0.32 → 98 M
+    * survivors, 19.3 M verify pairs (−74%), for ~1e-5 more per-pair
+    * miss. An orthogonal pair (expected poolBits/2) still sits many σ
+    * above the cutoff at any threshold with a usable LSH gap.
     */
   def hammingCutoff(poolBits: Int, threshold: Double): Int = {
     val p1 = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
     math.min(poolBits,
-      math.ceil(poolBits * (1.0 - p1) + 3.0 * math.sqrt(poolBits.toDouble)).toInt)
+      math.ceil(poolBits * (1.0 - p1) + 2.0 * math.sqrt(poolBits.toDouble)).toInt)
   }
 
   /** `nBits`/`nTables` ≤ 0 → auto from corpus size. The corpus is
@@ -1108,6 +1118,15 @@ object Dedup {
       df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         normSq(col(vecCol)).as("nsq"),
         hyperplanePoolSketch(col(vecCol), poolBits).as("sk")))
+    // NOT persisted, although BOTH sides of the bucket self-join scan it
+    // and neither static ReuseExchange nor AQE stage reuse deduplicates
+    // them (probe-verified: FINAL_REUSED_STAGES=0 — the explode + salt
+    // window pipeline executes twice). Measured r11: caching it is
+    // neutral at sf4 (the duplicate map stages overlap across cores) and
+    // LOSES 20% at sf10 (278→336 s — the n·tables-row cache, ~12 GB at
+    // 200 k×2.4 k geometry, evicts/spills against the join's own memory
+    // during the collision stages). The duplicate compute is the cheaper
+    // side of the trade on both tiers.
     val exploded = Skew.saltOversized(
       sig.select(col("id"),
         explode(poolBucketKeys(col("sk"), poolBits, bits, tabs)).as("bk")),
