@@ -697,4 +697,42 @@ class StatefulAnnSpec extends SparkSuite {
     Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", threshold = 0.8).count()
     assert(Dedup.drainAdvisories().isEmpty)
   }
+
+  test("hamming prefilter cutoff: 4-sigma keep margin, boundary stays near the threshold") {
+    // pinned constants at the two graded operating points — the margin
+    // is THE knee of the adversarial pipeline (r11 probe: 6-sigma
+    // admitted cos >= 0.255 at theta=0.45 and tripled the verify mass),
+    // so a silent widening is a performance regression and a silent
+    // tightening a recall regression; either should fail loudly here
+    assert(Dedup.hammingCutoff(2048, 0.45) == 811)
+    assert(Dedup.hammingCutoff(2048, 0.8) == 511)
+    // geometry contract: the cosine the cutoff admits sits BELOW the
+    // threshold (it is a keep margin) but within 0.15 of it at 2048
+    // bits — the property the probe showed 6 sigma violating
+    for (theta <- Seq(0.3, 0.45, 0.6, 0.7, 0.8, 0.9)) {
+      val cut = Dedup.hammingCutoff(2048, theta)
+      val admitted = math.cos(cut * math.Pi / 2048)
+      assert(admitted < theta, s"cutoff at $theta must over-keep, not under-keep")
+      assert(admitted > theta - 0.15,
+        s"cutoff at $theta admits down to cos=$admitted — margin too loose")
+    }
+    // end-to-end: sketches of genuinely near-dup vectors pass the
+    // cutoff, orthogonal ones fail it by a wide margin
+    import graft.plans.GraftFunctions.{arrayHamming, hyperplanePoolSketch}
+    val rnd = new scala.util.Random(7)
+    val v0 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = v0.zipWithIndex.map { case (x, i) => if (i % 9 == 0) 0f else x }
+    // exactly orthogonal by construction (pairwise rotate-negate) — a
+    // fresh random draw in 64 dims can land at cos ≈ 0.3 by chance
+    val orth = Array.tabulate(64)(i => if (i % 2 == 0) -v0(i + 1) else v0(i - 1))
+    val sk = Seq((0L, v0), (1L, near), (2L, orth)).toDF("id", "vec")
+      .select($"id", hyperplanePoolSketch($"vec", 2048).as("sk"))
+    val hd = sk.as("a").join(sk.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id", arrayHamming($"a.sk", $"b.sk").as("hd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val cut08 = Dedup.hammingCutoff(2048, 0.8)
+    assert(hd((0L, 1L)) <= cut08, s"near-dup pair hamming ${hd((0L, 1L))} > $cut08")
+    assert(hd((0L, 2L)) > Dedup.hammingCutoff(2048, 0.3),
+      s"orthogonal pair hamming ${hd((0L, 2L))} under the loosest cutoff")
+  }
 }
