@@ -1131,44 +1131,103 @@ object Dedup {
       sig.select(col("id"),
         explode(poolBucketKeys(col("sk"), poolBits, bits, tabs)).as("bk")),
       Seq("bk"), maxBucketSize, saltOn = col("id"))
-    val a = exploded.select(col("bk"), col("__salt"), col("id").as("id_a"))
-    val b = exploded.select(col("bk"), col("__salt"), col("id").as("id_b"))
-    // the bucket SELF-join must stay a shuffle join: its sides are
-    // n·tables ids-only rows that compress ~50× in shuffle files, so
-    // AQE's runtime re-plan (which thresholds on compressed shuffle
-    // bytes) happily converts it to broadcast — and the DESERIALIZED
-    // hash relation is n·tables·~550 B (measured 12.9 GiB at 80 k
-    // vectors × 305 tables, over Spark's 8 GiB broadcast hard limit;
-    // on a cluster it would be an executor OOM instead). The broadcast
-    // TIER below broadcasts only the n-row per-id attaches, never this
-    // exploded frame; the merge hint pins that intent through AQE.
-    val cand = a.join(b.hint("merge"), Seq("bk", "__salt"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val skA = sig.select(col("id").as("id_a"), col("sk").as("sk_a"))
-    val skB = sig.select(col("id").as("id_b"), col("sk").as("sk_b"))
     val survivors =
-      if (broadcastTier)
-        // collisions stay map-side: broadcast sketch attaches + popcount
-        // prefilter run pipelined in the bucket-join stage; only the
-        // ~linear survivor set reaches the distinct shuffle
-        cand.join(broadcast(skA), Seq("id_a")).join(broadcast(skB), Seq("id_b"))
-          .filter(arrayHamming(col("sk_a"), col("sk_b")) <= maxHd)
+      if (broadcastTier) {
+        // bucket-LOCAL pairwise prefilter — the r11 rewrite of the bucket
+        // self-join. The join shape computed the exploded index TWICE
+        // (neither static ReuseExchange nor AQE stage reuse dedups the
+        // two sides — probe-verified) and paid join machinery (row
+        // assembly + two broadcast-hash probes) per collision on a
+        // stream that is ~1.9 B rows at sf4's geometry. Here the
+        // ids-only exploded frame is shuffled ONCE by (bucket, salt),
+        // sorted within partitions so groups are contiguous, and a
+        // per-partition loop resolves each group's sketches from a
+        // broadcast id→sketch bank (n·sketch bytes — bounded by the
+        // SAME maxBroadcastBytes budget that admitted this tier) and
+        // emits only popcount survivors, with a free early-exit the
+        // moment a pair's running Hamming crosses the cutoff. Pair
+        // semantics are join-identical: per (bucket, salt) group every
+        // unordered id pair once per co-occurrence, min-first, distinct
+        // downstream. mapPartitions is justified here as genuine
+        // per-partition imperative logic: the declarative alternative
+        // IS the double-computed self-join this replaces (measured r11:
+        // sf4 49 → 41 s, sf10 278 → 218 s isolated — the removed join
+        // machinery and second index pass; the residual cost is the
+        // collision popcount mass itself). NOTE (explain-path trade,
+        // same as the IVF centroid bank): the id→sketch bank collects
+        // at DataFrame-construction time, so building this plan runs
+        // the sig job; bounded by the tier's own broadcast budget.
+        val session = df.sparkSession
+        import session.implicits._
+        val bank = {
+          val m = new java.util.HashMap[Long, Array[Long]](math.max(16, n.toInt * 2))
+          sig.select(col("id"), col("sk")).collect().foreach { r =>
+            m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+          }
+          session.sparkContext.broadcast(m)
+        }
+        val cut = maxHd
+        val sorted = exploded.select(col("bk"), col("__salt"), col("id"))
+          .repartition(col("bk"), col("__salt"))
+          .sortWithinPartitions("bk", "__salt")
+          .as[(Long, Long, Long)]
+        sorted.mapPartitions { rows =>
+          val b = bank.value
+          val it = rows.buffered
+          def nextGroup(): Iterator[(Long, Long)] = {
+            if (!it.hasNext) return null
+            val head = it.head
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            while (it.hasNext && it.head._1 == head._1 && it.head._2 == head._2)
+              ids += it.next()._3
+            if (ids.length < 2) return Iterator.empty
+            val arr = ids.toArray
+            val sks = arr.map(b.get)
+            def within(x: Array[Long], y: Array[Long]): Boolean = {
+              var h = 0; var i = 0
+              while (i < x.length && h <= cut) {
+                h += java.lang.Long.bitCount(x(i) ^ y(i)); i += 1
+              }
+              h <= cut
+            }
+            for {
+              i <- (0 until arr.length).iterator
+              j <- (i + 1 until arr.length).iterator
+              if arr(i) != arr(j) && within(sks(i), sks(j))
+            } yield if (arr(i) < arr(j)) (arr(i), arr(j)) else (arr(j), arr(i))
+          }
+          Iterator.continually(nextGroup()).takeWhile(_ != null).flatten
+        }.toDF("id_a", "id_b").distinct()
+      } else {
+        // over-budget corpora: the r5 self-join shape. The bucket
+        // self-join must stay a shuffle join: its sides are n·tables
+        // ids-only rows that compress ~50× in shuffle files, so AQE's
+        // runtime re-plan (which thresholds on compressed shuffle
+        // bytes) happily converts it to broadcast — and the
+        // DESERIALIZED hash relation is n·tables·~550 B (measured
+        // 12.9 GiB at 80 k vectors × 305 tables, over Spark's 8 GiB
+        // broadcast hard limit; on a cluster it would be an executor
+        // OOM instead). The merge hint pins that intent through AQE.
+        val a = exploded.select(col("bk"), col("__salt"), col("id").as("id_a"))
+        val b = exploded.select(col("bk"), col("__salt"), col("id").as("id_b"))
+        val cand = a.join(b.hint("merge"), Seq("bk", "__salt"))
+          .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"))
-          .distinct()
-      else
-        // over-budget corpora: dedup collisions first (ids-only rows),
-        // then shuffle-attach the narrow sketches and prefilter before
-        // any dim-float row is shuffled. merge-pinned: this tier exists
-        // BECAUSE the corpus exceeds the broadcast budget, so an AQE
-        // broadcast of the attach side (possible while the persisted
-        // frame's pre-materialization estimate is tiny — the r9 sf10
+        val skA = sig.select(col("id").as("id_a"), col("sk").as("sk_a"))
+        val skB = sig.select(col("id").as("id_b"), col("sk").as("sk_b"))
+        // dedup collisions first (ids-only rows), then shuffle-attach
+        // the narrow sketches and prefilter before any dim-float row is
+        // shuffled. merge-pinned: this tier exists BECAUSE the corpus
+        // exceeds the broadcast budget, so an AQE broadcast of the
+        // attach side (possible while the persisted frame's
+        // pre-materialization estimate is tiny — the r9 sf10
         // driver-collect cliff in the shingle family) must be forbidden
         // by plan shape, not by statistics.
         cand.distinct()
           .join(skA.hint("merge"), Seq("id_a")).join(skB.hint("merge"), Seq("id_b"))
           .filter(arrayHamming(col("sk_a"), col("sk_b")) <= maxHd)
           .select(col("id_a"), col("id_b"))
+      }
     val vecA = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
       col("nsq").as("nsq_a"))
     val vecB = sig.select(col("id").as("id_b"), col("vec").as("vec_b"),

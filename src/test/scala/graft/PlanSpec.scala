@@ -275,21 +275,24 @@ class BucketingSpec extends SparkSuite {
     // why the merge pins exist (at sf4 the deserialized build measured
     // 12.9 GiB, over the 8 GiB broadcast hard limit; on a cluster an
     // executor OOM). A broadcast appearing HERE means the pin is lost.
-    // Pins only attach above the corpus-size floor (r11) — force them
+    // Pins only attach above the corpus-size floor (r11) — force them.
+    // dd_embed_neardup's BROADCAST tier no longer self-joins at all
+    // (r11 bucket-local rewrite): its guard moved below; the self-join
+    // guard still applies to its over-budget SHUFFLE tier.
     spark.conf.set(graft.operators.Dedup.ScaleFloorKey, "0")
-    try for (name <- Seq("dd_minhash_lsh", "dd_embed_neardup")) {
-      val df = SparkEntry.queries(name)(spark, sf001)
+    def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
       // df.count() would execute a *derived* plan, leaving this one
       // isFinalPlan=false; executing the plan object itself makes AQE
       // materialize every stage and commit its final re-plan here
       val exec = df.queryExecution.executedPlan
       exec.execute().count()
-      val plan = exec.toString
+      exec.toString
+    }
+    def assertSelfJoinStaysSmj(name: String, plan: String, selfJoinKey: String): Unit = {
       // the bucket join may carry leading keys (e.g. [band, band_hash, __salt]),
       // so match the distinguishing key anywhere inside the key list —
       // but require it in BOTH key lists of the SAME join node, so an
       // unrelated SMJ elsewhere in the plan can't satisfy the guard
-      val selfJoinKey = if (name == "dd_minhash_lsh") "band_hash" else "bk"
       val smjSelf = ("SortMergeJoin \\[[^\\]]*" + selfJoinKey +
         "[^\\]]*\\], \\[[^\\]]*" + selfJoinKey).r
       val bhjSelf = ("BroadcastHashJoin \\[[^\\]]*" + selfJoinKey +
@@ -298,6 +301,24 @@ class BucketingSpec extends SparkSuite {
         s"$name bucket self-join is no longer a sort-merge join:\n$plan")
       assert(bhjSelf.findFirstIn(plan).isEmpty,
         s"$name bucket self-join was broadcast-converted by AQE:\n$plan")
+    }
+    try {
+      assertSelfJoinStaysSmj("dd_minhash_lsh",
+        finalPlanOf(SparkEntry.queries("dd_minhash_lsh")(spark, sf001)), "band_hash")
+      // embed broadcast tier: ONE exchange of the exploded index into a
+      // bucket-local MapPartitions — no self-join node may reappear
+      // (a second exploded pipeline + per-collision join machinery)
+      val bcastPlan = finalPlanOf(SparkEntry.queries("dd_embed_neardup")(spark, sf001))
+      assert(bcastPlan.contains("MapPartitions"),
+        s"dd_embed_neardup broadcast tier lost the bucket-local MapPartitions:\n$bcastPlan")
+      assert(!("SortMergeJoin \\[[^\\]]*bk".r.findFirstIn(bcastPlan).isDefined),
+        s"dd_embed_neardup broadcast tier re-grew a bucket self-join:\n$bcastPlan")
+      // embed shuffle tier (over-budget corpora) keeps the pinned SMJ
+      val emb = graft.sources.Tables.embeddings(spark, sf001)
+      assertSelfJoinStaysSmj("dd_embed_neardup (shuffle tier)",
+        finalPlanOf(graft.operators.Dedup.embeddingNearDupPairs(
+          emb, "embedding", "vec_id", threshold = QueriesExt.NearDupCosine,
+          maxBroadcastBytes = 0L)), "bk")
     } finally spark.conf.unset(graft.operators.Dedup.ScaleFloorKey)
   }
 
