@@ -1159,10 +1159,30 @@ object Dedup {
         // the sig job; bounded by the tier's own broadcast budget.
         val session = df.sparkSession
         import session.implicits._
+        // Duplicate-id contract: the bank is keyed by id, so a corpus
+        // with the same id on two DIFFERENT vectors cannot be
+        // represented (the join tiers would fan out on the id attach
+        // there too — the operator's id column is a key by contract).
+        // True duplicate ROWS (same id, same vector → same sketch) are
+        // tolerated: put() is idempotent for them and pair semantics
+        // are unchanged. Checked here for free inside the collect loop;
+        // conflicting ids fail fast instead of silently keeping the
+        // last sketch. NOTE (driver sizing): this collect materializes
+        // ~n·rowBytes on the driver — the same order as the
+        // maxBroadcastBytes budget that admitted this tier — so a
+        // caller raising maxBroadcastBytes past
+        // spark.driver.maxResultSize (default 1g) trades the tier for
+        // a collect-time SparkException; raise both together.
         val bank = {
           val m = new java.util.HashMap[Long, Array[Long]](math.max(16, n.toInt * 2))
           sig.select(col("id"), col("sk")).collect().foreach { r =>
-            m.put(r.getLong(0), r.getSeq[Long](1).toArray)
+            val id = r.getLong(0)
+            val sk = r.getSeq[Long](1).toArray
+            val prev = m.put(id, sk)
+            require(prev == null || java.util.Arrays.equals(prev, sk),
+              s"embeddingNearDupPairs: id $id appears with two different " +
+                "vectors; the id column must be a key (dedupe ids first, " +
+                "or force the shuffle tier with maxBroadcastBytes = 0)")
           }
           session.sparkContext.broadcast(m)
         }

@@ -271,10 +271,48 @@ object Similarity {
   def autoProbe(lists: Int): Int =
     math.max(4, math.min(lists / 16, math.ceil(math.sqrt(lists.toDouble)).toInt))
 
+  /** Broadcast-budget accounting for the IVF scan tier: per corpus row
+    * one id, `dim` floats, a precomputed norm and array/row overhead.
+    * The same order of bytes the index-bank collect materializes on the
+    * driver — see the maxResultSize note on `indexBankBroadcastFor`.
+    */
+  def ivfIndexBytes(n: Long, dim: Int): Long = n * (8L + 4L * dim + 8L + 48L)
+
+  /** The broadcast SCAN tier shared by [[ivfTopK]] and
+    * [[ivfSeededTopK]]: when the whole (list → member ids + vectors)
+    * inverted file fits the broadcast budget, each query row scans its
+    * probed lists map-side ([[graft.plans.IvfScanTopK]]) into a bounded
+    * [[graft.plans.TopKHeap]] — the probes⋈assigned candidate join and
+    * its ~N·probe·listSize-row stream (2·10⁹ rows / 29 of
+    * `sim_ann_ivf`'s 33.8 s at the r11 sf10 soak) never exist. The
+    * plan is scan → project → posexplode: ZERO exchanges
+    * (plan-guarded), and the emitted rows are bit-identical to the
+    * join + [[rankTopK]] path (same assignment expression, same fold
+    * order, same heap — the r12 tier-parity spec pins it; the DuckDB
+    * oracle hashes it). Over-budget corpora keep the join tier — a
+    * 100 TB corpus never broadcasts.
+    */
+  private def scanTopKWithBank(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, probe: Int, centDf: DataFrame,
+      queryFilter: Option[Column => Column]): DataFrame = {
+    val cbank = bankBroadcastFor(centDf)
+    val ibank = indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank)
+    val src = df.select(col(idCol).as("query_id"), col(vecCol).as("vec"))
+    val q = queryFilter.fold(src)(f => src.filter(f(col("query_id"))))
+    q.select(col("query_id"),
+        graft.plans.GraftFunctions.ivfScanTopK(col("query_id"), col("vec"),
+          graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), cbank, probe),
+          ibank, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"),
+        col("__e.cosine").as("cosine"), (col("__p") + 1).cast("int").as("rank"))
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       nLists: Int = 0, nProbe: Int = 0, seed: Long = 42L,
       queryFilter: Option[Column => Column] = None,
-      trainCap: Int = 100000, maxCentroidBytes: Long = 64L << 20): DataFrame = {
+      trainCap: Int = 100000, maxCentroidBytes: Long = 64L << 20,
+      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
     val spark = df.sparkSession
     // nLists ≤ 0 → √N lists capped by the centroid-broadcast budget
     // ([[ivfListsFor]]): √N is the standard IVF sizing (candidates per
@@ -302,6 +340,18 @@ object Similarity {
     val probe = if (nProbe > 0) nProbe else autoProbe(lists)
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
+    // scan-tier admission: the corpus (id, vec, norm) index under the
+    // broadcast budget → map-side probed-list scan, zero candidate
+    // shuffle. The count/dim are memoized (CorpusStats) so explicit-
+    // geometry callers pay at most one extra count. Two-level corpora
+    // are past the CENTROID budget already — the full index is orders
+    // of magnitude larger, never admissible.
+    if (!twoLevel) {
+      val n = CorpusStats.rowCount(df)
+      val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
+      if (n > 0 && ivfIndexBytes(n, dim) <= maxIndexBroadcastBytes)
+        return scanTopKWithBank(df, idCol, vecCol, k, probe, centDf, queryFilter)
+    }
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
     val (assigned, probes) =
@@ -485,21 +535,28 @@ object Similarity {
       .select(col("list_id"), col("vec").as("centroid"))
   }
 
-  private def seededPairs(df: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, nProbe: Int,
-      queryFilter: Option[Column => Column]): DataFrame = {
-    // nLists ≤ 0 → the production sizing ([[ivfListsFor]]: √N under the
-    // centroid-broadcast budget), nProbe ≤ 0 → [[autoProbe]] —
-    // IDENTICAL to [[ivfTopK]]'s derivation, and replayed in exact SQL
-    // (DuckDB's sqrt/ceil are correctly rounded like Java's, and the
-    // budget cap is integer division) so the graded seeded tier runs
-    // production geometry at every corpus size.
+  /** nLists ≤ 0 → the production sizing ([[ivfListsFor]]: √N under the
+    * centroid-broadcast budget), nProbe ≤ 0 → [[autoProbe]] —
+    * IDENTICAL to [[ivfTopK]]'s derivation, and replayed in exact SQL
+    * (DuckDB's sqrt/ceil are correctly rounded like Java's, and the
+    * budget cap is integer division) so the graded seeded tier runs
+    * production geometry at every corpus size.
+    */
+  private def seededGeometry(df: DataFrame, vecCol: String,
+      nLists: Int, nProbe: Int): (Int, Int) = {
     val lists = if (nLists > 0) nLists
       else {
         val dim = CorpusStats.vecDim(df, vecCol)
         ivfListsFor(CorpusStats.rowCount(df), dim)
       }
     val probe = if (nProbe > 0) nProbe else autoProbe(lists)
+    (lists, probe)
+  }
+
+  private def seededPairs(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, nProbe: Int,
+      queryFilter: Option[Column => Column]): DataFrame = {
+    val (lists, probe) = seededGeometry(df, vecCol, nLists, nProbe)
     val cents = seededCentroids(df, idCol, vecCol, lists)
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
@@ -526,7 +583,20 @@ object Similarity {
     */
   def ivfSeededTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, nLists: Int = 0, nProbe: Int = 0,
-      queryFilter: Option[Column => Column] = None): DataFrame = {
+      queryFilter: Option[Column => Column] = None,
+      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
+    // same scan-tier admission as [[ivfTopK]]: under the index budget
+    // the probed lists are scanned map-side against the broadcast
+    // inverted file — zero candidate shuffle — and the emitted rows are
+    // bit-identical to the join path below (tier-parity spec + the
+    // hash-graded oracle both pin it)
+    val (lists, probe) = seededGeometry(df, vecCol, nLists, nProbe)
+    val n = CorpusStats.rowCount(df)
+    val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
+    if (n > 0 && ivfIndexBytes(n, dim) <= maxIndexBroadcastBytes) {
+      val cents = seededCentroids(df, idCol, vecCol, lists)
+      return scanTopKWithBank(df, idCol, vecCol, k, probe, cents, queryFilter)
+    }
     val scored = seededPairs(df, idCol, vecCol, nLists, nProbe, queryFilter)
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq")).as("cosine"))
@@ -566,24 +636,95 @@ object Similarity {
       size() > MaxCachedBanks
   }
 
+  /** Per-key locks for the memoized bank/centroid builds: a plain
+    * check-then-act over the cache lets two concurrent callers (bench
+    * passes, parallel suites) both miss, both collect, and the loser's
+    * broadcast linger until plan GC — the leak the caches exist to
+    * prevent, narrowed to races. The compute runs under a per-key lock
+    * with a re-check inside, so exactly one caller per key builds;
+    * DIFFERENT keys still compute concurrently. Lock objects are never
+    * evicted — the key space is distinct corpora touched by a session,
+    * bounded in practice and ~48 bytes each — because evicting one
+    * while a builder holds it would let a latecomer mint a second lock
+    * and re-open the race.
+    */
+  private val keyLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def memoized[V](cache: java.util.LinkedHashMap[String, V], key: String)
+      (build: => V): V =
+    keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      cache.synchronized(Option(cache.get(key))).getOrElse {
+        val v = build
+        cache.synchronized(cache.put(key, v))
+        v
+      }
+    }
+
   private def bankBroadcastFor(centDf: DataFrame)
       : org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank] = {
     val sc = centDf.sparkSession.sparkContext
-    val key = s"${sc.applicationId}|${System.identityHashCode(centDf.sparkSession)}|" +
+    val key = s"cb|${sc.applicationId}|${System.identityHashCode(centDf.sparkSession)}|" +
       s"${centDf.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(centDf)}"
-    bankCache.synchronized(Option(bankCache.get(key))).getOrElse {
+    memoized(bankCache, key) {
       val bankRows = centDf.select(col("list_id").cast("int"), col("centroid"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      val b = sc.broadcast(graft.plans.CentroidBank(bankRows))
-      bankCache.synchronized(bankCache.put(key, b))
-      b
+      sc.broadcast(graft.plans.CentroidBank(bankRows))
+    }
+  }
+
+  private val MaxCachedIndexBanks = 4
+  private val indexBankCache = new java.util.LinkedHashMap[
+      String, org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]): Boolean =
+      size() > MaxCachedIndexBanks
+  }
+
+  /** Memoized broadcast inverted-file index for the IVF scan tier:
+    * every corpus row assigned to its list by the SAME
+    * NearestCentroidLists expression the join tier uses, collected and
+    * grouped per list. Keyed like [[bankBroadcastFor]] on both the
+    * corpus and centroid frames' plan hashes + file signatures.
+    *
+    * The collect is admitted by [[ivfIndexBytes]] ≤ the caller's
+    * `maxIndexBroadcastBytes` budget (same explain-path trade as the
+    * centroid bank: building the plan runs the assignment job). NOTE:
+    * a caller raising the budget past `spark.driver.maxResultSize`
+    * (default 1g — ivfIndexBytes' accounting is the same order as the
+    * collected result) trades the tier for a driver-side
+    * `SparkException` at collect time; keep the budget under
+    * maxResultSize or raise both together.
+    */
+  private def indexBankBroadcastFor(df: DataFrame, idCol: String, vecCol: String,
+      centDf: DataFrame,
+      cbank: org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank])
+      : org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank] = {
+    val sc = df.sparkSession.sparkContext
+    val key = s"ib|${sc.applicationId}|${System.identityHashCode(df.sparkSession)}|" +
+      s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
+      s"$idCol|$vecCol|" +
+      s"${centDf.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(centDf)}"
+    memoized(indexBankCache, key) {
+      val rows = df
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("__l",
+          graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), cbank, 1))
+        .filter(size(col("__l")) > 0)
+        .select(element_at(col("__l"), 1).as("list_id"), col("id"), col("vec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      sc.broadcast(graft.plans.IvfIndexBank(rows))
     }
   }
 
   // test hook (BankCacheSpec): observe hit/miss behavior across calls
   private[graft] def bankCacheSize: Int = bankCache.synchronized(bankCache.size())
   private[graft] def clearBankCache(): Unit = bankCache.synchronized(bankCache.clear())
+  private[graft] def indexBankCacheSize: Int =
+    indexBankCache.synchronized(indexBankCache.size())
+  private[graft] def clearIndexBankCache(): Unit =
+    indexBankCache.synchronized(indexBankCache.clear())
 
   private val MaxCachedCentroids = 8
   private val centroidCache =
@@ -600,9 +741,9 @@ object Similarity {
     // driver-side metadata only: part-file names change on overwrite
     val corpusSig = java.util.Arrays.hashCode(
       df.inputFiles.sorted.map(_.hashCode): Array[Int])
-    val key = s"${df.queryExecution.analyzed.semanticHash()}|$corpusSig|" +
+    val key = s"tc|${df.queryExecution.analyzed.semanticHash()}|$corpusSig|" +
       s"$vecCol|$nLists|$seed|$trainCap"
-    centroidCache.synchronized(Option(centroidCache.get(key))).getOrElse {
+    memoized(centroidCache, key) {
       val vecs = df.select(array_to_vector(
         col(vecCol).cast("array<double>")).as("features"))
       // unbiased bounded slice: count once per corpus version (training
@@ -614,11 +755,9 @@ object Similarity {
         else vecs.sample(withReplacement = false,
           math.min(1.0, trainCap * 1.2 / n), seed).limit(trainCap)
       val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.map(_.toFloat))
       }
-      centroidCache.synchronized(centroidCache.put(key, centroids))
-      centroids
     }
   }
 

@@ -812,4 +812,7 @@ object GraftFunctions {
     col(NearestCentroidLists(e(vec), bank, probe))
   def topKNeighbors(score: Column, id: Column, k: Int): Column =
     col(TopKNeighbors(e(score), e(id), k).toAggregateExpression())
+  def ivfScanTopK(queryId: Column, vec: Column, listIds: Column,
+      bank: org.apache.spark.broadcast.Broadcast[IvfIndexBank], k: Int): Column =
+    col(IvfScanTopK(e(queryId), e(vec), e(listIds), bank, k))
 }

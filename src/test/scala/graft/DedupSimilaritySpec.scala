@@ -640,6 +640,60 @@ class StatefulAnnSpec extends SparkSuite {
     assert(two2 * 50 < single2)
   }
 
+  test("IVF scan tier matches the join tier bit-for-bit (seeded + trained, filtered + full)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        // raw bits: the parity contract is BIT-identical cosines, not
+        // approximate equality — the oracle hashes these doubles
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+    // seeded tier at production geometry — the graded sim_ann_ivf shape
+    val scanS = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5)
+    val joinS = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(scanS) == rows(joinS))
+    assert(rows(scanS).nonEmpty)
+    // trained tier, pinned geometry (centroids memoized → identical
+    // across the two calls)
+    val scanT = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 3)
+    val joinT = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 3, maxIndexBroadcastBytes = 0)
+    assert(rows(scanT) == rows(joinT))
+    // queryFilter narrows only the probe side in both tiers — the
+    // recall harness shape
+    val f: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 4 === 0
+    val scanF = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5,
+      queryFilter = Some(f))
+    val joinF = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5,
+      queryFilter = Some(f), maxIndexBroadcastBytes = 0)
+    assert(rows(scanF) == rows(joinF))
+    assert(rows(scanF) == rows(scanS).filter(_._1 % 4 == 0))
+  }
+
+  test("IVF scan tier plan has zero exchanges; over-budget falls back to the join tier") {
+    val emb = Tables.embeddings(spark, sf001)
+    val scan = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5)
+    scan.count() // materialize through AQE before reading the final plan
+    val scanPlan = scan.queryExecution.executedPlan.toString
+    assert(!scanPlan.contains("Exchange"),
+      s"scan tier must not shuffle:\n$scanPlan")
+    assert(!scanPlan.contains("Join"), s"scan tier must not join:\n$scanPlan")
+    // budget accounting: n rows × (id + dim floats + norm + overhead)
+    val n = emb.count()
+    val bytes = Similarity.ivfIndexBytes(n, 64)
+    assert(bytes == n * (8L + 4L * 64 + 8L + 48L))
+    // one byte under the index size → join tier (its plan shuffles)
+    val join = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5,
+      maxIndexBroadcastBytes = bytes - 1)
+    join.count()
+    val joinPlan = join.queryExecution.executedPlan.toString
+    assert(joinPlan.contains("Exchange"),
+      s"over-budget corpus must keep the join tier:\n$joinPlan")
+  }
+
   test("IVF training is unbiased on a partition-sorted corpus") {
     // corpus sorted + repartitioned so the first trainCap rows in scan
     // order are ONE cluster: limit-based training would fit all

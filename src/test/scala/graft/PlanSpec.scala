@@ -328,7 +328,7 @@ class BucketingSpec extends SparkSuite {
     // the producing stage (ObjectHashAggregate partial mode) and its
     // exchange carries ≤ queries·k packed entries — at sf10 the sorts
     // were the dominant cost of sim_ann_ivf (~2e9 candidate rows)
-    for (name <- Seq("sim_ann_ivf", "sim_ann_lsh")) {
+    for (name <- Seq("sim_ann_lsh")) {
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
       assert(plan.contains("ObjectHashAggregate") &&
@@ -336,6 +336,22 @@ class BucketingSpec extends SparkSuite {
         s"$name no longer ranks via the TopKNeighbors aggregate:\n$plan")
       assert(!plan.contains("WindowGroupLimit"),
         s"$name still sorts candidates for a rank window:\n$plan")
+    }
+    // sim_ann_ivf (r12): under the index-broadcast budget the graded
+    // query takes the SCAN tier — the candidate stream never exists, so
+    // there is no aggregate to guard; the tier's own contract is
+    // stronger: zero candidate rows ⇒ zero exchanges, no join, no
+    // window sort, ranking inside the map-side IvfScanTopK expression
+    // (bit-identical to TopKNeighbors — tier-parity spec in
+    // DedupSimilaritySpec). Over-budget corpora keep the aggregate path,
+    // guarded by the fallback test there.
+    {
+      val plan = SparkEntry.queries("sim_ann_ivf")(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("ivfscantopk"),
+        s"sim_ann_ivf no longer ranks via the map-side scan expression:\n$plan")
+      assert(!plan.contains("WindowGroupLimit") && !plan.contains("Join"),
+        s"sim_ann_ivf scan tier grew a join or window sort:\n$plan")
     }
   }
 }
