@@ -1051,6 +1051,35 @@ object Dedup {
       math.ceil(poolBits * (1.0 - p1) + 2.0 * math.sqrt(poolBits.toDouble)).toInt)
   }
 
+  /** Per-word-boundary prorated reject checkpoints for the prefilter's
+    * running popcount (r12): entry w−1 bounds the Hamming of the first
+    * 64·w bits at the expected disagreement rate (θ/π per bit) plus a
+    * 5σ margin (σ ≤ √bits/2, the same binomial bound as
+    * [[hammingCutoff]]), clamped to the full 4σ cutoff — so the LAST
+    * checkpoint IS [[hammingCutoff]] and the gated predicate is a
+    * strict subset of `hamming ≤ cutoff`. A non-qualifying pair's
+    * running count grows at ~0.5/bit and crosses its checkpoint after
+    * ~4 of 32 words (2048-bit pool) instead of ~25 under the single
+    * full-width cutoff — the collision popcount loop is the dominant
+    * cost of the adversarial tier, so this is a direct ~4× cut of that
+    * loop. Recall: each 5σ prefix checkpoint trips a TRUE
+    * threshold-cosine pair with ≤ ~3e-7; union over ≤32 checkpoints
+    * adds ≤ ~1e-5 to the final cutoff's ~3e-5 per-pair miss — the same
+    * contract class. Both tiers filter with the SAME array
+    * ([[graft.plans.HammingWithinCheckpoints]]), keeping candidate
+    * sets tier-identical pre-verify.
+    */
+  def hammingCheckpoints(poolBits: Int, threshold: Double): Array[Int] = {
+    val words = (poolBits + 63) / 64
+    val p1 = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+    val cut = hammingCutoff(poolBits, threshold)
+    Array.tabulate(words) { wi =>
+      val bits = math.min(64 * (wi + 1), poolBits)
+      math.min(cut,
+        math.ceil(bits * (1.0 - p1) + 2.5 * math.sqrt(bits.toDouble)).toInt)
+    }
+  }
+
   /** `nBits`/`nTables` ≤ 0 → auto from corpus size. The corpus is
     * count()ed unconditionally — the broadcast-vs-shuffle TIER decision
     * needs n even when the geometry is passed explicitly — so explicit
@@ -1067,9 +1096,11 @@ object Dedup {
     *  - **broadcast tier** (corpus (id, sketch, vec) under
     *    `maxBroadcastBytes`): candidate pairs stream UNDEDUPED out of
     *    the bucket join into map-side broadcast-hash attaches of the two
-    *    sketches, a popcount prefilter ([[hammingCutoff]] — rejects
-    *    essentially every non-qualifying collision at 6σ) and only THEN
-    *    a distinct + exact-cosine verify on the ~linear survivor set.
+    *    sketches, a popcount prefilter (the prorated
+    *    [[hammingCheckpoints]] gate, final word = the 4σ
+    *    [[hammingCutoff]]; combined per-pair miss ~4e-5 — r12) and only
+    *    THEN a distinct + exact-cosine verify on the ~linear survivor
+    *    set.
     *    No candidate-volume shuffle exists in this tier: the old
     *    distinct-then-join-vectors pipeline shuffled every collision
     *    (≈24% of ALL pairs at the thin-gap knee) three times, which —
@@ -1091,7 +1122,7 @@ object Dedup {
       maxBucketSize: Int = 100000, poolBits: Int = 2048,
       maxTables: Int = 4096, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     import graft.functions.VectorFunctions._
-    import graft.plans.GraftFunctions.{arrayHamming, hyperplanePoolSketch, poolBucketKeys}
+    import graft.plans.GraftFunctions.{hyperplanePoolSketch, poolBucketKeys}
     val n = CorpusStats.rowCount(df)
     val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
     embedRegimeAdvisory(threshold, n) // advisory only; never changes the plan
@@ -1108,7 +1139,6 @@ object Dedup {
     // whatever (bits, maxTables) yields, which the auto path never picks
     val tabs = if (nTables > 0) nTables
       else math.min(maxTables, embeddingLshTablesFor(bits, threshold))
-    val maxHd = hammingCutoff(poolBits, threshold)
     // shuffle tier co-partitions the scratch by id (persistScratchById)
     // so the merge-pinned sketch/vector attaches below are exchange- and
     // sort-free on the corpus side; the broadcast tier keeps the natural
@@ -1186,7 +1216,7 @@ object Dedup {
           }
           session.sparkContext.broadcast(m)
         }
-        val cut = maxHd
+        val cps = hammingCheckpoints(poolBits, threshold)
         val sorted = exploded.select(col("bk"), col("__salt"), col("id"))
           .repartition(col("bk"), col("__salt"))
           .sortWithinPartitions("bk", "__salt")
@@ -1203,17 +1233,15 @@ object Dedup {
             if (ids.length < 2) return Iterator.empty
             val arr = ids.toArray
             val sks = arr.map(b.get)
-            def within(x: Array[Long], y: Array[Long]): Boolean = {
-              var h = 0; var i = 0
-              while (i < x.length && h <= cut) {
-                h += java.lang.Long.bitCount(x(i) ^ y(i)); i += 1
-              }
-              h <= cut
-            }
+            // prorated sequential reject ([[hammingCheckpoints]]): the
+            // same per-word 5σ checkpoints the shuffle tier filters
+            // with, so the tiers' candidate sets are identical; kills
+            // the bulk non-qualifying mass after ~4 of 32 words
             for {
               i <- (0 until arr.length).iterator
               j <- (i + 1 until arr.length).iterator
-              if arr(i) != arr(j) && within(sks(i), sks(j))
+              if arr(i) != arr(j) &&
+                graft.plans.HammingWithinCheckpoints.within(sks(i), sks(j), cps)
             } yield if (arr(i) < arr(j)) (arr(i), arr(j)) else (arr(j), arr(i))
           }
           Iterator.continually(nextGroup()).takeWhile(_ != null).flatten
@@ -1245,7 +1273,11 @@ object Dedup {
         // by plan shape, not by statistics.
         cand.distinct()
           .join(skA.hint("merge"), Seq("id_a")).join(skB.hint("merge"), Seq("id_b"))
-          .filter(arrayHamming(col("sk_a"), col("sk_b")) <= maxHd)
+          // same prorated checkpoint gate as the broadcast tier's loop
+          // (last checkpoint == the 4σ hammingCutoff) — candidate sets
+          // stay tier-identical and the popcount early-exits here too
+          .filter(graft.plans.GraftFunctions.hammingWithinCheckpoints(
+            col("sk_a"), col("sk_b"), hammingCheckpoints(poolBits, threshold)))
           .select(col("id_a"), col("id_b"))
       }
     val vecA = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),

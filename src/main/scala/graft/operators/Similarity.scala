@@ -281,16 +281,19 @@ object Similarity {
   /** The broadcast SCAN tier shared by [[ivfTopK]] and
     * [[ivfSeededTopK]]: when the whole (list → member ids + vectors)
     * inverted file fits the broadcast budget, each query row scans its
-    * probed lists map-side ([[graft.plans.IvfScanTopK]]) into a bounded
+    * probed lists map-side (batched member-major loop, see the body) into a bounded
     * [[graft.plans.TopKHeap]] — the probes⋈assigned candidate join and
     * its ~N·probe·listSize-row stream (2·10⁹ rows / 29 of
     * `sim_ann_ivf`'s 33.8 s at the r11 sf10 soak) never exist. The
-    * plan is scan → project → posexplode: ZERO exchanges
-    * (plan-guarded), and the emitted rows are bit-identical to the
-    * join + [[rankTopK]] path (same assignment expression, same fold
-    * order, same heap — the r12 tier-parity spec pins it; the DuckDB
-    * oracle hashes it). Over-budget corpora keep the join tier — a
-    * 100 TB corpus never broadcasts.
+    * plan is scan → round-robin exchange of the COMPACT query frame
+    * (parallelism — see the comment in the body) → in-partition sort
+    * by probe set → batched member-major scan loop: no join, no
+    * aggregate, no candidate-volume exchange (plan-guarded), and the
+    * emitted rows are bit-identical to the join + [[rankTopK]] path
+    * (same assignment expression, same fold order, same heap — the
+    * r12 tier-parity spec pins it; the DuckDB oracle hashes it).
+    * Over-budget corpora keep the join tier — a 100 TB corpus never
+    * broadcasts.
     */
   private def scanTopKWithBank(df: DataFrame, idCol: String, vecCol: String,
       k: Int, probe: Int, centDf: DataFrame,
@@ -298,14 +301,130 @@ object Similarity {
     val cbank = bankBroadcastFor(centDf)
     val ibank = indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank)
     val src = df.select(col(idCol).as("query_id"), col(vecCol).as("vec"))
-    val q = queryFilter.fold(src)(f => src.filter(f(col("query_id"))))
-    q.select(col("query_id"),
-        graft.plans.GraftFunctions.ivfScanTopK(col("query_id"), col("vec"),
-          graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), cbank, probe),
-          ibank, k).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
-      .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"),
-        col("__e.cosine").as("cosine"), (col("__p") + 1).cast("int").as("rank"))
+    val filtered = queryFilter.fold(src)(f => src.filter(f(col("query_id"))))
+    // A zero-exchange plan inherits the SCAN's parallelism, and a
+    // budget-admitted corpus bin-packs into very few file splits
+    // (sf10: 4×13 MB files → ONE 128 MB-default split → the whole
+    // ~1e11-MAC scan on one core, measured 105 s vs ~8 s spread).
+    // One round-robin exchange of the compact query frame — bounded by
+    // the same budget that admitted the index bank, so ≲ hundreds of
+    // MB by construction — buys full-cluster parallelism for the probe
+    // scan. This is the tier's ONLY exchange; the ~N·probe·listSize
+    // candidate stream still never exists (plan-guarded: no join, no
+    // aggregate, one exchange carrying query rows only).
+    //
+    // The in-partition sort by probed-list array + the batched
+    // member-major loop below are the tier's memory-bandwidth levers:
+    // at 10¹⁰ probed members a per-query scan re-streams the bank per
+    // query (2.5 TB of DRAM traffic at the sf10 soak — the measured
+    // wall once parallelism was fixed, and why a per-row Expression
+    // cannot win here: it sees one query at a time). Sorting queries
+    // by their probe set makes identical sets adjacent, and the
+    // partition loop then scores each loaded member vector against a
+    // whole RUN of queries (≤32) before moving on — classic GEMM
+    // tiling, traffic ÷ run length. mapPartitions is justified as in
+    // the Dedup bucket-local prefilter: the declarative alternative IS
+    // the 10¹⁰-row probes⋈members join this tier replaces, and the
+    // per-row Expression variant was built and measured first
+    // (tools/DotLoopProbe + sf10 bench: 48–75 s vs ~13 s batched).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val kk = k
+    val assigned = filtered.repartition(par)
+      .withColumn("__lists",
+        graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), cbank, probe))
+      .sortWithinPartitions("__lists")
+      .select(col("query_id"), col("vec"), col("__lists"))
+      .as[(Long, Array[Float], Array[Int])]
+    assigned.mapPartitions { rows =>
+      val b = ibank.value
+      val it = rows.buffered
+      val MaxBatch = 32
+      def nextBatch(): Iterator[(Long, Long, Double, Int)] = {
+        if (!it.hasNext) return null
+        val head = it.next()
+        val lists = head._3
+        val qids = scala.collection.mutable.ArrayBuffer(head._1)
+        val qvecs = scala.collection.mutable.ArrayBuffer(head._2)
+        while (qids.length < MaxBatch && it.hasNext &&
+            java.util.Arrays.equals(it.head._3, lists)) {
+          val r = it.next()
+          qids += r._1
+          qvecs += r._2
+        }
+        val bs = qids.length
+        val sqb = new Array[Double](bs)
+        val heaps = new Array[graft.plans.TopKHeap](bs)
+        var bi = 0
+        while (bi < bs) {
+          val q = qvecs(bi)
+          var qn = 0.0
+          var i = 0
+          while (i < q.length) { val x = q(i).toDouble; qn += x * x; i += 1 }
+          sqb(bi) = math.sqrt(qn)
+          heaps(bi) = new graft.plans.TopKHeap(kk)
+          bi += 1
+        }
+        var li = 0
+        while (li < lists.length) {
+          val range = b.listRange(lists(li))
+          var m = (range >> 32).toInt
+          val end = range.toInt
+          while (m < end) {
+            // member vector loaded once, scored against the whole run
+            val cv = b.vecs(m)
+            val nid = b.ids(m)
+            val sn = b.sqrtNorms(m)
+            bi = 0
+            while (bi < bs) {
+              if (nid != qids(bi)) {
+                val q = qvecs(bi)
+                val lim = math.min(q.length, cv.length)
+                val main = lim - (lim & 3)
+                // 4-accumulator gate dot: breaks the serial FMA chain
+                // for the ~100% of members that cannot enter the heap;
+                // margin 1e-12·nn ≫ the n·ε·(√qn·√cn) bound on the
+                // difference between ANY summation order and the
+                // strict fold (Cauchy–Schwarz bounds Σ|xᵢyᵢ|), so no
+                // heap entrant is ever gated out
+                var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+                var j = 0
+                while (j < main) {
+                  d0 += q(j).toDouble * cv(j).toDouble
+                  d1 += q(j + 1).toDouble * cv(j + 1).toDouble
+                  d2 += q(j + 2).toDouble * cv(j + 2).toDouble
+                  d3 += q(j + 3).toDouble * cv(j + 3).toDouble
+                  j += 4
+                }
+                var fast = (d0 + d1) + (d2 + d3)
+                while (j < lim) { fast += q(j).toDouble * cv(j).toDouble; j += 1 }
+                val nn = sqb(bi) * sn
+                val heap = heaps(bi)
+                if (heap.size < kk || fast >= heap.scores(0) * nn - 1e-12 * nn) {
+                  // strict left-fold recompute — the bit-parity value
+                  // (the DotProductFF order the oracle replays)
+                  var d = 0.0
+                  j = 0
+                  while (j < lim) { d += q(j).toDouble * cv(j).toDouble; j += 1 }
+                  heap.offer(if (nn == 0.0) 0.0 else d / nn, nid)
+                }
+              }
+              bi += 1
+            }
+            m += 1
+          }
+          li += 1
+        }
+        (0 until bs).iterator.flatMap { i =>
+          val h = heaps(i)
+          h.rankedIndices.iterator.zipWithIndex.map { case (x, r) =>
+            (qids(i), h.ids(x), h.scores(x), r + 1)
+          }
+        }
+      }
+      Iterator.continually(nextBatch()).takeWhile(_ != null).flatten
+    }.toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
@@ -708,6 +827,10 @@ object Similarity {
     memoized(indexBankCache, key) {
       val rows = df
         .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        // spread the n·lists·dim assignment pass across cores — a
+        // budget-sized corpus bin-packs into ~1 file split (see
+        // scanTopKWithBank), and this pass runs once per memoized bank
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .withColumn("__l",
           graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), cbank, 1))
         .filter(size(col("__l")) > 0)

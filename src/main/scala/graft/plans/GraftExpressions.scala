@@ -445,13 +445,17 @@ case class NearestCentroidLists(child: Expression,
   require(probe > 0, s"probe must be positive (got $probe)")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
-    val vec = v.asInstanceOf[ArrayData]
+    // one primitive copy per row: the loop below reads every element
+    // lists×dim times, and ArrayData.getFloat is a virtual per-element
+    // call (same r12 finding as IvfScanTopK — at √N lists this scan is
+    // ~n·√N·dim element reads)
+    val vec = v.asInstanceOf[ArrayData].toFloatArray()
     val b = bank.value
     val n = b.listIds.length
-    val dim = vec.numElements()
+    val dim = vec.length
     var nsq = 0.0
     var i = 0
-    while (i < dim) { val x = vec.getFloat(i).toDouble; nsq += x * x; i += 1 }
+    while (i < dim) { val x = vec(i).toDouble; nsq += x * x; i += 1 }
     val p = math.min(probe, n)
     if (p == 0) return new GenericArrayData(Array.empty[Int])
     val topSim = Array.fill(p)(Double.NegativeInfinity)
@@ -462,7 +466,7 @@ case class NearestCentroidLists(child: Expression,
       val m = math.min(dim, cv.length)
       var d = 0.0
       var k = 0
-      while (k < m) { d += vec.getFloat(k).toDouble * cv(k).toDouble; k += 1 }
+      while (k < m) { d += vec(k).toDouble * cv(k).toDouble; k += 1 }
       val nn = math.sqrt(nsq) * math.sqrt(b.norms(c))
       val csim = if (nn == 0.0) 0.0 else d / nn
       // strict > over a list_id-ascending scan = (csim desc, list_id
@@ -586,12 +590,17 @@ private[graft] object HyperplanePool {
 
   /** Packed sign bits of the `poolBits` projections of one vector. */
   def sketchOf(arr: ArrayData, signs: Array[Float], poolBits: Int, dim: Int): Array[Long] = {
+    // one primitive copy per row: the projection loop reads every
+    // element poolBits times (2048·dim reads/row), and
+    // ArrayData.getFloat is a virtual per-element call (r12 finding,
+    // same as IvfScanTopK/NearestCentroidLists)
+    val v = arr.toFloatArray()
     val pool = new Array[Long]((poolBits + 63) >> 6)
     var j = 0
     while (j < poolBits) {
       var proj = 0.0
       var i = 0
-      while (i < dim) { proj += arr.getFloat(i).toDouble * signs(j * dim + i); i += 1 }
+      while (i < dim) { proj += v(i).toDouble * signs(j * dim + i); i += 1 }
       if (proj >= 0.0) pool(j >> 6) |= (1L << (j & 63))
       j += 1
     }
@@ -773,6 +782,109 @@ case class LongArrayHamming(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sequential (prorated) Hamming reject for packed bit-pool sketches:
+  * the running popcount is checked against a per-word-boundary
+  * checkpoint array instead of only the full-width cutoff. A
+  * non-qualifying pair's running Hamming grows at its true
+  * disagreement rate (~0.5/bit for uncorrelated vectors), so with
+  * checkpoints prorated at the expected rate plus a 5σ margin it
+  * crosses after ~4 of 32 words instead of scanning ~25 before the
+  * single full-width 4σ cutoff can fire — a ~4× cut of the collision
+  * popcount loop that dominates the adversarial embedding near-dup
+  * tier (r12; the final checkpoint IS the 4σ full cutoff, so this
+  * predicate is a strict subset of `hamming ≤ cutoff`).
+  *
+  * Recall accounting: a TRUE pair at cosine ≥ threshold trips any one
+  * 5σ prefix checkpoint with probability ≤ ~3e-7; union over ≤32
+  * checkpoints adds ≤ ~1e-5 per-pair miss on top of the final
+  * cutoff's ~3e-5 — the same contract class (the operator scaladoc
+  * carries the combined figure). Both the broadcast tier's in-loop
+  * gate ([[HammingWithinCheckpoints.within]]) and the shuffle tier's
+  * filter (this expression) use the SAME checkpoint array, so the
+  * candidate sets of the two tiers stay exactly identical — tier
+  * parity holds pre-verify, not just post-verify.
+  *
+  * Real `doGenCode` for the same reason as [[LongArrayHamming]]: the
+  * filter sits on the candidate stream inside the bucket-join stage.
+  */
+case class HammingWithinCheckpoints(left: Expression, right: Expression,
+    checkpoints: Array[Int]) extends BinaryExpression {
+  require(checkpoints.nonEmpty, "checkpoints must be non-empty")
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n || checkpoints.length != n)
+      throw new IllegalArgumentException(
+        s"HammingWithinCheckpoints: widths (${n}, ${y.numElements()}, " +
+          s"${checkpoints.length} checkpoints) must all match — sketches and " +
+          "checkpoints must come from the same poolBits")
+    var hd = 0
+    var i = 0
+    while (i < n) {
+      hd += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      if (hd > checkpoints(i)) return false
+      i += 1
+    }
+    true
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cps = ctx.addReferenceObj("checkpoints", checkpoints, "int[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val hd = ctx.freshName("hd")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n || $cps.length != $n) {
+         |  throw new IllegalArgumentException(
+         |    "HammingWithinCheckpoints: widths (" + $n + ", " + $b.numElements() +
+         |      ", " + $cps.length + " checkpoints) must all match — sketches and " +
+         |      "checkpoints must come from the same poolBits");
+         |}
+         |int $hd = 0;
+         |${ev.value} = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $hd += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  if ($hd > $cps[$i]) { ${ev.value} = false; break; }
+         |}
+       """.stripMargin
+    })
+  }
+  // Array[Int] is reference-compared by case-class equality; compare by
+  // content so plan canonicalization/semanticHash treat equal-checkpoint
+  // filters as equal
+  override def equals(o: Any): Boolean = o match {
+    case h: HammingWithinCheckpoints =>
+      left == h.left && right == h.right &&
+        java.util.Arrays.equals(checkpoints, h.checkpoints)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.hashCode(checkpoints)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HammingWithinCheckpoints {
+  /** The same gate as the expression, over plain arrays — shared by the
+    * broadcast tier's bucket-local pairwise loop so both tiers reject
+    * identically.
+    */
+  @inline final def within(x: Array[Long], y: Array[Long], cps: Array[Int]): Boolean = {
+    var hd = 0
+    var i = 0
+    while (i < x.length) {
+      hd += java.lang.Long.bitCount(x(i) ^ y(i))
+      if (hd > cps(i)) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** Column-API wrappers. */
 object GraftFunctions {
   private def e(c: Column): Expression = GraftSqlShim.expression(c)
@@ -812,7 +924,6 @@ object GraftFunctions {
     col(NearestCentroidLists(e(vec), bank, probe))
   def topKNeighbors(score: Column, id: Column, k: Int): Column =
     col(TopKNeighbors(e(score), e(id), k).toAggregateExpression())
-  def ivfScanTopK(queryId: Column, vec: Column, listIds: Column,
-      bank: org.apache.spark.broadcast.Broadcast[IvfIndexBank], k: Int): Column =
-    col(IvfScanTopK(e(queryId), e(vec), e(listIds), bank, k))
+  def hammingWithinCheckpoints(a: Column, b: Column, cps: Array[Int]): Column =
+    col(HammingWithinCheckpoints(e(a), e(b), cps))
 }

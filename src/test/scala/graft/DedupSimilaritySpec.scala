@@ -673,13 +673,20 @@ class StatefulAnnSpec extends SparkSuite {
     assert(rows(scanF) == rows(scanS).filter(_._1 % 4 == 0))
   }
 
-  test("IVF scan tier plan has zero exchanges; over-budget falls back to the join tier") {
+  test("IVF scan tier plan has no join and only the query-side exchange; " +
+      "over-budget falls back to the join tier") {
     val emb = Tables.embeddings(spark, sf001)
     val scan = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5)
     scan.count() // materialize through AQE before reading the final plan
     val scanPlan = scan.queryExecution.executedPlan.toString
-    assert(!scanPlan.contains("Exchange"),
-      s"scan tier must not shuffle:\n$scanPlan")
+    // exactly ONE exchange — the round-robin spread of the compact
+    // query frame (scan parallelism; a budget-admitted corpus bin-packs
+    // into ~1 file split) — and NO candidate-volume machinery: the
+    // probes⋈members join stream never exists
+    assert("Exchange".r.findAllIn(scanPlan).size == 1,
+      s"scan tier must have exactly the query-side exchange:\n$scanPlan")
+    assert(scanPlan.contains("roundrobin") || scanPlan.contains("RoundRobin"),
+      s"scan tier exchange must be the round-robin query spread:\n$scanPlan")
     assert(!scanPlan.contains("Join"), s"scan tier must not join:\n$scanPlan")
     // budget accounting: n rows × (id + dim floats + norm + overhead)
     val n = emb.count()
@@ -788,5 +795,53 @@ class StatefulAnnSpec extends SparkSuite {
     assert(hd((0L, 1L)) <= cut08, s"near-dup pair hamming ${hd((0L, 1L))} > $cut08")
     assert(hd((0L, 2L)) > Dedup.hammingCutoff(2048, 0.3),
       s"orthogonal pair hamming ${hd((0L, 2L))} under the loosest cutoff")
+  }
+
+  test("prorated hamming checkpoints: 5-sigma prefixes, final word is the 4-sigma cutoff") {
+    for (theta <- Seq(0.45, 0.8)) {
+      val cps = Dedup.hammingCheckpoints(2048, theta)
+      val cut = Dedup.hammingCutoff(2048, theta)
+      assert(cps.length == 32)
+      // monotone non-decreasing, clamped at — and ending exactly on —
+      // the full 4σ cutoff, so the gate is a strict subset of hd ≤ cut
+      assert(cps.last == cut, s"final checkpoint ${cps.last} != cutoff $cut")
+      assert(cps.sliding(2).forall(w => w(0) <= w(1)))
+      val p1 = 1.0 - math.acos(theta) / math.Pi
+      for (w <- 1 to 32) {
+        val bits = 64 * w
+        val expected = math.min(cut,
+          math.ceil(bits * (1.0 - p1) + 2.5 * math.sqrt(bits.toDouble)).toInt)
+        assert(cps(w - 1) == expected, s"checkpoint $w at theta=$theta")
+      }
+      // a random-rate pair (~0.5 disagreement/bit) must trip an EARLY
+      // checkpoint — the whole point of the prorated gate; at θ=0.45
+      // the expected crossing is word ~4-5 of 32
+      val cross = (1 to 32).find(w => 32 * w > cps(w - 1))
+      assert(cross.exists(_ <= (if (theta == 0.45) 8 else 4)),
+        s"expected-rate crossing word $cross too late at theta=$theta")
+    }
+    // the scalar gate and the Catalyst expression agree, including on
+    // a pair that PASSES the full cutoff but trips a prefix checkpoint
+    // (front-loaded disagreements) — both must reject it identically
+    val cps = Dedup.hammingCheckpoints(2048, 0.45)
+    val cut = Dedup.hammingCutoff(2048, 0.45)
+    val x = new Array[Long](32)
+    val frontLoaded = new Array[Long](32)
+    // 64 disagreements in each of the first 8 words = 512 > cps(7),
+    // total 512 ≤ cut (811) — passes the old predicate, fails the gate
+    for (i <- 0 until 8) frontLoaded(i) = -1L
+    assert(512 <= cut)
+    assert(!graft.plans.HammingWithinCheckpoints.within(x, frontLoaded, cps))
+    val even = new Array[Long](32)
+    // ~22 disagreements/word tracks the θ=0.45 expected rate → passes
+    for (i <- 0 until 32) even(i) = (1L << 22) - 1
+    assert(graft.plans.HammingWithinCheckpoints.within(x, even, cps))
+    val viaExpr = Seq((x.toSeq, frontLoaded.toSeq, even.toSeq))
+      .toDF("x", "fl", "ev")
+      .select(
+        graft.plans.GraftFunctions.hammingWithinCheckpoints($"x", $"fl", cps).as("a"),
+        graft.plans.GraftFunctions.hammingWithinCheckpoints($"x", $"ev", cps).as("b"))
+      .head
+    assert(!viaExpr.getBoolean(0) && viaExpr.getBoolean(1))
   }
 }

@@ -340,16 +340,17 @@ class BucketingSpec extends SparkSuite {
     // sim_ann_ivf (r12): under the index-broadcast budget the graded
     // query takes the SCAN tier — the candidate stream never exists, so
     // there is no aggregate to guard; the tier's own contract is
-    // stronger: zero candidate rows ⇒ zero exchanges, no join, no
-    // window sort, ranking inside the map-side IvfScanTopK expression
-    // (bit-identical to TopKNeighbors — tier-parity spec in
-    // DedupSimilaritySpec). Over-budget corpora keep the aggregate path,
-    // guarded by the fallback test there.
+    // stronger: no join, no window sort, no candidate-volume exchange
+    // (only the compact query-side round-robin spread), ranking inside
+    // the map-side IvfScanTopK expression (bit-identical to
+    // TopKNeighbors — tier-parity spec in DedupSimilaritySpec).
+    // Over-budget corpora keep the aggregate path, guarded by the
+    // fallback test there.
     {
       val plan = SparkEntry.queries("sim_ann_ivf")(spark, sf001)
         .queryExecution.executedPlan.toString
-      assert(plan.toLowerCase.contains("ivfscantopk"),
-        s"sim_ann_ivf no longer ranks via the map-side scan expression:\n$plan")
+      assert(plan.contains("MapPartitions"),
+        s"sim_ann_ivf no longer ranks via the batched map-side scan loop:\n$plan")
       assert(!plan.contains("WindowGroupLimit") && !plan.contains("Join"),
         s"sim_ann_ivf scan tier grew a join or window sort:\n$plan")
     }
