@@ -891,25 +891,32 @@ object Dedup {
   }
 
   /** (bits, tables) for the BROADCAST-verify tier, where a candidate
-    * row is generated and consumed inside one map-side stage (popcount
-    * prefilter against broadcast sketches — no shuffle, no distinct, no
-    * per-candidate join). The cost asymmetry inverts the knee: an
-    * explosion row is shuffled twice for the bucket self-join (weight
-    * 2), a candidate row costs one pipelined popcount (`candWeight`,
-    * default ~⅓ of a shuffled row) — so the model prefers FEWER tables
-    * than [[embeddingLshParamsFor]] and lets candidate counts ride,
-    * because candidates are now cheap and explosion rows are not.
+    * pair is resolved inside the bucket-local per-partition loop (one
+    * prorated-gated popcount against the broadcast sketch bank — no
+    * shuffle, no join, no row machinery per pair). The cost asymmetry
+    * strongly favors fewer tables: an explosion row is shuffled ONCE
+    * (weight 1 — the r11 bucket-local rewrite removed the self-join's
+    * second pass) but then pays sort + decode machinery, while a
+    * candidate pair costs a ~4-word prorated popcount.
+    *
+    * Weights CALIBRATED r12 (`tools/EmbedStageProbe`, sf4, n=80 k,
+    * b=12/t=1658): 132.6 M explosion rows → 20.8 s of shuffle + sort +
+    * decode (~157 ns/row); 1.9 G collisions through the prorated gate
+    * → ≲1 s (~8 ns each) — candWeight ≈ 8/157 ≈ 0.05. The stale
+    * pre-rewrite weights (2.0 / 0.35) over-priced candidates 7× and
+    * drove the model to b=12+ geometries whose explosion rows were 68%
+    * of the whole operator's wall.
     */
   def embeddingLshParamsBroadcast(n: Long, threshold: Double,
       maxMiss: Double = 1e-4, maxTables: Int = 4096,
-      candWeight: Double = 0.35): (Int, Int) = {
+      candWeight: Double = 0.05): (Int, Int) = {
     val pairs = n.toDouble * n / 2
     var best = (2, embeddingLshTablesFor(2, threshold, maxMiss))
     var bestCost = Double.MaxValue
     for (b <- 2 to 20) {
       val t = embeddingLshTablesFor(b, threshold, maxMiss)
       if (t <= maxTables) {
-        val cost = 2.0 * n.toDouble * t + candWeight * pairs * t * math.pow(0.5, b)
+        val cost = n.toDouble * t + candWeight * pairs * t * math.pow(0.5, b)
         if (cost < bestCost) { bestCost = cost; best = (b, t) }
       }
     }
@@ -1002,14 +1009,34 @@ object Dedup {
     new java.util.concurrent.ConcurrentLinkedQueue[RegimeAdvisory]()
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Evaluate (and if super-linear, record + log) the regime advisory.
-    * Called by [[embeddingNearDupPairs]] on every invocation.
+  /** `spark.graft.embed.regime = advise | enforce` — the user-visible
+    * contract around the super-linear threshold regime (r12, closing
+    * the r11 "embed endgame" item on the ENFORCED-advisory branch: the
+    * r12 probes confirmed the adversarial tier is mass-bound at every
+    * stage — prorated-gated pair math is ~free, and the remaining cost
+    * is the admitted candidate/survivor MASS itself flowing through
+    * sort/distinct/verify, which no plan change removes; see
+    * SCALE_SOAK.md "supported-threshold envelope"). `advise` (default)
+    * logs + records the advisory and runs; `enforce` REFUSES a
+    * super-linear threshold with the same message, so a platform team
+    * can pin the near-linear envelope (cosine ≥ ~0.7) as policy on
+    * shared clusters.
     */
-  def embedRegimeAdvisory(threshold: Double, corpusRows: Long): Option[RegimeAdvisory] = {
+  val RegimeModeKey = "spark.graft.embed.regime"
+
+  /** Evaluate (and if super-linear, record + log — or, under
+    * `enforce`, reject) the regime advisory. Called by
+    * [[embeddingNearDupPairs]] on every invocation.
+    */
+  def embedRegimeAdvisory(threshold: Double, corpusRows: Long,
+      mode: String = "advise"): Option[RegimeAdvisory] = {
     val rho = embedThresholdRho(threshold)
     if (rho <= 0.5) None
     else {
       val a = RegimeAdvisory(threshold, corpusRows, rho)
+      if (mode.equalsIgnoreCase("enforce"))
+        throw new IllegalArgumentException(
+          s"$RegimeModeKey=enforce: " + a.message)
       advisoryLog.add(a)
       while (advisoryLog.size > 64) advisoryLog.poll() // bounded report buffer
       logger.warn(a.message)
@@ -1125,7 +1152,11 @@ object Dedup {
     import graft.plans.GraftFunctions.{hyperplanePoolSketch, poolBucketKeys}
     val n = CorpusStats.rowCount(df)
     val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
-    embedRegimeAdvisory(threshold, n) // advisory only; never changes the plan
+    // advisory by default; `spark.graft.embed.regime=enforce` turns the
+    // super-linear-threshold warning into a hard reject (policy knob
+    // for shared clusters — see RegimeModeKey)
+    embedRegimeAdvisory(threshold, n,
+      df.sparkSession.conf.get(RegimeModeKey, "advise"))
     // per-row broadcast payload: id + dim floats + sketch words + row overhead
     val rowBytes = 8L + 4L * dim + 8L * ((poolBits + 63) / 64) + 48L
     val broadcastTier = n > 0 && n * rowBytes <= maxBroadcastBytes
@@ -1203,11 +1234,15 @@ object Dedup {
         // caller raising maxBroadcastBytes past
         // spark.driver.maxResultSize (default 1g) trades the tier for
         // a collect-time SparkException; raise both together.
+        var minId = Long.MaxValue
+        var maxId = Long.MinValue
         val bank = {
           val m = new java.util.HashMap[Long, Array[Long]](math.max(16, n.toInt * 2))
           sig.select(col("id"), col("sk")).collect().foreach { r =>
             val id = r.getLong(0)
             val sk = r.getSeq[Long](1).toArray
+            if (id < minId) minId = id
+            if (id > maxId) maxId = id
             val prev = m.put(id, sk)
             require(prev == null || java.util.Arrays.equals(prev, sk),
               s"embeddingNearDupPairs: id $id appears with two different " +
@@ -1221,7 +1256,15 @@ object Dedup {
           .repartition(col("bk"), col("__salt"))
           .sortWithinPartitions("bk", "__salt")
           .as[(Long, Long, Long)]
-        sorted.mapPartitions { rows =>
+        // survivor-pair DISTINCT is the operator's biggest sf10 stage
+        // (81.5 of 195 s probed r12: 615 M survivor emissions — avg
+        // table-multiplicity ~5 — deduped to 120 M). When every id fits
+        // in 31 bits (known for free from the bank collect), pairs are
+        // emitted PACKED into one long — the exchange + hash-agg then
+        // move and compare half the key bytes. Out-of-range ids keep
+        // the two-column shape; both shapes feed the identical verify.
+        val packable = minId >= 0 && maxId < (1L << 31)
+        def groupPairs(rows: Iterator[(Long, Long, Long)]): Iterator[(Long, Long)] = {
           val b = bank.value
           val it = rows.buffered
           def nextGroup(): Iterator[(Long, Long)] = {
@@ -1245,7 +1288,16 @@ object Dedup {
             } yield if (arr(i) < arr(j)) (arr(i), arr(j)) else (arr(j), arr(i))
           }
           Iterator.continually(nextGroup()).takeWhile(_ != null).flatten
-        }.toDF("id_a", "id_b").distinct()
+        }
+        if (packable)
+          sorted.mapPartitions(rows =>
+              groupPairs(rows).map { case (a, bb) => (a << 32) | bb })
+            .toDF("p").distinct()
+            .select(shiftright(col("p"), 32).as("id_a"),
+              col("p").bitwiseAND(0xffffffffL).as("id_b"))
+        else
+          sorted.mapPartitions(groupPairs)
+            .toDF("id_a", "id_b").distinct()
       } else {
         // over-budget corpora: the r5 self-join shape. The bucket
         // self-join must stay a shuffle join: its sides are n·tables

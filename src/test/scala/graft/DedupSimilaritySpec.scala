@@ -124,6 +124,15 @@ class DedupSimilaritySpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(bcast.nonEmpty && bcast == shuffled,
       s"missed: ${bcast -- shuffled}, spurious: ${shuffled -- bcast}")
+    // ids past 2^31 disable the packed-pair distinct (r12) — the
+    // unpackable path must emit the same pairs, just un-shifted
+    val shifted = Dedup.embeddingNearDupPairs(
+      emb.select(($"vec_id" + (1L << 32)).as("vec_id"), $"embedding"),
+      "embedding", "vec_id", threshold = QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map(p => (p._1 - (1L << 32), p._2 - (1L << 32))).toSet
+    assert(shifted == bcast,
+      s"packed vs unpackable divergence: ${bcast -- shifted} / ${shifted -- bcast}")
   }
 
   test("LSH-blocked embedding near-dup equals exact all-pairs on real embeddings") {
@@ -757,6 +766,18 @@ class StatefulAnnSpec extends SparkSuite {
     assert(fired.head.message.contains("rho"))
     Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", threshold = 0.8).count()
     assert(Dedup.drainAdvisories().isEmpty)
+    // enforced contract (r12): spark.graft.embed.regime=enforce turns
+    // the super-linear warning into a hard reject with the SAME
+    // documented message; the near-linear envelope still runs
+    spark.conf.set(Dedup.RegimeModeKey, "enforce")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", threshold = 0.45))
+      assert(e.getMessage.contains("rho") &&
+        e.getMessage.contains(Dedup.RegimeModeKey))
+      Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", threshold = 0.8).count()
+      assert(Dedup.drainAdvisories().isEmpty)
+    } finally spark.conf.unset(Dedup.RegimeModeKey)
   }
 
   test("hamming prefilter cutoff: 4-sigma keep margin, boundary stays near the threshold") {
