@@ -1252,10 +1252,20 @@ object Dedup {
           session.sparkContext.broadcast(m)
         }
         val cps = hammingCheckpoints(poolBits, threshold)
-        val sorted = exploded.select(col("bk"), col("__salt"), col("id"))
-          .repartition(col("bk"), col("__salt"))
-          .sortWithinPartitions("bk", "__salt")
-          .as[(Long, Long, Long)]
+        // (bk, salt) packed into ONE long key: bk occupies
+        // ≤ 12 (table) + 20 (bucket) = 32 bits by PoolBucketKeys'
+        // layout and salt < n < 2²⁴ on any budget-admitted corpus, so
+        // (bk << 24) | salt is collision-free. Measured r12: wall-
+        // NEUTRAL at sf10 (the 65 s stage is exchange serialize/
+        // deserialize-bound, not sort-compare-bound — a single-column
+        // radix-eligible key didn't move it); kept because it shuffles
+        // one long less per row and halves the group-boundary compare.
+        val sorted = exploded.select(
+            shiftleft(col("bk"), 24).bitwiseOR(col("__salt")).as("pk"),
+            col("id"))
+          .repartition(col("pk"))
+          .sortWithinPartitions("pk")
+          .as[(Long, Long)]
         // survivor-pair DISTINCT is the operator's biggest sf10 stage
         // (81.5 of 195 s probed r12: 615 M survivor emissions — avg
         // table-multiplicity ~5 — deduped to 120 M). When every id fits
@@ -1264,15 +1274,15 @@ object Dedup {
         // move and compare half the key bytes. Out-of-range ids keep
         // the two-column shape; both shapes feed the identical verify.
         val packable = minId >= 0 && maxId < (1L << 31)
-        def groupPairs(rows: Iterator[(Long, Long, Long)]): Iterator[(Long, Long)] = {
+        def groupPairs(rows: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
           val b = bank.value
           val it = rows.buffered
           def nextGroup(): Iterator[(Long, Long)] = {
             if (!it.hasNext) return null
             val head = it.head
             val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-            while (it.hasNext && it.head._1 == head._1 && it.head._2 == head._2)
-              ids += it.next()._3
+            while (it.hasNext && it.head._1 == head._1)
+              ids += it.next()._2
             if (ids.length < 2) return Iterator.empty
             val arr = ids.toArray
             val sks = arr.map(b.get)

@@ -59,10 +59,11 @@ object EmbedStageProbe {
       Seq("bk"), maxBucketSize, saltOn = col("id"))
     val idxRows = timed("exploded+salt count (pipeline only)")(exploded.count())
 
-    val sorted = exploded.select(col("bk"), col("__salt"), col("id"))
-      .repartition(col("bk"), col("__salt"))
-      .sortWithinPartitions("bk", "__salt")
-      .as[(Long, Long, Long)]
+    val sorted = exploded.select(
+        shiftleft(col("bk"), 24).bitwiseOR(col("__salt")).as("pk"), col("id"))
+      .repartition(col("pk"))
+      .sortWithinPartitions("pk")
+      .as[(Long, Long)]
     // shuffle+sort+decode WITHOUT the pair loop: same frame, trivial
     // per-group work — isolates row machinery from pair math
     timed("shuffle+sort+decode (no pairs)")(sorted.mapPartitions { rows =>
@@ -79,8 +80,8 @@ object EmbedStageProbe {
         if (!it.hasNext) return null
         val head = it.head
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        while (it.hasNext && it.head._1 == head._1 && it.head._2 == head._2)
-          ids += it.next()._3
+        while (it.hasNext && it.head._1 == head._1)
+          ids += it.next()._2
         if (ids.length < 2) return Iterator.empty
         val arr = ids.toArray
         val sks = arr.map(b.get)
