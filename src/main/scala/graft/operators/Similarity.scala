@@ -297,9 +297,15 @@ object Similarity {
     */
   private def scanTopKWithBank(df: DataFrame, idCol: String, vecCol: String,
       k: Int, probe: Int, centDf: DataFrame,
-      queryFilter: Option[Column => Column]): DataFrame = {
+      queryFilter: Option[Column => Column]): Option[DataFrame] = {
     val cbank = bankBroadcastFor(centDf)
-    val ibank = indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank)
+    // None when the corpus has duplicate ids: the join tier MERGES all
+    // candidates of duplicate-id query rows into one per-query_id
+    // top-k (groupBy), which a per-row scan cannot replicate — such
+    // corpora keep the join tier so tier parity stays exact.
+    val ibankOpt = indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank)
+    if (ibankOpt.isEmpty) return None
+    val ibank = ibankOpt.get
     val src = df.select(col(idCol).as("query_id"), col(vecCol).as("vec"))
     val filtered = queryFilter.fold(src)(f => src.filter(f(col("query_id"))))
     // A zero-exchange plan inherits the SCAN's parallelism, and a
@@ -337,7 +343,7 @@ object Similarity {
       .sortWithinPartitions("__lists")
       .select(col("query_id"), col("vec"), col("__lists"))
       .as[(Long, Array[Float], Array[Int])]
-    assigned.mapPartitions { rows =>
+    Some(assigned.mapPartitions { rows =>
       val b = ibank.value
       val it = rows.buffered
       val MaxBatch = 32
@@ -384,10 +390,12 @@ object Similarity {
                 val main = lim - (lim & 3)
                 // 4-accumulator gate dot: breaks the serial FMA chain
                 // for the ~100% of members that cannot enter the heap;
-                // margin 1e-12·nn ≫ the n·ε·(√qn·√cn) bound on the
-                // difference between ANY summation order and the
-                // strict fold (Cauchy–Schwarz bounds Σ|xᵢyᵢ|), so no
-                // heap entrant is ever gated out
+                // the margin is DIM-SCALED: any summation order of the
+                // same products is within ~2·dim·ε·(√qn·√cn) of the
+                // strict fold (Cauchy–Schwarz bounds Σ|xᵢyᵢ| ≤ nn), so
+                // (1e-13 + 5e-16·dim)·nn dominates the bound at every
+                // dim — a fixed 1e-12 margin would stop dominating
+                // past dim ≈ 4500 and could gate out a true entrant
                 var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
                 var j = 0
                 while (j < main) {
@@ -401,7 +409,8 @@ object Similarity {
                 while (j < lim) { fast += q(j).toDouble * cv(j).toDouble; j += 1 }
                 val nn = sqb(bi) * sn
                 val heap = heaps(bi)
-                if (heap.size < kk || fast >= heap.scores(0) * nn - 1e-12 * nn) {
+                if (heap.size < kk ||
+                    fast >= heap.scores(0) * nn - (1e-13 + 5e-16 * lim) * nn) {
                   // strict left-fold recompute — the bit-parity value
                   // (the DotProductFF order the oracle replays)
                   var d = 0.0
@@ -424,7 +433,7 @@ object Similarity {
         }
       }
       Iterator.continually(nextBatch()).takeWhile(_ != null).flatten
-    }.toDF("query_id", "neighbor_id", "cosine", "rank")
+    }.toDF("query_id", "neighbor_id", "cosine", "rank"))
   }
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
@@ -469,7 +478,9 @@ object Similarity {
       val n = CorpusStats.rowCount(df)
       val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
       if (n > 0 && ivfIndexBytes(n, dim) <= maxIndexBroadcastBytes)
-        return scanTopKWithBank(df, idCol, vecCol, k, probe, centDf, queryFilter)
+        // None = duplicate corpus ids → fall through to the join tier
+        scanTopKWithBank(df, idCol, vecCol, k, probe, centDf, queryFilter)
+          .foreach(return _)
     }
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       normSq(col(vecCol)).as("nsq"))
@@ -714,7 +725,9 @@ object Similarity {
     val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
     if (n > 0 && ivfIndexBytes(n, dim) <= maxIndexBroadcastBytes) {
       val cents = seededCentroids(df, idCol, vecCol, lists)
-      return scanTopKWithBank(df, idCol, vecCol, k, probe, cents, queryFilter)
+      // None = duplicate corpus ids → fall through to the join tier
+      scanTopKWithBank(df, idCol, vecCol, k, probe, cents, queryFilter)
+        .foreach(return _)
     }
     val scored = seededPairs(df, idCol, vecCol, nLists, nProbe, queryFilter)
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -792,11 +805,13 @@ object Similarity {
   }
 
   private val MaxCachedIndexBanks = 4
+  // value None = "this corpus is scan-tier-INELIGIBLE" (duplicate ids),
+  // memoized like a bank so the duplicate check also runs once
   private val indexBankCache = new java.util.LinkedHashMap[
-      String, org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]](
+      String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]](
       16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        String, org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]): Boolean =
+        String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]]): Boolean =
       size() > MaxCachedIndexBanks
   }
 
@@ -818,7 +833,7 @@ object Similarity {
   private def indexBankBroadcastFor(df: DataFrame, idCol: String, vecCol: String,
       centDf: DataFrame,
       cbank: org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank])
-      : org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank] = {
+      : Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]] = {
     val sc = df.sparkSession.sparkContext
     val key = s"ib|${sc.applicationId}|${System.identityHashCode(df.sparkSession)}|" +
       s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
@@ -837,7 +852,13 @@ object Similarity {
         .select(element_at(col("__l"), 1).as("list_id"), col("id"), col("vec"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
-      sc.broadcast(graft.plans.IvfIndexBank(rows))
+      // duplicate corpus ids → scan tier ineligible (the join tier
+      // MERGES duplicate-id query rows' candidates per query_id via
+      // groupBy, which independent per-row heaps cannot replicate) —
+      // checked here for free on the already-collected rows
+      val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
+      val unique = rows.forall(r => seen.add(r._2))
+      if (unique) Some(sc.broadcast(graft.plans.IvfIndexBank(rows))) else None
     }
   }
 

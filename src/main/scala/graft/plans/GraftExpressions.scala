@@ -447,7 +447,7 @@ case class NearestCentroidLists(child: Expression,
   override protected def nullSafeEval(v: Any): Any = {
     // one primitive copy per row: the loop below reads every element
     // lists×dim times, and ArrayData.getFloat is a virtual per-element
-    // call (same r12 finding as IvfScanTopK — at √N lists this scan is
+    // call (same r12 finding as the IVF batched scan loop — at √N lists this scan is
     // ~n·√N·dim element reads)
     val vec = v.asInstanceOf[ArrayData].toFloatArray()
     val b = bank.value
@@ -593,7 +593,7 @@ private[graft] object HyperplanePool {
     // one primitive copy per row: the projection loop reads every
     // element poolBits times (2048·dim reads/row), and
     // ArrayData.getFloat is a virtual per-element call (r12 finding,
-    // same as IvfScanTopK/NearestCentroidLists)
+    // same as the IVF scan loop / NearestCentroidLists)
     val v = arr.toFloatArray()
     val pool = new Array[Long]((poolBits + 63) >> 6)
     var j = 0

@@ -11,17 +11,16 @@ package graft.plans
   * Vectors stay one `Array[Float]` per member (a flat members×dim
   * array was probed r12 and LOST ~40%: the JIT eliminates bounds
   * checks for `cv(j), j < cv.length` loops but not for base-offset
-  * indexing). Norms AND their square roots are precomputed with the
-  * [[DotProductFF]] sequential double fold / `math.sqrt`, so scan-tier
-  * cosines are bit-identical to the joined
+  * indexing). Per-member √norm is precomputed with the
+  * [[DotProductFF]] sequential double fold then `math.sqrt`, so
+  * scan-tier cosines are bit-identical to the joined
   * `cosineFromParts(dot, qn, cn)` form and the SQL oracle.
   *
   * Duplicate ids are kept as distinct member rows (not last-write-wins)
   * — the join tier scores every corpus ROW, so the bank must too.
   */
 case class IvfIndexBank(listIds: Array[Int], starts: Array[Int],
-    ids: Array[Long], vecs: Array[Array[Float]],
-    norms: Array[Double], sqrtNorms: Array[Double])
+    ids: Array[Long], vecs: Array[Array[Float]], sqrtNorms: Array[Double])
     extends Serializable {
   /** [start, end) member range of `listId`; (0, 0) when absent. */
   def listRange(listId: Int): Long = {
@@ -46,7 +45,6 @@ object IvfIndexBank {
       i += 1
     }
     starts += n
-    val norms = new Array[Double](n)
     val sqrtNorms = new Array[Double](n)
     i = 0
     while (i < n) {
@@ -54,11 +52,10 @@ object IvfIndexBank {
       var s = 0.0
       var j = 0
       while (j < v.length) { s += v(j).toDouble * v(j).toDouble; j += 1 }
-      norms(i) = s
       sqrtNorms(i) = math.sqrt(s)
       i += 1
     }
     IvfIndexBank(distinctLists.toArray, starts.toArray,
-      sorted.map(_._2), sorted.map(_._3), norms, sqrtNorms)
+      sorted.map(_._2), sorted.map(_._3), sqrtNorms)
   }
 }

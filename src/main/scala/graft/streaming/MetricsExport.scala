@@ -29,7 +29,9 @@ object MetricsExport {
     * attribute rewriting (record-send-rate → record_send_rate).
     */
   def sanitize(s: String): String = {
-    val lower = s.toLowerCase
+    // Locale.ROOT: default-locale lowercasing mangles names on
+    // Turkish-type locales ('I' → dotless 'ı', failing the a-z test)
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
     val sb = new StringBuilder(lower.length)
     var i = 0
     while (i < lower.length) {
@@ -37,7 +39,10 @@ object MetricsExport {
       sb.append(if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c else '_')
       i += 1
     }
-    sb.toString
+    // Prometheus names must not START with a digit
+    // ([a-zA-Z_:][a-zA-Z0-9_:]*) — one bad name fails the whole scrape
+    if (sb.nonEmpty && sb.charAt(0) >= '0' && sb.charAt(0) <= '9') "_" + sb
+    else sb.toString
   }
 
   private def escapeLabel(v: String): String =
@@ -98,7 +103,8 @@ object MetricsExport {
   /** The reference's task-status gauge renders RUNNING/PAUSED/FAILED as
     * a numeric gauge; same encoding here so dashboards can threshold.
     */
-  def statusValue(status: String): Double = status.toUpperCase match {
+  def statusValue(status: String): Double =
+    status.toUpperCase(java.util.Locale.ROOT) match {
     case "RUNNING" => 1.0
     case "PAUSED" => 0.5
     case _ => 0.0
@@ -137,14 +143,17 @@ object MetricsExport {
     taskStatusGauge("offset-commit-avg-time-ms", s.connector, s.task, s.commitAvgTimeMs))
 
   /** Live adapter: a snapshot from a running query's last progress.
-    * `context` is "snapshot" until the first non-zero watermark/batch
-    * that followed a bootstrap — callers that track bootstrap state
-    * pass it explicitly; the default derives a streaming context.
+    * `totalEvents` is REQUIRED (a cumulative counter the caller
+    * tracks, e.g. summed numInputRows across batches) — defaulting it
+    * to the last batch's numInputRows would render a sawtooth as the
+    * *_total_events gauge and poison every dashboard rate() over it.
+    * `context` is "snapshot" until the bootstrap completes — callers
+    * that track bootstrap state pass it explicitly.
     */
   def fromProgress(ns: String, server: String, connector: String, task: Int,
-      p: StreamingQueryProgress, status: String = "RUNNING",
-      context: String = "streaming", lagSeconds: Double = 0.0,
-      totalEvents: Long = -1L): PipelineSnapshot = {
+      p: StreamingQueryProgress, totalEvents: Long,
+      status: String = "RUNNING", context: String = "streaming",
+      lagSeconds: Double = 0.0): PipelineSnapshot = {
     val commitMs = {
       val d = p.durationMs
       val k = "commitOffsets"
@@ -156,7 +165,7 @@ object MetricsExport {
       if (d != null && d.containsKey(k)) d.get(k).doubleValue else 0.0
     }
     PipelineSnapshot(ns, server, connector, task, context, status,
-      if (totalEvents >= 0) totalEvents else p.numInputRows,
+      totalEvents,
       if (p.processedRowsPerSecond.isNaN) 0.0 else p.processedRowsPerSecond,
       lagSeconds, batchMs,
       100.0, // structured-streaming commits are transactional: a completed batch committed

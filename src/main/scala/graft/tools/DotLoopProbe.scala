@@ -2,7 +2,8 @@ package graft.tools
 
 /** r12 micro-probe (no Spark): per-candidate scan-loop variants over a
   * synthetic flat bank, single-threaded — which inner-loop shape
-  * actually wins on this JIT/CPU before committing IvfScanTopK to one.
+  * actually wins on this JIT/CPU before committing the IVF scan loop
+  * (Similarity.scanTopKWithBank) to one.
   * Variants: (a) strict left fold over flat array (baseline = the
   * oracle-parity dot), (b) 4-accumulator gate + strict recompute for
   * heap entrants, (c) 4-accumulator gate only (no recompute — lower

@@ -680,6 +680,20 @@ class StatefulAnnSpec extends SparkSuite {
       queryFilter = Some(f), maxIndexBroadcastBytes = 0)
     assert(rows(scanF) == rows(joinF))
     assert(rows(scanF) == rows(scanS).filter(_._1 % 4 == 0))
+    // duplicate corpus ids: the join tier MERGES duplicate-id query
+    // rows' candidates per query_id (groupBy), which independent
+    // per-row heaps cannot replicate — the scan tier must REFUSE such
+    // corpora (bank build detects them) and fall back, keeping results
+    // identical across budgets
+    val dup = emb.unionAll(emb.limit(3))
+    val dupDefault = Similarity.ivfSeededTopK(dup, "vec_id", "embedding", k = 5)
+    val dupJoin = Similarity.ivfSeededTopK(dup, "vec_id", "embedding", k = 5,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(dupDefault) == rows(dupJoin))
+    dupDefault.count()
+    val dupPlan = dupDefault.queryExecution.executedPlan.toString
+    assert(dupPlan.contains("graft_top_k_neighbors"),
+      s"duplicate-id corpus must take the join tier:\n$dupPlan")
   }
 
   test("IVF scan tier plan has no join and only the query-side exchange; " +

@@ -42,6 +42,9 @@ class MetricsExportSpec extends SparkSuite {
     assert(MetricsExport.statusValue("paused") == 0.5)
     // sanitize: the reference's lowercaseOutputName + hyphen rewrite
     assert(MetricsExport.sanitize("Record-Send.Rate") == "record_send_rate")
+    // a leading digit is invalid in a Prometheus name — prefixed, not
+    // passed through (one bad name fails the whole scrape body)
+    assert(MetricsExport.sanitize("3pl-metrics") == "_3pl_metrics")
     // non-finite values use the Prometheus spellings
     assert(MetricsExport.renderLine(Gauge("g", Nil, Double.NaN)) == "g NaN")
     assert(MetricsExport.renderLine(Gauge("g", Nil, Double.PositiveInfinity)) == "g +Inf")

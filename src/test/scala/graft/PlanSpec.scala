@@ -342,10 +342,8 @@ class BucketingSpec extends SparkSuite {
     // there is no aggregate to guard; the tier's own contract is
     // stronger: no join, no window sort, no candidate-volume exchange
     // (only the compact query-side round-robin spread), ranking inside
-    // the map-side IvfScanTopK expression (bit-identical to
-    // TopKNeighbors — tier-parity spec in DedupSimilaritySpec).
-    // Over-budget corpora keep the aggregate path, guarded by the
-    // fallback test there.
+    // the batched map-side scan loop (bit-identical to TopKNeighbors —
+    // tier-parity spec in DedupSimilaritySpec).
     {
       val plan = SparkEntry.queries("sim_ann_ivf")(spark, sf001)
         .queryExecution.executedPlan.toString
@@ -353,6 +351,22 @@ class BucketingSpec extends SparkSuite {
         s"sim_ann_ivf no longer ranks via the batched map-side scan loop:\n$plan")
       assert(!plan.contains("WindowGroupLimit") && !plan.contains("Join"),
         s"sim_ann_ivf scan tier grew a join or window sort:\n$plan")
+    }
+    // ...and the over-budget JOIN tier keeps the bounded-heap aggregate
+    // contract the old guard pinned — the 2e9-candidate-row sort
+    // regression it existed to catch must not ship silently to the
+    // 100 TB path (maxIndexBroadcastBytes = 0 forces that tier)
+    {
+      val emb = graft.sources.Tables.embeddings(spark, sf001)
+      val plan = graft.operators.Similarity
+        .ivfSeededTopK(emb, "vec_id", "embedding", k = 5,
+          maxIndexBroadcastBytes = 0)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate") &&
+        plan.contains("graft_top_k_neighbors"),
+        s"IVF join tier no longer ranks via the TopKNeighbors aggregate:\n$plan")
+      assert(!plan.contains("WindowGroupLimit"),
+        s"IVF join tier sorts candidates for a rank window again:\n$plan")
     }
   }
 }
