@@ -37,3 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Probe/measurement harnesses (src/probe: the SCALE_SOAK cost probes +
+// the scale data generator) compile onto the same classpath so
+// `runMain graft.tools.*` works for soak reproduction, but they are NOT
+// engine code: they live outside src/main (LoC accounting) and are
+// excluded from the shipped jar below.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "src" / "probe" / "scala"
+Compile / packageBin / mappings := (Compile / packageBin / mappings).value
+  .filterNot { case (_, path) => path.startsWith("graft/tools/") }

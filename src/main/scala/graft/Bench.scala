@@ -209,10 +209,17 @@ object Bench {
           System.err.println(f"[bench] (teardown quiesce after $name: $quiesced%.1fs)")
       }
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  (passes: ${passes.map(p => f"$p%.2f").mkString(", ")})")
-      name -> sec
+      (name, sec, passes)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-pass times per query, in run order — the variance record the
+    // isolated-median soak artifact aggregates (r13: single-pass sf10
+    // draws kept masquerading as regressions; medians + spreads are the
+    // committed numbers, and this field is where the spread lives)
+    val passesByQuery = results.map { case (k, _, ps) =>
+      s"\"" + k + "\":" + ps.map(p => fmt(p, 3)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val companions = results.map(_._1).filter(GradingCompanions.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -231,7 +238,7 @@ object Bench {
     val streamJson = streaming
       .map { case (k, v) => s""""$k":${fmt(v, 1)}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"passes_by_query":$passesByQuery,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     // The harness captures only the LAST ~2000 chars of the build log
@@ -243,7 +250,8 @@ object Bench {
     // per-query entries as fit (baseline-relevant headliners first,
     // then the rest most-expensive-first, 3-decimal values). The full
     // map lives in `outPath` (committed as bench_out.json).
-    println(compactLine(results, total, companions, sfDir, outPath, streaming))
+    println(compactLine(results.map(r => (r._1, r._2)), total, companions,
+      sfDir, outPath, streaming))
     spark.stop()
   }
 

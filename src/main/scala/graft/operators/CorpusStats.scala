@@ -99,12 +99,16 @@ object CorpusStats {
   /** Memoized `df.count()` for geometry derivation. */
   def rowCount(df: DataFrame): Long = memo(df, "rows")(df.count())
 
-  /** Memoized embedding dimension (`size(vecCol)` of an arbitrary row;
-    * 0 for an empty frame — callers guard on rowCount first).
+  /** Memoized embedding dimension (`size(vecCol)` of an arbitrary
+    * NON-NULL row; 0 for an empty or all-null frame — callers guard on
+    * rowCount first). The null filter matters: every consumer drops
+    * null vectors, so a corpus whose first-in-scan-order row is null
+    * must not derive dim = -1 (`size(NULL)`) for the rest.
     */
   def vecDim(df: DataFrame, vecCol: String): Int =
     memo(df, s"dim:$vecCol") {
-      df.select(size(col(vecCol))).head(1) match {
+      df.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).head(1) match {
         case Array(r) => r.getInt(0).toLong
         case _ => 0L
       }

@@ -1096,6 +1096,25 @@ object Dedup {
     * ([[graft.plans.HammingWithinCheckpoints]]), keeping candidate
     * sets tier-identical pre-verify.
     */
+  /** Whether `(bk << 24) | salt` is injective for this geometry: bk
+    * occupies `bits + ⌈log₂ tables⌉` bits (PoolBucketKeys layout) and
+    * must fit the 40 bits above the shift, and the salt bound
+    * ⌈n/maxBucketSize⌉ must fit the 24 below. Auto geometry always
+    * fits (bits ≤ 20, tables ≤ 4096 → 32 bits; salt < n < 2²⁴ on any
+    * budget-admitted corpus); caller-supplied nBits > 28 or a tiny
+    * maxBucketSize on a huge corpus does not, and silently merging
+    * bucket groups there would blow up candidate volume and skew with
+    * no diagnostic (r12 ADVICE) — such geometries keep the two-column
+    * (bk, __salt) key.
+    */
+  private[graft] def packedKeyFits(bits: Int, tabs: Int, n: Long,
+      maxBucketSize: Int): Boolean = {
+    val tableBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, tabs.toLong - 1))
+    val saltBound = math.max(1L, (n + maxBucketSize - 1) / maxBucketSize)
+    bits + tableBits <= 40 && saltBound <= (1L << 24)
+  }
+
   def hammingCheckpoints(poolBits: Int, threshold: Double): Array[Int] = {
     val words = (poolBits + 63) / 64
     val p1 = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
@@ -1111,6 +1130,12 @@ object Dedup {
     * count()ed unconditionally — the broadcast-vs-shuffle TIER decision
     * needs n even when the geometry is passed explicitly — so explicit
     * values skip only the parameter derivation, not the count.
+    *
+    * SUPPORTED-THRESHOLD ENVELOPE (see README "Scale design notes" for
+    * the measured table): cosine ≥ ~0.7 is the near-linear regime
+    * (ρ ≤ 0.5); lower thresholds are super-linear by LSH physics and
+    * surface a [[RegimeAdvisory]] — or are refused under
+    * `spark.graft.embed.regime=enforce` ([[RegimeModeKey]]).
     *
     * Plan shape — two tiers behind one recall contract:
     *  - ONE bit-pool sketch per vector ([[graft.plans.HyperplanePoolSketch]],
@@ -1253,19 +1278,56 @@ object Dedup {
         }
         val cps = hammingCheckpoints(poolBits, threshold)
         // (bk, salt) packed into ONE long key: bk occupies
-        // ≤ 12 (table) + 20 (bucket) = 32 bits by PoolBucketKeys'
-        // layout and salt < n < 2²⁴ on any budget-admitted corpus, so
-        // (bk << 24) | salt is collision-free. Measured r12: wall-
-        // NEUTRAL at sf10 (the 65 s stage is exchange serialize/
-        // deserialize-bound, not sort-compare-bound — a single-column
-        // radix-eligible key didn't move it); kept because it shuffles
-        // one long less per row and halves the group-boundary compare.
-        val sorted = exploded.select(
-            shiftleft(col("bk"), 24).bitwiseOR(col("__salt")).as("pk"),
-            col("id"))
-          .repartition(col("pk"))
-          .sortWithinPartitions("pk")
-          .as[(Long, Long)]
+        // bits + ⌈log₂ tables⌉ bits by PoolBucketKeys' layout (auto
+        // geometry: ≤ 20 + 12 = 32) and salt < ⌈n/maxBucketSize⌉, so
+        // (bk << 24) | salt is collision-free whenever bk ≤ 40 bits and
+        // the salt bound fits 24 bits — GUARDED below: caller-supplied
+        // nBits > 28 or a tiny maxBucketSize on a huge admitted corpus
+        // would otherwise silently merge unrelated bucket groups
+        // (output still exact via the cosine verify, but candidate
+        // volume and skew blow up with no diagnostic — r12 ADVICE).
+        // Out-of-range geometry keeps the two-column (bk, __salt) key.
+        // Measured r12: the packed key is wall-NEUTRAL at sf10 (the
+        // 65 s stage is exchange serialize/deserialize-bound, not
+        // sort-compare-bound — a single-column radix-eligible key
+        // didn't move it); kept because it shuffles one long less per
+        // row and halves the group-boundary compare.
+        // `spark.graft.embed.packedKey=off` forces the two-column path
+        // at ANY geometry — the parity spec uses it to pin the fallback
+        // bit-for-bit against the packed path on identical blocking
+        val keyPackable = packedKeyFits(bits, tabs, n, maxBucketSize) &&
+          df.sparkSession.conf.get("spark.graft.embed.packedKey", "auto") != "off"
+        val sorted =
+          if (keyPackable)
+            exploded.select(
+                shiftleft(col("bk"), 24).bitwiseOR(col("__salt")).as("pk"),
+                col("id"))
+              .repartition(col("pk"))
+              .sortWithinPartitions("pk")
+              .as[(Long, Long)]
+          else
+            // two-column fallback: shuffle + sort on the exact (bk,
+            // __salt) pair, then rewrite it to a PARTITION-LOCAL group
+            // ordinal so the downstream contiguous-group loop keeps its
+            // one-long key shape. The ordinal is injective per
+            // partition by construction (sorted input, bump on any
+            // boundary) — unlike a hash of the pair, which could
+            // collide and merge unrelated groups, the exact silent
+            // failure this guard exists to prevent.
+            exploded.select(col("bk"), col("__salt"), col("id"))
+              .repartition(col("bk"), col("__salt"))
+              .sortWithinPartitions("bk", "__salt")
+              .as[(Long, Long, Long)]
+              .mapPartitions { rows =>
+                var ordinal = -1L
+                var lastBk = Long.MinValue; var lastSalt = Long.MinValue
+                rows.map { case (bk, salt, id) =>
+                  if (bk != lastBk || salt != lastSalt) {
+                    ordinal += 1; lastBk = bk; lastSalt = salt
+                  }
+                  (ordinal, id)
+                }
+              }
         // survivor-pair DISTINCT is the operator's biggest sf10 stage
         // (81.5 of 195 s probed r12: 615 M survivor emissions — avg
         // table-multiplicity ~5 — deduped to 120 M). When every id fits

@@ -306,7 +306,12 @@ object Similarity {
     val ibankOpt = indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank)
     if (ibankOpt.isEmpty) return None
     val ibank = ibankOpt.get
+    // null embeddings: the join tier drops them silently (nullSafeEval
+    // NearestCentroidLists returns null lists, explode drops the row) —
+    // filter them here too, or the batch loop below NPEs on a null
+    // vec/__lists and tier admission decides whether a corpus crashes
     val src = df.select(col(idCol).as("query_id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull)
     val filtered = queryFilter.fold(src)(f => src.filter(f(col("query_id"))))
     // A zero-exchange plan inherits the SCAN's parallelism, and a
     // budget-admitted corpus bin-packs into very few file splits
@@ -657,8 +662,12 @@ object Similarity {
     */
   def seededCentroids(df: DataFrame, idCol: String, vecCol: String,
       nLists: Int): DataFrame = {
-    val ranked = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      md5(col(idCol).cast("string")).as("__h"))
+    // null embeddings are dropped by every assignment path (null-safe
+    // expression → null lists → explode), so they must not become
+    // centroids either — a null centroid would crash the bank build
+    val ranked = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        md5(col(idCol).cast("string")).as("__h"))
     ranked.orderBy(col("__h"), col("id")).limit(nLists)
       .withColumn("list_id",
         row_number().over(Window.orderBy(col("__h"), col("id"))).cast("int"))
@@ -755,17 +764,21 @@ object Similarity {
     * derive from the corpus scan, trained centroids are a LocalRelation
     * whose rows are part of the canonical plan), so repeated
     * construction over the same centroids collects and broadcasts ONCE.
-    * Evicted/stale entries drop their reference only — the
-    * ContextCleaner reclaims the broadcast once no live plan holds it
-    * (an explicit destroy() could race a still-referenced lazy plan).
+    * Evicted entries are unpersisted eagerly (executor copies dropped;
+    * NOT destroy()ed — a still-referenced lazy plan re-fetches an
+    * unpersisted broadcast from the driver, while destroy would fail
+    * it); the ContextCleaner reclaims the rest once no plan holds it.
     */
   private val MaxCachedBanks = 8
   private val bankCache = new java.util.LinkedHashMap[
       String, org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]](
       16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        String, org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]]): Boolean =
-      size() > MaxCachedBanks
+        String, org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]]): Boolean = {
+      val evict = size() > MaxCachedBanks
+      if (evict) { try e.getValue.unpersist(false) catch { case _: Throwable => () } }
+      evict
+    }
   }
 
   /** Per-key locks for the memoized bank/centroid builds: a plain
@@ -811,8 +824,18 @@ object Similarity {
       String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]](
       16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]]): Boolean =
-      size() > MaxCachedIndexBanks
+        String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]]): Boolean = {
+      val evict = size() > MaxCachedIndexBanks
+      // an evicted inverted-file bank is ~100s of MB per entry — exactly
+      // the lingering-broadcast mass the memoization exists to prevent.
+      // unpersist (NOT destroy: a still-referenced lazy plan re-fetches
+      // a merely-unpersisted broadcast from the driver, while destroy
+      // would fail it) drops the executor copies eagerly.
+      if (evict) e.getValue.foreach { b =>
+        try b.unpersist(false) catch { case _: Throwable => () }
+      }
+      evict
+    }
   }
 
   /** Memoized broadcast inverted-file index for the IVF scan tier:

@@ -125,7 +125,11 @@ object MetricsExport {
       eventsPerSecond: Double, // current rate (processedRowsPerSecond)
       lagSeconds: Double, // freshness lag (HeartbeatListener / lagMetric)
       batchDurationMs: Double, // last micro-batch wall
-      commitSuccessPct: Double, // checkpoint-commit analog of offset-commit-success-percentage
+      // checkpoint-commit analog of offset-commit-success-percentage;
+      // NaN = "not tracked" → the gauge is OMITTED from the scrape
+      // (a fabricated constant would blind reference dashboards that
+      // threshold on commit failures — r12 ADVICE)
+      commitSuccessPct: Double,
       commitAvgTimeMs: Double) // offset-commit-avg-time-ms analog
 
   /** All gauges for one pipeline snapshot, in the reference mapping's
@@ -138,9 +142,13 @@ object MetricsExport {
     connectorGauge(s.ns, "cdc", s.context, "lag-seconds", s.server, s.lagSeconds),
     taskGauge("source", "source-record-write-rate", s.connector, s.task, s.eventsPerSecond),
     taskGauge("source", "poll-batch-avg-time-ms", s.connector, s.task, s.batchDurationMs),
-    taskStatusGauge("status", s.connector, s.task, statusValue(s.status)),
-    taskStatusGauge("offset-commit-success-percentage", s.connector, s.task, s.commitSuccessPct),
-    taskStatusGauge("offset-commit-avg-time-ms", s.connector, s.task, s.commitAvgTimeMs))
+    taskStatusGauge("status", s.connector, s.task, statusValue(s.status))) ++
+    // NaN commitSuccessPct = caller doesn't track commit outcomes:
+    // omit the gauge (an absent series reads as "not instrumented" on
+    // a reference dashboard; a constant 100 reads as "always healthy")
+    (if (s.commitSuccessPct.isNaN) Seq.empty else Seq(
+      taskStatusGauge("offset-commit-success-percentage", s.connector, s.task, s.commitSuccessPct))) ++
+    Seq(taskStatusGauge("offset-commit-avg-time-ms", s.connector, s.task, s.commitAvgTimeMs))
 
   /** Live adapter: a snapshot from a running query's last progress.
     * `totalEvents` is REQUIRED (a cumulative counter the caller
@@ -149,11 +157,18 @@ object MetricsExport {
     * *_total_events gauge and poison every dashboard rate() over it.
     * `context` is "snapshot" until the bootstrap completes — callers
     * that track bootstrap state pass it explicitly.
+    * `commitSuccessPct` is caller-tracked like totalEvents (progress
+    * objects only exist for batches that ran; commit FAILURES surface
+    * as query exceptions the caller observes) — left at the NaN
+    * default, the offset-commit-success gauge is omitted from the
+    * scrape rather than hardcoded to a constant 100 that would blind
+    * dashboards thresholding on commit failures (r12 ADVICE).
     */
   def fromProgress(ns: String, server: String, connector: String, task: Int,
       p: StreamingQueryProgress, totalEvents: Long,
       status: String = "RUNNING", context: String = "streaming",
-      lagSeconds: Double = 0.0): PipelineSnapshot = {
+      lagSeconds: Double = 0.0,
+      commitSuccessPct: Double = Double.NaN): PipelineSnapshot = {
     val commitMs = {
       val d = p.durationMs
       val k = "commitOffsets"
@@ -167,8 +182,6 @@ object MetricsExport {
     PipelineSnapshot(ns, server, connector, task, context, status,
       totalEvents,
       if (p.processedRowsPerSecond.isNaN) 0.0 else p.processedRowsPerSecond,
-      lagSeconds, batchMs,
-      100.0, // structured-streaming commits are transactional: a completed batch committed
-      commitMs)
+      lagSeconds, batchMs, commitSuccessPct, commitMs)
   }
 }

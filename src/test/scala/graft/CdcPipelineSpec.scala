@@ -32,6 +32,23 @@ class CdcPipelineSpec extends SparkSuite {
 
     stream.addData(env("u", 2, 1, "a2"), env("d", 2, 2, "b"), env("c", 2, 3, "c"))
     q.processAllAvailable()
+    // metrics-export integration (r12 verdict ask): scrape the LIVE
+    // pipeline's progress through the reference-shape renderer while
+    // the query is still running — the path a driver /metrics endpoint
+    // executes, not just the pure-renderer golden. totalEvents is the
+    // caller-tracked cumulative (2 + 3 envelopes across the batches).
+    val p = q.lastProgress
+    assert(p != null)
+    val scrape = graft.streaming.MetricsExport.render(
+      graft.streaming.MetricsExport.gaugesFor(
+        graft.streaming.MetricsExport.fromProgress(
+          "graft", "db1", "cdcpipe-t1", 0, p, totalEvents = 5L)))
+    assert(scrape.contains("graft_cdc_streaming_total_events{server=\"db1\"} 5"))
+    assert(scrape.contains(
+      "kafka_connect_task_status{connector=\"cdcpipe-t1\",task=\"0\"} 1"))
+    val pollLine = scrape.linesIterator
+      .find(_.startsWith("kafka_connect_source_task_poll_batch_avg_time_ms")).get
+    assert(pollLine.split(' ').last.toDouble >= 0.0)
     q.stop()
     assert(pipe.table.read().as[RowKV].collect().sortBy(_.k).toSeq ==
       Seq(RowKV(1, "a2"), RowKV(3, "c")))

@@ -135,6 +135,34 @@ class DedupSimilaritySpec extends SparkSuite {
       s"packed vs unpackable divergence: ${bcast -- shifted} / ${shifted -- bcast}")
   }
 
+  test("geometry past the packed-key bit budget falls back to the two-column " +
+      "group key with identical pairs (r12 ADVICE)") {
+    // the guard predicate: auto geometry packs; bits + table bits > 40
+    // or a salt bound past 2^24 does not
+    assert(Dedup.packedKeyFits(bits = 12, tabs = 4096, n = 80000L,
+      maxBucketSize = 100000))
+    assert(!Dedup.packedKeyFits(bits = 30, tabs = 4096, n = 500L,
+      maxBucketSize = 100000))
+    assert(!Dedup.packedKeyFits(bits = 12, tabs = 4096,
+      n = (1L << 24) * 1000L + 1L, maxBucketSize = 1000))
+    // end-to-end parity at IDENTICAL blocking geometry: the conf hook
+    // forces the two-column path, so the only difference is the
+    // group-key representation — the pair set must match exactly
+    val emb = Tables.embeddings(spark, sf001)
+    val packedRef = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(packedRef.nonEmpty)
+    spark.conf.set("spark.graft.embed.packedKey", "off")
+    try {
+      val fallback = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+        threshold = QueriesExt.NearDupCosine)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fallback == packedRef,
+        s"missed: ${packedRef -- fallback}, spurious: ${fallback -- packedRef}")
+    } finally spark.conf.unset("spark.graft.embed.packedKey")
+  }
+
   test("LSH-blocked embedding near-dup equals exact all-pairs on real embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val v = emb.select($"vec_id", $"embedding",
@@ -694,6 +722,28 @@ class StatefulAnnSpec extends SparkSuite {
     val dupPlan = dupDefault.queryExecution.executedPlan.toString
     assert(dupPlan.contains("graft_top_k_neighbors"),
       s"duplicate-id corpus must take the join tier:\n$dupPlan")
+  }
+
+  test("IVF scan tier drops null embeddings exactly like the join tier (r12 ADVICE)") {
+    // the join tier drops null vectors silently (null-safe assignment →
+    // null probe lists → explode drops the row); the scan tier's batch
+    // loop would NPE on them instead, making a corpus with any null
+    // embedding crash or not depending on which tier the budget admits
+    val emb = Tables.embeddings(spark, sf001)
+    val withNull = emb.select($"vec_id", $"embedding")
+      .unionAll(Seq((999999L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+    val scan = Similarity.ivfSeededTopK(withNull, "vec_id", "embedding", k = 5)
+    val join = Similarity.ivfSeededTopK(withNull, "vec_id", "embedding", k = 5,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(scan) == rows(join))
+    assert(rows(scan).nonEmpty)
+    // the null row contributes neither a query nor a neighbor
+    assert(!rows(scan).exists(t => t._1 == 999999L || t._2 == 999999L))
   }
 
   test("IVF scan tier plan has no join and only the query-side exchange; " +

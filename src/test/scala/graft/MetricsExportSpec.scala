@@ -74,6 +74,14 @@ class MetricsExportSpec extends SparkSuite {
       val commitLine = text.linesIterator
         .find(_.startsWith("kafka_connect_task_offset_commit_avg_time_ms")).get
       assert(commitLine.split(' ').last.toDouble >= 0.0)
+      // commit-success is OMITTED unless the caller tracks it (a
+      // hardcoded 100 would blind dashboards thresholding on commit
+      // failures — r12 ADVICE); supplying it renders the gauge
+      assert(!text.contains("offset_commit_success_percentage"))
+      val tracked = MetricsExport.fromProgress("graft", "srv", "live", 0, p,
+        totalEvents = 1000L, commitSuccessPct = 98.5)
+      assert(MetricsExport.render(MetricsExport.gaugesFor(tracked)).contains(
+        "kafka_connect_task_offset_commit_success_percentage{connector=\"live\",task=\"0\"} 98.5"))
     } finally q.stop()
   }
 }

@@ -1,0 +1,93 @@
+#!/bin/bash
+# Isolated per-query bench medians — the j1-closure adjudication
+# procedure, automated (r13 verdict ask #2).
+#
+# Every round since r10 burned a verdict cycle on "is this single-pass
+# sf10 mover real?" (r11: j1_anti_join; r12: dd_simhash / _hi /
+# tx_tfidf — all adjudicated as variance). This script makes isolated
+# medians a committed artifact instead of an ad-hoc dispute procedure:
+# each query runs in its OWN fresh JVM (java -cp directly — no sbt
+# startup, no shared session aging, no neighbor teardown backlog), for
+# PASSES passes, and the merged artifact records median + min/max
+# spread per query so the next verdict reads regressions off directly.
+#
+# Usage:
+#   tools/bench_isolated.sh <sfDir> <out.json> [passes] [query ...]
+# With no query args, runs the TOP_N (default 10) most expensive
+# queries of the committed BENCH_sf10.json (the canonical soak's
+# single-pass record) minus grading companions.
+#
+# Prereqs: target/scala-2.13/classes compiled (sbt compile) and the
+# Spark jars at /opt/spark/jars. Driver memory via SPARK_DRIVER_MEM
+# (default 48g — sized for sf10). Run on a quiet host, never
+# concurrently with sbt or another soak (bench-methodology rule).
+set -u
+SFDIR="${1:?sfDir}"; OUT="${2:?out.json}"; PASSES="${3:-3}"; shift 3 || true
+QUERIES=("$@")
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MEM="${SPARK_DRIVER_MEM:-48g}"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+TOP_N="${SPARK_GRAFT_ISOLATE_TOP:-10}"
+
+if [ ${#QUERIES[@]} -eq 0 ]; then
+  mapfile -t QUERIES < <(python3 - "$REPO/BENCH_sf10.json" "$TOP_N" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+comp = set(d.get("grading_companions", []))
+qs = [(v, k) for k, v in d["queries"].items() if k not in comp and v >= 0]
+for _, k in sorted(qs, reverse=True)[: int(sys.argv[2])]:
+    print(k)
+EOF
+)
+fi
+echo "[isolated] ${#QUERIES[@]} queries x $PASSES passes at $SFDIR" >&2
+
+# the same JDK17 module opens + session pins build.sbt applies to
+# forked runs (GraftSession creates the session outside spark-submit)
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
+
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+FAILED=0
+for q in "${QUERIES[@]}"; do
+  echo "[isolated] $q ..." >&2
+  SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
+  SPARK_GRAFT_BENCH_PASSES="$PASSES" SPARK_GRAFT_BENCH_GC=on \
+  SPARK_GRAFT_BENCH_OUT="$TMP/$q.json" \
+    java -Xmx"$MEM" $OPENS \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -cp "$CP" graft.Bench "$q" > /dev/null 2> "$TMP/$q.err" \
+    || { echo "[isolated] FAIL $q (see $TMP/$q.err)" >&2; cat "$TMP/$q.err" >&2; FAILED=1; }
+done
+
+python3 - "$TMP" "$OUT" "$SFDIR" "$PASSES" <<'EOF'
+import json, glob, os, sys, statistics
+tmp, out, sfdir, passes = sys.argv[1:5]
+queries, spread, passes_by_query = {}, {}, {}
+for f in sorted(glob.glob(os.path.join(tmp, "*.json"))):
+    d = json.load(open(f))
+    for k, v in d["queries"].items():
+        queries[k] = v
+        ps = d.get("passes_by_query", {}).get(k, [])
+        passes_by_query[k] = ps
+        if ps:
+            spread[k] = {"min": min(ps), "max": max(ps),
+                         "rel_spread": round((max(ps) - min(ps)) / statistics.median(ps), 3)
+                         if statistics.median(ps) > 0 else None}
+artifact = {"metric": "isolated_medians", "unit": "sec", "stat": "median",
+            "passes": int(passes), "sf": sfdir, "isolation": "fresh JVM per query",
+            "queries": queries, "passes_by_query": passes_by_query, "spread": spread,
+            "total_of_medians": round(sum(queries.values()), 3)}
+json.dump(artifact, open(out, "w"), indent=1)
+print(json.dumps({"isolated_total": artifact["total_of_medians"],
+                  "n": len(queries)}))
+EOF
+exit $FAILED
