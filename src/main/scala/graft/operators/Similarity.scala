@@ -278,6 +278,83 @@ object Similarity {
     */
   def ivfIndexBytes(n: Long, dim: Int): Long = n * (8L + 4L * dim + 8L + 48L)
 
+  /** UNIFORM projection of the probed-member mass one IVF top-k run
+    * scores: every query scans `probe` lists of ~n/lists members. The
+    * REAL mass under md5-seeded centroids runs up to ~5× this (measured
+    * r12: seeded-Voronoi skew — big cells are probed more often); the
+    * advisory margin below prices that in. With auto geometry
+    * (lists = √N, probe = √lists) this is the operator's N^1.5+
+    * asymptote made explicit: mass = N·N^0.25·N^0.5 — geometry, not
+    * implementation, and the same candidates flow through either tier.
+    */
+  def ivfProjectedMass(n: Long, lists: Int, probe: Int): Double =
+    n.toDouble * probe * (n.toDouble / math.max(1, lists))
+
+  /** Supported-scale envelope for the IVF family, the [[Dedup.RegimeModeKey]]
+    * contract applied to ANN (r12 verdict ask): `advise` (default) logs
+    * + records when the projected per-core mass leaves the measured
+    * comfortable regime; `enforce` refuses it, so shared clusters can
+    * pin the envelope as policy. The anchor measurement: the sf10 soak
+    * geometry (n = 200 k, lists = 448, probe = 22) projects 2·10⁹
+    * members uniform / ~10¹⁰ real, ~3·10⁸/core on 32 cores — 8–10 s
+    * isolated. [[AnnMassPerCoreEnvelope]] = 10⁹/core marks where a
+    * stage crosses into minutes-of-wall territory and the √N-list
+    * asymptote (mass grows ~N^1.75 per core at fixed cores; capacity
+    * must grow ~N^0.75 to hold wall flat) dominates planning: add
+    * executors (both tiers parallelize member scoring cleanly), cut
+    * `nProbe`/`k`, or accept the cost explicitly.
+    */
+  val AnnRegimeModeKey = "spark.graft.ann.regime"
+  val AnnMassPerCoreEnvelope: Double = 1e9
+
+  final case class AnnScaleAdvisory(n: Long, lists: Int, probe: Int,
+      projectedMass: Double, perCore: Double) {
+    def message: String = {
+      val m = "%.2g".formatLocal(java.util.Locale.ROOT, projectedMass)
+      val pc = "%.2g".formatLocal(java.util.Locale.ROOT, perCore)
+      s"ivfTopK(n=$n, lists=$lists, probe=$probe): projected probed-member " +
+        s"mass $m (uniform; seeded skew runs to ~5x) is $pc per core — past " +
+        s"the measured envelope ($AnnMassPerCoreEnvelope/core ~ minutes of " +
+        "wall per stage). The sqrt(N)-list IVF asymptote grows this ~N^1.75 " +
+        "at fixed cores: add executors, reduce nProbe/k, or accept the cost " +
+        s"(SCALE_SOAK.md r13 envelope; $AnnRegimeModeKey=enforce rejects it)."
+    }
+  }
+
+  private val annAdvisoryLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[AnnScaleAdvisory]()
+  private lazy val annLogger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Evaluate (and record/log — or under `enforce`, reject) the ANN
+    * scale advisory. Called by [[ivfTopK]]/[[ivfSeededTopK]] once the
+    * geometry is known; silent inside the envelope.
+    */
+  def annScaleAdvisory(n: Long, lists: Int, probe: Int, cores: Int,
+      mode: String = "advise"): Option[AnnScaleAdvisory] = {
+    val mass = ivfProjectedMass(n, lists, probe)
+    val perCore = mass / math.max(1, cores)
+    if (perCore <= AnnMassPerCoreEnvelope) None
+    else {
+      val a = AnnScaleAdvisory(n, lists, probe, mass, perCore)
+      if (mode.equalsIgnoreCase("enforce"))
+        throw new IllegalArgumentException(s"$AnnRegimeModeKey=enforce: " + a.message)
+      annAdvisoryLog.add(a)
+      while (annAdvisoryLog.size > 64) annAdvisoryLog.poll()
+      annLogger.warn(a.message)
+      Some(a)
+    }
+  }
+
+  /** Drain the recorded ANN advisories — same report surface as
+    * [[Dedup.drainAdvisories]].
+    */
+  def drainAnnAdvisories(): Seq[AnnScaleAdvisory] = {
+    val b = Seq.newBuilder[AnnScaleAdvisory]
+    var a = annAdvisoryLog.poll()
+    while (a != null) { b += a; a = annAdvisoryLog.poll() }
+    b.result()
+  }
+
   /** The broadcast SCAN tier shared by [[ivfTopK]] and
     * [[ivfSeededTopK]]: when the whole (list → member ids + vectors)
     * inverted file fits the broadcast budget, each query row scans its
@@ -471,6 +548,11 @@ object Similarity {
         else (capped, false)
       }
     val probe = if (nProbe > 0) nProbe else autoProbe(lists)
+    // supported-scale envelope: advisory (or enforce-mode reject) when
+    // the projected probed-member mass leaves the measured regime
+    annScaleAdvisory(CorpusStats.rowCount(df), lists, probe,
+      spark.sparkContext.defaultParallelism,
+      spark.conf.get(AnnRegimeModeKey, "advise"))
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
     // scan-tier admission: the corpus (id, vec, norm) index under the
@@ -731,6 +813,9 @@ object Similarity {
     // hash-graded oracle both pin it)
     val (lists, probe) = seededGeometry(df, vecCol, nLists, nProbe)
     val n = CorpusStats.rowCount(df)
+    annScaleAdvisory(n, lists, probe,
+      df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.conf.get(AnnRegimeModeKey, "advise"))
     val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
     if (n > 0 && ivfIndexBytes(n, dim) <= maxIndexBroadcastBytes) {
       val cents = seededCentroids(df, idCol, vecCol, lists)

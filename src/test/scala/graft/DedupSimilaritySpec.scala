@@ -774,6 +774,33 @@ class StatefulAnnSpec extends SparkSuite {
       s"over-budget corpus must keep the join tier:\n$joinPlan")
   }
 
+  test("ANN supported-scale envelope: silent at soak geometry, advisory past it, enforce rejects (r13)") {
+    // pure contract first: the sf10 soak point (200k rows, 448 lists,
+    // probe 22, 32 cores → ~3e8/core) sits INSIDE the envelope; a
+    // 100x corpus on the same 32 local cores does not
+    assert(Similarity.annScaleAdvisory(200000L, 448, 22, cores = 32).isEmpty)
+    Similarity.drainAnnAdvisories() // clear any prior state
+    assert(Similarity.annScaleAdvisory(20000000L, 4473, 67, cores = 32).isDefined)
+    val a = Similarity.drainAnnAdvisories()
+    assert(a.nonEmpty && a.head.message.contains("per core"))
+    // ... but the SAME corpus with cluster-scale cores is back inside:
+    // the envelope prices capacity, not corpus size
+    assert(Similarity.annScaleAdvisory(20000000L, 4473, 67, cores = 8192).isEmpty)
+    // enforce mode refuses with the same message class
+    val e = intercept[IllegalArgumentException](
+      Similarity.annScaleAdvisory(20000000L, 4473, 67, cores = 32, mode = "enforce"))
+    assert(e.getMessage.contains(Similarity.AnnRegimeModeKey))
+    // runtime surface: bench-scale corpora never fire through the operator
+    val emb = Tables.embeddings(spark, sf001)
+    Similarity.drainAnnAdvisories()
+    Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5).count()
+    assert(Similarity.drainAnnAdvisories().isEmpty)
+    // enforce mode is inert inside the envelope
+    spark.conf.set(Similarity.AnnRegimeModeKey, "enforce")
+    try Similarity.ivfSeededTopK(emb, "vec_id", "embedding", k = 5).count()
+    finally spark.conf.unset(Similarity.AnnRegimeModeKey)
+  }
+
   test("IVF training is unbiased on a partition-sorted corpus") {
     // corpus sorted + repartitioned so the first trainCap rows in scan
     // order are ONE cluster: limit-based training would fit all
