@@ -1,0 +1,43 @@
+#!/bin/bash
+# The canonical one-HEAD scale soak (SCALE_SOAK.md discipline, r13):
+# sf1 3-pass / sf4 2-pass GC-on / sf10 1-pass with the fenced-quadratic
+# grading companions excluded, writing BENCH_sf{1,4,10}.json — then the
+# top-N most expensive sf10 queries re-measured as fresh-JVM isolated
+# 3-pass medians (tools/bench_isolated.sh) into BENCH_sf10_isolated.json.
+#
+# The isolated stage is what retires the single-pass variance dispute
+# class (r11 j1, r12 simhash/_hi/tfidf — every one adjudicated as
+# variance): the committed per-query numbers are medians with recorded
+# spreads, so the next round reads regressions off directly instead of
+# relitigating draws.
+#
+# Run from the repo root on a QUIET host (no concurrent sbt/tests —
+# bench-methodology rule), after `sbt compile`. Scale data at
+# target/testdata/sf{1,4,10} (graft.tools.ScaleDataGen).
+set -eu
+cd "$(dirname "$0")/.."
+EXCL3=sim_cosine_topk,sim_cosine_neardup,sim_ann_recall
+EXCL5=$EXCL3,sim_ann_lsh_cand,sim_ann_ivf_cand
+
+echo "[soak] sf1 (3-pass)" >&2
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=target/testdata/sf1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_PASSES=3 SPARK_GRAFT_BENCH_EXCLUDE=$EXCL3 \
+  SPARK_GRAFT_BENCH_OUT=BENCH_sf1.json \
+  sbt -batch "runMain graft.Bench"
+
+echo "[soak] sf4 (2-pass, GC on)" >&2
+SPARK_DRIVER_MEM=24g SPARK_GRAFT_SF_DIR=target/testdata/sf4 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_PASSES=2 SPARK_GRAFT_BENCH_GC=on SPARK_GRAFT_BENCH_EXCLUDE=$EXCL5 \
+  SPARK_GRAFT_BENCH_OUT=BENCH_sf4.json \
+  sbt -batch "runMain graft.Bench"
+
+echo "[soak] sf10 (1-pass)" >&2
+SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=target/testdata/sf10 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_PASSES=1 SPARK_GRAFT_BENCH_EXCLUDE=$EXCL5 \
+  SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
+  sbt -batch "runMain graft.Bench"
+
+echo "[soak] sf10 isolated top-10 medians" >&2
+SPARK_DRIVER_MEM=48g \
+  tools/bench_isolated.sh target/testdata/sf10 BENCH_sf10_isolated.json 3
+echo "[soak] done: BENCH_sf{1,4,10}.json + BENCH_sf10_isolated.json" >&2
