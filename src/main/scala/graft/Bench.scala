@@ -237,8 +237,14 @@ object Bench {
       }
     val streamJson = streaming
       .map { case (k, v) => s""""$k":${fmt(v, 1)}""" }.mkString("{", ",", "}")
+    // arg-filtered runs charge cluster-label production to the consumer
+    // every pass (documented above); name those queries in the artifact
+    // so downstream aggregators (tools/bench_isolated.sh) flag them from
+    // ONE source instead of duplicating LabelConsumers
+    val labelCold = (if (args.nonEmpty) results.map(_._1).filter(LabelConsumers)
+      else Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"passes_by_query":$passesByQuery,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"passes_by_query":$passesByQuery,"label_cold":$labelCold,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     // The harness captures only the LAST ~2000 chars of the build log

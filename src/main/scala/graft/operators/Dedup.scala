@@ -1296,7 +1296,8 @@ object Dedup {
         // at ANY geometry — the parity spec uses it to pin the fallback
         // bit-for-bit against the packed path on identical blocking
         val keyPackable = packedKeyFits(bits, tabs, n, maxBucketSize) &&
-          df.sparkSession.conf.get("spark.graft.embed.packedKey", "auto") != "off"
+          !df.sparkSession.conf.get("spark.graft.embed.packedKey", "auto")
+            .equalsIgnoreCase("off")
         val sorted =
           if (keyPackable)
             exploded.select(

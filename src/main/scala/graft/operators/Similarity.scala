@@ -328,14 +328,30 @@ object Similarity {
   /** Evaluate (and record/log — or under `enforce`, reject) the ANN
     * scale advisory. Called by [[ivfTopK]]/[[ivfSeededTopK]] once the
     * geometry is known; silent inside the envelope.
+    *
+    * `queryRows` is the number of rows that actually PROBE (by-name: a
+    * `queryFilter`ed frame must be counted, which is a job) — evaluated
+    * only when the pessimistic all-rows-query projection already
+    * crosses the envelope, so the common case pays nothing and a
+    * filtered-query job (recall harness shape: thousands of queries
+    * over a huge corpus) is not falsely rejected under `enforce` for a
+    * mass it never scores.
     */
   def annScaleAdvisory(n: Long, lists: Int, probe: Int, cores: Int,
-      mode: String = "advise"): Option[AnnScaleAdvisory] = {
-    val mass = ivfProjectedMass(n, lists, probe)
-    val perCore = mass / math.max(1, cores)
+      mode: String = "advise",
+      queryRows: => Long = -1L): Option[AnnScaleAdvisory] = {
+    // ivfProjectedMass is defined on (queries = corpus = n); the general
+    // form for q probing rows over an n-row index: q · probe · (n/lists)
+    def massFor(q: Long): Double =
+      q.toDouble * probe * (n.toDouble / math.max(1, lists))
+    val pessimistic = massFor(n)
+    if (pessimistic / math.max(1, cores) <= AnnMassPerCoreEnvelope) return None
+    val q = queryRows
+    val effective = if (q >= 0) massFor(q) else pessimistic
+    val perCore = effective / math.max(1, cores)
     if (perCore <= AnnMassPerCoreEnvelope) None
     else {
-      val a = AnnScaleAdvisory(n, lists, probe, mass, perCore)
+      val a = AnnScaleAdvisory(n, lists, probe, effective, perCore)
       if (mode.equalsIgnoreCase("enforce"))
         throw new IllegalArgumentException(s"$AnnRegimeModeKey=enforce: " + a.message)
       annAdvisoryLog.add(a)
@@ -549,10 +565,14 @@ object Similarity {
       }
     val probe = if (nProbe > 0) nProbe else autoProbe(lists)
     // supported-scale envelope: advisory (or enforce-mode reject) when
-    // the projected probed-member mass leaves the measured regime
+    // the projected probed-member mass leaves the measured regime; a
+    // queryFilter narrows the mass, counted only if the pessimistic
+    // projection fires (see annScaleAdvisory)
     annScaleAdvisory(CorpusStats.rowCount(df), lists, probe,
       spark.sparkContext.defaultParallelism,
-      spark.conf.get(AnnRegimeModeKey, "advise"))
+      spark.conf.get(AnnRegimeModeKey, "advise"),
+      queryRows = queryFilter.fold(-1L)(f =>
+        df.filter(f(col(idCol))).count()))
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
     // scan-tier admission: the corpus (id, vec, norm) index under the
@@ -815,7 +835,9 @@ object Similarity {
     val n = CorpusStats.rowCount(df)
     annScaleAdvisory(n, lists, probe,
       df.sparkSession.sparkContext.defaultParallelism,
-      df.sparkSession.conf.get(AnnRegimeModeKey, "advise"))
+      df.sparkSession.conf.get(AnnRegimeModeKey, "advise"),
+      queryRows = queryFilter.fold(-1L)(f =>
+        df.filter(f(col(idCol))).count()))
     val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
     if (n > 0 && ivfIndexBytes(n, dim) <= maxIndexBroadcastBytes) {
       val cents = seededCentroids(df, idCol, vecCol, lists)

@@ -790,6 +790,19 @@ class StatefulAnnSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Similarity.annScaleAdvisory(20000000L, 4473, 67, cores = 32, mode = "enforce"))
     assert(e.getMessage.contains(Similarity.AnnRegimeModeKey))
+    // a queryFilter that narrows the probing side narrows the MASS: the
+    // same over-envelope corpus with 1k actual queries is silent, even
+    // under enforce (the filtered count is only taken when the
+    // pessimistic projection fires — review fix, r13)
+    assert(Similarity.annScaleAdvisory(20000000L, 4473, 67, cores = 32,
+      queryRows = 1000L).isEmpty)
+    Similarity.annScaleAdvisory(20000000L, 4473, 67, cores = 32,
+      mode = "enforce", queryRows = 1000L) // must not throw
+    // ... and the lazy count is NOT evaluated inside the envelope
+    var counted = false
+    assert(Similarity.annScaleAdvisory(200000L, 448, 22, cores = 32,
+      queryRows = { counted = true; 1L }).isEmpty)
+    assert(!counted, "queryRows must stay unevaluated when the pessimistic bound passes")
     // runtime surface: bench-scale corpora never fire through the operator
     val emb = Tables.embeddings(spark, sf001)
     Similarity.drainAnnAdvisories()

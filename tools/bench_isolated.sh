@@ -22,7 +22,11 @@
 # (default 48g — sized for sf10). Run on a quiet host, never
 # concurrently with sbt or another soak (bench-methodology rule).
 set -u
-SFDIR="${1:?sfDir}"; OUT="${2:?out.json}"; PASSES="${3:-3}"; shift 3 || true
+SFDIR="${1:?sfDir}"; OUT="${2:?out.json}"; PASSES="${3:-3}"
+# shift past however many positionals were actually given (a plain
+# `shift 3` on a 2-arg call fails WITHOUT shifting, leaving sfDir/out
+# in $@ to be misread as query names)
+if [ $# -ge 3 ]; then shift 3; else shift $#; fi
 QUERIES=("$@")
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MEM="${SPARK_DRIVER_MEM:-48g}"
@@ -40,6 +44,10 @@ for _, k in sorted(qs, reverse=True)[: int(sys.argv[2])]:
 EOF
 )
 fi
+if [ ${#QUERIES[@]} -eq 0 ]; then
+  echo "[isolated] ERROR: no queries (missing/unreadable BENCH_sf10.json and none given)" >&2
+  exit 2
+fi
 echo "[isolated] ${#QUERIES[@]} queries x $PASSES passes at $SFDIR" >&2
 
 # the same JDK17 module opens + session pins build.sbt applies to
@@ -55,8 +63,10 @@ done
 CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
 
 TMP=$(mktemp -d)
-trap 'rm -rf "$TMP"' EXIT
 FAILED=0
+# temp dir is kept on failure so the per-query .err files survive for
+# diagnosis; removed only on a fully green run
+trap '[ "$FAILED" -eq 0 ] && rm -rf "$TMP"' EXIT
 for q in "${QUERIES[@]}"; do
   echo "[isolated] $q ..." >&2
   SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
@@ -65,8 +75,16 @@ for q in "${QUERIES[@]}"; do
     java -Xmx"$MEM" $OPENS \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$CP" graft.Bench "$q" > /dev/null 2> "$TMP/$q.err" \
-    || { echo "[isolated] FAIL $q (see $TMP/$q.err)" >&2; cat "$TMP/$q.err" >&2; FAILED=1; }
+    || { echo "[isolated] FAIL $q (errors kept at $TMP/$q.err)" >&2
+         tail -5 "$TMP/$q.err" >&2; FAILED=1; }
 done
+
+if [ "$FAILED" -ne 0 ]; then
+  # never clobber a committed artifact with a silently-partial one —
+  # the partial lands next to it, clearly named
+  OUT="$OUT.partial"
+  echo "[isolated] failures occurred: writing PARTIAL artifact to $OUT" >&2
+fi
 
 python3 - "$TMP" "$OUT" "$SFDIR" "$PASSES" <<'EOF'
 import json, glob, os, sys, statistics
@@ -82,9 +100,20 @@ for f in sorted(glob.glob(os.path.join(tmp, "*.json"))):
             spread[k] = {"min": min(ps), "max": max(ps),
                          "rel_spread": round((max(ps) - min(ps)) / statistics.median(ps), 3)
                          if statistics.median(ps) > 0 else None}
+# arg-filtered Bench runs charge cluster-label production to the
+# consumer ON EVERY PASS (Bench clears the label cache so the one
+# number asked for includes the dominant cost) — so for these queries
+# the isolated median is label-production + marginal query, NOT the
+# in-suite post-label marginal. Bench names them in its own artifact
+# ("label_cold" — single source, Bench.LabelConsumers); flagged here so
+# round-over-round readers compare like with like.
+label_cold = set()
+for f in sorted(glob.glob(os.path.join(tmp, "*.json"))):
+    label_cold.update(json.load(open(f)).get("label_cold", []))
 artifact = {"metric": "isolated_medians", "unit": "sec", "stat": "median",
             "passes": int(passes), "sf": sfdir, "isolation": "fresh JVM per query",
             "queries": queries, "passes_by_query": passes_by_query, "spread": spread,
+            "includes_label_production": sorted(label_cold),
             "total_of_medians": round(sum(queries.values()), 3)}
 json.dump(artifact, open(out, "w"), indent=1)
 print(json.dumps({"isolated_total": artifact["total_of_medians"],
