@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token count (number of \S+ runs). */
-  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+")).cast("long")
+  def tokenCount(text: Column): Column =
+    graft.plans.GraftFunctions.textCount(text, "token")
 
   /** BPE-ish subword count: word-ish chunks, numbers, and single
-    * punctuation marks, the shape of a GPT-2-style pre-tokenizer regex.
+    * punctuation marks, the shape of a GPT-2-style pre-tokenizer regex
+    * (`[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` — counted by the equivalent
+    * single-pass scan, see [[graft.plans.TextScan]]).
     */
   def subwordCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+    graft.plans.GraftFunctions.textCount(text, "subword")
 
   /** Stopword dictionaries for the n-gram/stopword language-ID heuristic.
     * Deterministic, dependency-free; real pipelines swap in fastText — the
@@ -32,9 +35,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
     "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "por"))
 
-  /** Count of whole-word occurrences of `w` in lowercased text. */
+  /** Count of whole-word occurrences of `w` in lowercased text
+    * (single-word dictionary scan ≡ `\b w \b`).
+    */
   def wordHits(text: Column, w: String): Column =
-    regexp_count(lower(text), lit("\\b" + w + "\\b")).cast("long")
+    graft.plans.GraftFunctions.stopwordCount(lower(text), Seq(w))
 
   /** Per-language stopword-hit score: total whole-word stopword
     * occurrences for that language's dictionary. ONE union-alternation
@@ -45,9 +50,14 @@ object TextAnalysis {
     * expression into CASE branches (langId, quality gates).
     */
   def langScore(text: Column, lang: String): Column =
-    regexp_count(lower(text),
-      lit("\\b(?:" + stopwords.toMap.apply(lang).mkString("|") + ")\\b"))
-      .cast("long")
+    // single-pass dictionary scan ≡ the \b(?:w1|…|w8)\b alternation
+    // regex it replaces (r13; see TextScan's equivalence contract —
+    // the DuckDB oracle still runs the regex form and hash-matches).
+    // The alternation backtracked 8 ways at every input position and
+    // langId pays this once per LANGUAGE — it dominated the sf10
+    // quality/curation scans (cu_quality_threshold isolated 19.2 s).
+    graft.plans.GraftFunctions.stopwordCount(lower(text),
+      stopwords.toMap.apply(lang))
 
   /** Language-ID: argmax of the per-language scores; 'und' (undetermined)
     * when no stopword hits at all. Ties break by dictionary order
@@ -68,13 +78,13 @@ object TextAnalysis {
         array_position(scores, array_max(scores)).cast("int")))
   }
 
-  /** Punctuation-character count. */
+  /** Punctuation-character count (`[^A-Za-z0-9\s]` — single-pass scan). */
   def punctCount(text: Column): Column =
-    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+    graft.plans.GraftFunctions.textCount(text, "punct")
 
-  /** Uppercase-letter count. */
+  /** Uppercase-letter count (`[A-Z]` — single-pass scan). */
   def upperCount(text: Column): Column =
-    regexp_count(text, lit("[A-Z]")).cast("long")
+    graft.plans.GraftFunctions.textCount(text, "upper")
 
   /** Document quality score in [0,1] — length, punctuation-ratio,
     * stopword-ratio and mean-word-length signals, the classic cheap

@@ -885,6 +885,195 @@ object HammingWithinCheckpoints {
   }
 }
 
+/** Single-pass byte-scan replacements for the regex counters the text
+  * family was built on (r13). The language-score regex —
+  * `\b(?:w1|…|w8)\b` over the whole document — backtracks through the
+  * 8-way alternation at every input position, and [[graft.functions
+  * .TextAnalysis.langId]] pays it once per language; at sf10 the
+  * quality/lang scans dominated four curation queries (cu_quality
+  * _threshold isolated 19.2 s). Each counter below is one linear scan
+  * over the UTF-8 BYTES.
+  *
+  * EQUIVALENCE CONTRACT (the DuckDB oracle keeps running the regex
+  * forms, so these must count identically — pinned by
+  * `TextCountParitySpec` against `regexp_count` on adversarial and
+  * random inputs):
+  *  - word chars are Java/RE2 ASCII `\w` = [A-Za-z0-9_]; every
+  *    non-ASCII byte (0x80+) is a non-word char in BOTH engines
+  *    (neither runs in Unicode-classes mode), so byte-scanning is
+  *    exact: a `\b(?:w)\b` match is precisely a MAXIMAL word-char run
+  *    equal to a dictionary word (boundaries exist only at run edges,
+  *    and an equal-length prefix/suffix match inside a longer run
+  *    fails its closing `\b`).
+  *  - `\s` is the ASCII six [ \t\n\x0B\f\r]; multi-byte chars are
+  *    non-space, so `\S+` runs are byte-run-countable.
+  *  - char-class COUNTS count CHARACTERS, so multi-byte chars count
+  *    once: only UTF-8 lead bytes ((b & 0xC0) != 0x80) are counted in
+  *    the non-ASCII branch.
+  */
+object TextScan {
+  @inline private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+  @inline private def isSpaceByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  @inline private def isLeadByte(b: Byte): Boolean = (b & 0xC0) != 0x80
+
+  /** Dictionary words grouped by byte length for allocation-free
+    * whole-token compares (words are lowercase ASCII by construction —
+    * [[graft.functions.TextAnalysis.stopwords]]).
+    */
+  final class Dict(val words: Seq[String]) extends Serializable {
+    require(words.nonEmpty && words.forall(_.matches("[a-z0-9_]+")),
+      s"dictionary words must be nonempty ASCII word-char strings: $words")
+    val maxLen: Int = words.map(_.length).max
+    val byLen: Array[Array[Array[Byte]]] = {
+      val a = new Array[Array[Array[Byte]]](maxLen + 1)
+      words.groupBy(_.length).foreach { case (l, ws) =>
+        a(l) = ws.map(_.getBytes("UTF-8")).toArray
+      }
+      a
+    }
+    override def equals(o: Any): Boolean = o match {
+      case d: Dict => words == d.words
+      case _ => false
+    }
+    override def hashCode(): Int = words.hashCode()
+  }
+
+  /** ≡ `regexp_count(s, "\\b(?:" + words.mkString("|") + ")\\b")`. */
+  def stopwordCount(s: UTF8String, d: Dict): Long = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (isWordByte(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && isWordByte(b(i))) i += 1
+        val len = i - start
+        if (len <= d.maxLen) {
+          val bucket = d.byLen(len)
+          if (bucket != null) {
+            var j = 0
+            while (j < bucket.length) {
+              val w = bucket(j)
+              var k = 0
+              while (k < len && w(k) == b(start + k)) k += 1
+              if (k == len) { cnt += 1; j = bucket.length } else j += 1
+            }
+          }
+        }
+      } else i += 1
+    }
+    cnt
+  }
+
+  /** ≡ `regexp_count(s, "\\S+")`. */
+  def tokenCount(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (!isSpaceByte(b(i))) {
+        cnt += 1
+        while (i < n && !isSpaceByte(b(i))) i += 1
+      } else i += 1
+    }
+    cnt
+  }
+
+  /** ≡ `regexp_count(s, "[^A-Za-z0-9\\s]")` (note: '_' and every
+    * non-ASCII character are in the class; characters, not bytes).
+    */
+  def punctCount(s: UTF8String): Long = {
+    val b = s.getBytes
+    var cnt = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c < 0) { if (isLeadByte(c)) cnt += 1 }
+      else if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || isSpaceByte(c))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** ≡ `regexp_count(s, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")`: a maximal
+    * letter run counts once; every digit char once; every other
+    * non-space char (incl. '_' and each non-ASCII character) once.
+    */
+  def subwordCount(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        cnt += 1
+        i += 1
+        while (i < n && ((b(i) >= 'a' && b(i) <= 'z') || (b(i) >= 'A' && b(i) <= 'Z'))) i += 1
+      } else {
+        if (c < 0) { if (isLeadByte(c)) cnt += 1 }
+        else if (c >= '0' && c <= '9') cnt += 1 // each digit char
+        else if (!isSpaceByte(c)) cnt += 1 // punct class, incl '_'
+        i += 1
+      }
+    }
+    cnt
+  }
+
+  /** ≡ `regexp_count(s, "[A-Z]")`. */
+  def upperCount(s: UTF8String): Long = {
+    val b = s.getBytes
+    var cnt = 0L
+    var i = 0
+    while (i < b.length) { if (b(i) >= 'A' && b(i) <= 'Z') cnt += 1; i += 1 }
+    cnt
+  }
+}
+
+/** Whole-word dictionary-hit count (≡ the `\b(?:…)\b` alternation
+  * regex — see [[TextScan]] for the equivalence argument). Count is
+  * over the input AS GIVEN: callers lowercase first, exactly like the
+  * regex form they replace.
+  */
+case class StopwordCount(child: Expression, dict: TextScan.Dict)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextScan.stopwordCount(v.asInstanceOf[UTF8String], dict)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** One of the fixed [[TextScan]] char-class counters, selected by
+  * `kind` ("token" | "punct" | "subword" | "upper") — a plain string so
+  * plan canonicalization/equality stay structural.
+  */
+case class TextCount(child: Expression, kind: String)
+    extends UnaryExpression with CodegenFallback {
+  require(TextCount.Kinds.contains(kind), s"unknown TextCount kind: $kind")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    kind match {
+      case "token" => TextScan.tokenCount(s)
+      case "punct" => TextScan.punctCount(s)
+      case "subword" => TextScan.subwordCount(s)
+      case _ => TextScan.upperCount(s)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextCount { val Kinds = Set("token", "punct", "subword", "upper") }
+
 /** Column-API wrappers. */
 object GraftFunctions {
   private def e(c: Column): Expression = GraftSqlShim.expression(c)
@@ -926,4 +1115,8 @@ object GraftFunctions {
     col(TopKNeighbors(e(score), e(id), k).toAggregateExpression())
   def hammingWithinCheckpoints(a: Column, b: Column, cps: Array[Int]): Column =
     col(HammingWithinCheckpoints(e(a), e(b), cps))
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    col(StopwordCount(e(text), new TextScan.Dict(words)))
+  def textCount(text: Column, kind: String): Column =
+    col(TextCount(e(text), kind))
 }
