@@ -188,8 +188,24 @@ object Similarity {
 
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       nBits: Int = 0, nTables: Int = 8, probeBits: Int = 1,
-      queryFilter: Option[Column => Column] = None): DataFrame = {
-    val pairs = lshCandidates(df, idCol, vecCol, k, nBits, nTables,
+      queryFilter: Option[Column => Column] = None,
+      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoBits(CorpusStats.rowCount(df))
+    // scan-tier admission (r13, the IVF scan tier's budget contract
+    // applied to LSH): corpus vectors + per-table bucket directories
+    // under the broadcast budget → each query resolves its own/probed
+    // buckets map-side against the broadcast index — the two n·tables
+    // exploded bucket-join streams, the candidate distinct, the
+    // starvation aggregate AND both vector re-attach joins never exist.
+    // Over-budget corpora (the 100 TB path) keep the join tier below;
+    // duplicate-id corpora keep it too (rankTopK's groupBy merges
+    // duplicate-id query rows, which independent per-row heaps cannot).
+    val n = CorpusStats.rowCount(df)
+    val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
+    if (n > 0 && lshIndexBytes(n, dim, nTables) <= maxIndexBroadcastBytes)
+      scanLshTopKWithBank(df, idCol, vecCol, k, bits, nTables, probeBits,
+        queryFilter).foreach(return _)
+    val pairs = lshCandidates(df, idCol, vecCol, k, bits, nTables,
       probeBits, queryFilter)
     // vectors re-attach to DISTINCT pairs only (ids-only candidate join)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -203,6 +219,187 @@ object Similarity {
         cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** Broadcast-budget accounting for the LSH scan tier: the vector
+    * store (same shape as [[ivfIndexBytes]]) plus `tables` CSR bucket
+    * directories (a position int, its share of the signature/start
+    * arrays, and array overhead per member per table).
+    */
+  def lshIndexBytes(n: Long, dim: Int, tables: Int): Long =
+    ivfIndexBytes(n, dim) + tables.toLong * n * 24L
+
+  /** The LSH broadcast SCAN tier: per query row — signatures from the
+    * SAME [[graft.plans.HyperplaneSig.of]] kernel the join tier's
+    * expression evaluates; own-bucket members gathered across tables
+    * and deduped (sort + unique positions ≡ the join path's DISTINCT);
+    * the join path's starvation rule replayed exactly (fewer than k
+    * distinct own candidates → Hamming-1 probe expansion over all
+    * tables × bits); one strict-fold cosine per distinct candidate
+    * (≡ `cosineFromParts(dotFF, qn, cn)`), ranked in the same
+    * [[graft.plans.TopKHeap]] the aggregate form uses. Candidate sets,
+    * scores, and ranks are therefore bit-identical to the join tier —
+    * the tier-parity spec and the `sim_ann_lsh` oracle row both pin it.
+    *
+    * No member-major batching here, unlike [[scanTopKWithBank]]: LSH
+    * candidate sets are small (~tables·bucketSize ≈ hundreds) and
+    * query-specific, so there is no shared member stream to tile —
+    * the scan is lookup-bound, not DRAM-stream-bound.
+    */
+  private def scanLshTopKWithBank(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, bits: Int, nTables: Int, probeBits: Int,
+      queryFilter: Option[Column => Column]): Option[DataFrame] = {
+    val bankOpt = lshBankBroadcastFor(df, idCol, vecCol, bits, nTables)
+    if (bankOpt.isEmpty) return None
+    val bank = bankOpt.get
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null embeddings: the join tier drops them (null signature →
+    // filtered) — same contract as the IVF scan tier
+    val src = df.select(col(idCol).as("query_id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull)
+    val filtered = queryFilter.fold(src)(f => src.filter(f(col("query_id"))))
+    val par = spark.sparkContext.defaultParallelism
+    val kk = k
+    val bb = bits
+    val tt = nTables
+    val pb = probeBits
+    // one round-robin exchange of the compact query frame — the same
+    // split-inheritance lesson as the IVF tier (a budget-admitted
+    // corpus bin-packs into ~1 file split)
+    Some(filtered.repartition(par).as[(Long, Array[Float])].mapPartitions { rows =>
+      val b = bank.value
+      rows.flatMap { case (qid, qv) =>
+        val sigs = new Array[Long](tt)
+        var t = 0
+        while (t < tt) {
+          sigs(t) = graft.plans.HyperplaneSig.of(qv, bb, 42L + 1000L * t)
+          t += 1
+        }
+        var cand = new Array[Int](64)
+        var cn = 0
+        def add(pos: Int): Unit = {
+          if (cn == cand.length) cand = java.util.Arrays.copyOf(cand, cn * 2)
+          cand(cn) = pos; cn += 1
+        }
+        def gather(t: Int, sig: Long): Unit = {
+          val range = b.bucketRange(t, sig)
+          var m = (range >> 32).toInt
+          val end = range.toInt
+          val pos = b.tablePos(t)
+          while (m < end) {
+            val p = pos(m)
+            if (b.ids(p) != qid) add(p)
+            m += 1
+          }
+        }
+        t = 0
+        while (t < tt) { gather(t, sigs(t)); t += 1 }
+        // sorted-unique positions ≡ the join path's DISTINCT pair set
+        java.util.Arrays.sort(cand, 0, cn)
+        var w = 0
+        var r = 0
+        while (r < cn) {
+          if (w == 0 || cand(r) != cand(w - 1)) { cand(w) = cand(r); w += 1 }
+          r += 1
+        }
+        cn = w
+        // starvation rule, replayed exactly: fewer than k DISTINCT own
+        // candidates → Hamming-1 probes over all tables × bits
+        if (pb >= 1 && cn < kk) {
+          var t2 = 0
+          while (t2 < tt) {
+            var bit = 0
+            while (bit < bb) {
+              gather(t2, sigs(t2) ^ (1L << bit))
+              bit += 1
+            }
+            t2 += 1
+          }
+          java.util.Arrays.sort(cand, 0, cn)
+          w = 0; r = 0
+          while (r < cn) {
+            if (w == 0 || cand(r) != cand(w - 1)) { cand(w) = cand(r); w += 1 }
+            r += 1
+          }
+          cn = w
+        }
+        var qn = 0.0
+        var i = 0
+        while (i < qv.length) { val x = qv(i).toDouble; qn += x * x; i += 1 }
+        val sq = math.sqrt(qn)
+        val heap = new graft.plans.TopKHeap(kk)
+        i = 0
+        while (i < cn) {
+          val p = cand(i)
+          val cv = b.vecs(p)
+          val lim = math.min(qv.length, cv.length)
+          // strict left fold — the DotProductFF/oracle order; no gate:
+          // the candidate set is tiny, parity simplicity wins
+          var d = 0.0
+          var j = 0
+          while (j < lim) { d += qv(j).toDouble * cv(j).toDouble; j += 1 }
+          val nn = sq * b.sqrtNorms(p)
+          heap.offer(if (nn == 0.0) 0.0 else d / nn, b.ids(p))
+          i += 1
+        }
+        heap.rankedIndices.iterator.zipWithIndex.map { case (x, rk) =>
+          (qid, heap.ids(x), heap.scores(x), rk + 1)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cosine", "rank"))
+  }
+
+  private val MaxCachedLshBanks = 4
+  // value None = duplicate corpus ids → scan-tier-INELIGIBLE, memoized
+  private val lshBankCache = new java.util.LinkedHashMap[
+      String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.LshIndexBank]]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.LshIndexBank]]]): Boolean = {
+      val evict = size() > MaxCachedLshBanks
+      if (evict) e.getValue.foreach { b =>
+        try b.unpersist(false) catch { case _: Throwable => () }
+      }
+      evict
+    }
+  }
+
+  /** Memoized broadcast LSH index ([[graft.plans.LshIndexBank]]) —
+    * keyed and budgeted like [[indexBankBroadcastFor]]; the same
+    * explain-path trade (the collect runs at DataFrame-construction
+    * time) and `spark.driver.maxResultSize` interaction documented
+    * there apply here.
+    */
+  private def lshBankBroadcastFor(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, nTables: Int)
+      : Option[org.apache.spark.broadcast.Broadcast[graft.plans.LshIndexBank]] = {
+    val sc = df.sparkSession.sparkContext
+    val key = s"lb|${sc.applicationId}|${System.identityHashCode(df.sparkSession)}|" +
+      s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
+      s"$idCol|$vecCol|$bits|$nTables"
+    memoized(lshBankCache, key) {
+      val sigCols = (0 until nTables).map(t =>
+        hyperplaneSignature(col(vecCol), bits, seed = 42L + 1000L * t))
+      val rows = df
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          array(sigCols: _*).as("sigs"))
+        // spread the n·tables·bits·dim signature pass across cores
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+          r.getSeq[Long](2).toArray))
+      val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
+      val unique = rows.forall(r => seen.add(r._1))
+      if (unique) Some(sc.broadcast(graft.plans.LshIndexBank(rows)))
+      else None
+    }
+  }
+
+  private[graft] def lshBankCacheSize: Int =
+    lshBankCache.synchronized(lshBankCache.size())
+  private[graft] def clearLshBankCache(): Unit =
+    lshBankCache.synchronized(lshBankCache.clear())
 
   /** IVF (inverted-file) approximate top-k: k-means partitions the
     * corpus into `nLists` cells; each query searches only the `nProbe`

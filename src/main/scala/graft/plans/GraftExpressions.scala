@@ -136,9 +136,23 @@ case class SimHash64(child: Expression, seed: Long)
 case class HyperplaneSig(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+  override protected def nullSafeEval(v: Any): Any =
+    // one primitive copy per row (r12 lesson: ArrayData.getFloat is a
+    // virtual per-element call and this loop reads every element nBits
+    // times), then the shared static kernel — the LSH scan tier calls
+    // the SAME kernel per query row, which is what makes the tiers'
+    // signatures identical by construction
+    HyperplaneSig.of(v.asInstanceOf[ArrayData].toFloatArray(), nBits, seed)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HyperplaneSig {
+  /** `nBits` sign bits of seeded-hyperplane projections, packed into a
+    * long — the single implementation both the Catalyst expression and
+    * the scan-tier per-query loop evaluate.
+    */
+  def of(v: Array[Float], nBits: Int, seed: Long): Long = {
+    val n = v.length
     var sig = 0L
     var j = 0
     while (j < nBits) {
@@ -147,7 +161,7 @@ case class HyperplaneSig(child: Expression, nBits: Int, seed: Long)
       while (i < n) {
         val s = Hash64.splitmix64(seed ^ (j * 0x9e3779b97f4a7c15L) ^ (i * 0xc2b2ae3d27d4eb4fL))
         val sign = if ((s & 1L) == 0L) 1.0 else -1.0
-        proj += arr.getFloat(i).toDouble * sign
+        proj += v(i).toDouble * sign
         i += 1
       }
       if (proj >= 0.0) sig |= (1L << j)
@@ -155,7 +169,6 @@ case class HyperplaneSig(child: Expression, nBits: Int, seed: Long)
     }
     sig
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Shingle set as a SORTED, DEDUPED array of 64-bit hashes: hash each

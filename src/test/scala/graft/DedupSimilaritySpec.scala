@@ -724,6 +724,63 @@ class StatefulAnnSpec extends SparkSuite {
       s"duplicate-id corpus must take the join tier:\n$dupPlan")
   }
 
+  test("LSH scan tier matches the join tier bit-for-bit (full, starved, filtered, probe-off, dup-id)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+    // production geometry (the graded sim_ann_lsh shape)
+    val scan = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5)
+    val join = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(scan).nonEmpty)
+    assert(rows(scan) == rows(join))
+    // crank bits so buckets are near-singletons: the STARVED path
+    // (Hamming-1 probe expansion) fires for most queries in both tiers
+    val scanS = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5, nBits = 16)
+    val joinS = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5, nBits = 16,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(scanS) == rows(joinS))
+    // probing OFF: starved queries keep their thin own-bucket results
+    val scanP = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+      nBits = 16, probeBits = 0)
+    val joinP = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+      nBits = 16, probeBits = 0, maxIndexBroadcastBytes = 0)
+    assert(rows(scanP) == rows(joinP))
+    assert(rows(scanP).size < rows(scanS).size) // probing did add results
+    // queryFilter narrows only the probe side in both tiers
+    val f: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 4 === 0
+    val scanF = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+      queryFilter = Some(f))
+    val joinF = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+      queryFilter = Some(f), maxIndexBroadcastBytes = 0)
+    assert(rows(scanF) == rows(joinF))
+    assert(rows(scanF) == rows(scan).filter(_._1 % 4 == 0))
+    // duplicate corpus ids → scan tier refuses (rankTopK's groupBy
+    // merges duplicate-id query rows), results equal across budgets
+    val dup = emb.select($"vec_id", $"embedding").unionAll(
+      emb.select($"vec_id", $"embedding").limit(3))
+    val dupDefault = Similarity.lshTopK(dup, "vec_id", "embedding", k = 5)
+    val dupJoin = Similarity.lshTopK(dup, "vec_id", "embedding", k = 5,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(dupDefault) == rows(dupJoin))
+    dupDefault.count()
+    assert(dupDefault.queryExecution.executedPlan.toString
+      .contains("graft_top_k_neighbors"),
+      "duplicate-id corpus must take the join tier")
+    // scan-tier plan contract: no join, exactly the one round-robin
+    // query-side exchange (AQE's toString appends the pre-adaptive
+    // "Initial Plan" section — guard the FINAL plan only)
+    scan.count()
+    val full = scan.queryExecution.executedPlan.toString
+    val scanPlan = full.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(scanPlan).size == 1, scanPlan)
+    assert(scanPlan.contains("roundrobin") || scanPlan.contains("RoundRobin"), scanPlan)
+    assert(!scanPlan.contains("Join"), scanPlan)
+  }
+
   test("IVF scan tier drops null embeddings exactly like the join tier (r12 ADVICE)") {
     // the join tier drops null vectors silently (null-safe assignment →
     // null probe lists → explode drops the row); the scan tier's batch

@@ -328,45 +328,39 @@ class BucketingSpec extends SparkSuite {
     // the producing stage (ObjectHashAggregate partial mode) and its
     // exchange carries ≤ queries·k packed entries — at sf10 the sorts
     // were the dominant cost of sim_ann_ivf (~2e9 candidate rows)
-    for (name <- Seq("sim_ann_lsh")) {
+    // sim_ann_ivf (r12) and sim_ann_lsh (r13): under the
+    // index-broadcast budget the graded queries take their SCAN tiers —
+    // the candidate stream never exists, so there is no aggregate to
+    // guard; each tier's own contract is stronger: no join, no window
+    // sort, no candidate-volume exchange (only the compact query-side
+    // round-robin spread), ranking inside the map-side scan loop
+    // (bit-identical to TopKNeighbors — tier-parity specs in
+    // DedupSimilaritySpec).
+    for (name <- Seq("sim_ann_ivf", "sim_ann_lsh")) {
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("ObjectHashAggregate") &&
-        plan.contains("graft_top_k_neighbors"),
-        s"$name no longer ranks via the TopKNeighbors aggregate:\n$plan")
-      assert(!plan.contains("WindowGroupLimit"),
-        s"$name still sorts candidates for a rank window:\n$plan")
-    }
-    // sim_ann_ivf (r12): under the index-broadcast budget the graded
-    // query takes the SCAN tier — the candidate stream never exists, so
-    // there is no aggregate to guard; the tier's own contract is
-    // stronger: no join, no window sort, no candidate-volume exchange
-    // (only the compact query-side round-robin spread), ranking inside
-    // the batched map-side scan loop (bit-identical to TopKNeighbors —
-    // tier-parity spec in DedupSimilaritySpec).
-    {
-      val plan = SparkEntry.queries("sim_ann_ivf")(spark, sf001)
-        .queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),
-        s"sim_ann_ivf no longer ranks via the batched map-side scan loop:\n$plan")
+        s"$name no longer ranks via the map-side scan loop:\n$plan")
       assert(!plan.contains("WindowGroupLimit") && !plan.contains("Join"),
-        s"sim_ann_ivf scan tier grew a join or window sort:\n$plan")
+        s"$name scan tier grew a join or window sort:\n$plan")
     }
-    // ...and the over-budget JOIN tier keeps the bounded-heap aggregate
+    // ...and the over-budget JOIN tiers keep the bounded-heap aggregate
     // contract the old guard pinned — the 2e9-candidate-row sort
     // regression it existed to catch must not ship silently to the
     // 100 TB path (maxIndexBroadcastBytes = 0 forces that tier)
-    {
-      val emb = graft.sources.Tables.embeddings(spark, sf001)
-      val plan = graft.operators.Similarity
-        .ivfSeededTopK(emb, "vec_id", "embedding", k = 5,
-          maxIndexBroadcastBytes = 0)
-        .queryExecution.executedPlan.toString
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val joinTiers = Seq(
+      "IVF" -> graft.operators.Similarity.ivfSeededTopK(emb, "vec_id",
+        "embedding", k = 5, maxIndexBroadcastBytes = 0),
+      "LSH" -> graft.operators.Similarity.lshTopK(emb, "vec_id",
+        "embedding", k = 5, maxIndexBroadcastBytes = 0))
+    for ((label, df) <- joinTiers) {
+      val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ObjectHashAggregate") &&
         plan.contains("graft_top_k_neighbors"),
-        s"IVF join tier no longer ranks via the TopKNeighbors aggregate:\n$plan")
+        s"$label join tier no longer ranks via the TopKNeighbors aggregate:\n$plan")
       assert(!plan.contains("WindowGroupLimit"),
-        s"IVF join tier sorts candidates for a rank window again:\n$plan")
+        s"$label join tier sorts candidates for a rank window again:\n$plan")
     }
   }
 }
