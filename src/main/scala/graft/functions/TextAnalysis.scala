@@ -36,10 +36,14 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "por"))
 
   /** Count of whole-word occurrences of `w` in lowercased text
-    * (single-word dictionary scan ≡ `\b w \b`).
+    * (single-word dictionary scan ≡ `\b w \b` for ASCII word-char
+    * words; anything else — apostrophes, hyphens, accents — keeps the
+    * regex form, preserving the helper's historical input domain).
     */
   def wordHits(text: Column, w: String): Column =
-    graft.plans.GraftFunctions.stopwordCount(lower(text), Seq(w))
+    if (w.matches("[a-z0-9_]+"))
+      graft.plans.GraftFunctions.stopwordCount(lower(text), Seq(w))
+    else regexp_count(lower(text), lit("\\b" + w + "\\b")).cast("long")
 
   /** Per-language stopword-hit score: total whole-word stopword
     * occurrences for that language's dictionary. ONE union-alternation

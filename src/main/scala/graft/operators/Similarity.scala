@@ -190,7 +190,8 @@ object Similarity {
       nBits: Int = 0, nTables: Int = 8, probeBits: Int = 1,
       queryFilter: Option[Column => Column] = None,
       maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val bits = if (nBits > 0) nBits else autoBits(CorpusStats.rowCount(df))
+    val n = CorpusStats.rowCount(df)
+    val bits = if (nBits > 0) nBits else autoBits(n)
     // scan-tier admission (r13, the IVF scan tier's budget contract
     // applied to LSH): corpus vectors + per-table bucket directories
     // under the broadcast budget → each query resolves its own/probed
@@ -200,7 +201,6 @@ object Similarity {
     // Over-budget corpora (the 100 TB path) keep the join tier below;
     // duplicate-id corpora keep it too (rankTopK's groupBy merges
     // duplicate-id query rows, which independent per-row heaps cannot).
-    val n = CorpusStats.rowCount(df)
     val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
     if (n > 0 && lshIndexBytes(n, dim, nTables) <= maxIndexBroadcastBytes)
       scanLshTopKWithBank(df, idCol, vecCol, k, bits, nTables, probeBits,
@@ -292,17 +292,20 @@ object Similarity {
             m += 1
           }
         }
+        // sorted-unique positions ≡ the join path's DISTINCT pair set
+        def dedupCand(): Unit = {
+          java.util.Arrays.sort(cand, 0, cn)
+          var w = 0
+          var r = 0
+          while (r < cn) {
+            if (w == 0 || cand(r) != cand(w - 1)) { cand(w) = cand(r); w += 1 }
+            r += 1
+          }
+          cn = w
+        }
         t = 0
         while (t < tt) { gather(t, sigs(t)); t += 1 }
-        // sorted-unique positions ≡ the join path's DISTINCT pair set
-        java.util.Arrays.sort(cand, 0, cn)
-        var w = 0
-        var r = 0
-        while (r < cn) {
-          if (w == 0 || cand(r) != cand(w - 1)) { cand(w) = cand(r); w += 1 }
-          r += 1
-        }
-        cn = w
+        dedupCand()
         // starvation rule, replayed exactly: fewer than k DISTINCT own
         // candidates → Hamming-1 probes over all tables × bits
         if (pb >= 1 && cn < kk) {
@@ -315,13 +318,7 @@ object Similarity {
             }
             t2 += 1
           }
-          java.util.Arrays.sort(cand, 0, cn)
-          w = 0; r = 0
-          while (r < cn) {
-            if (w == 0 || cand(r) != cand(w - 1)) { cand(w) = cand(r); w += 1 }
-            r += 1
-          }
-          cn = w
+          dedupCand()
         }
         var qn = 0.0
         var i = 0
@@ -351,18 +348,9 @@ object Similarity {
 
   private val MaxCachedLshBanks = 4
   // value None = duplicate corpus ids → scan-tier-INELIGIBLE, memoized
-  private val lshBankCache = new java.util.LinkedHashMap[
-      String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.LshIndexBank]]](
-      16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.LshIndexBank]]]): Boolean = {
-      val evict = size() > MaxCachedLshBanks
-      if (evict) e.getValue.foreach { b =>
-        try b.unpersist(false) catch { case _: Throwable => () }
-      }
-      evict
-    }
-  }
+  private val lshBankCache = boundedBroadcastCache[
+    Option[org.apache.spark.broadcast.Broadcast[graft.plans.LshIndexBank]]](
+    MaxCachedLshBanks)(v => v)
 
   /** Memoized broadcast LSH index ([[graft.plans.LshIndexBank]]) —
     * keyed and budgeted like [[indexBankBroadcastFor]]; the same
@@ -1073,17 +1061,27 @@ object Similarity {
     * unpersisted broadcast from the driver, while destroy would fail
     * it); the ContextCleaner reclaims the rest once no plan holds it.
     */
-  private val MaxCachedBanks = 8
-  private val bankCache = new java.util.LinkedHashMap[
-      String, org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]](
-      16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        String, org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]]): Boolean = {
-      val evict = size() > MaxCachedBanks
-      if (evict) { try e.getValue.unpersist(false) catch { case _: Throwable => () } }
-      evict
+  /** Bounded LRU cache for memoized broadcast banks — ONE
+    * implementation for the centroid/IVF/LSH caches so the
+    * evict-unpersist rule cannot drift between them.
+    */
+  private def boundedBroadcastCache[V](max: Int)(
+      toBroadcast: V => Option[org.apache.spark.broadcast.Broadcast[_]])
+      : java.util.LinkedHashMap[String, V] =
+    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean = {
+        val evict = size() > max
+        if (evict) toBroadcast(e.getValue).foreach { b =>
+          try b.unpersist(false) catch { case _: Throwable => () }
+        }
+        evict
+      }
     }
-  }
+
+  private val MaxCachedBanks = 8
+  private val bankCache = boundedBroadcastCache[
+    org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]](
+    MaxCachedBanks)(Some(_))
 
   /** Per-key locks for the memoized bank/centroid builds: a plain
     * check-then-act over the cache lets two concurrent callers (bench
@@ -1123,24 +1121,13 @@ object Similarity {
 
   private val MaxCachedIndexBanks = 4
   // value None = "this corpus is scan-tier-INELIGIBLE" (duplicate ids),
-  // memoized like a bank so the duplicate check also runs once
-  private val indexBankCache = new java.util.LinkedHashMap[
-      String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]](
-      16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        String, Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]]): Boolean = {
-      val evict = size() > MaxCachedIndexBanks
-      // an evicted inverted-file bank is ~100s of MB per entry — exactly
-      // the lingering-broadcast mass the memoization exists to prevent.
-      // unpersist (NOT destroy: a still-referenced lazy plan re-fetches
-      // a merely-unpersisted broadcast from the driver, while destroy
-      // would fail it) drops the executor copies eagerly.
-      if (evict) e.getValue.foreach { b =>
-        try b.unpersist(false) catch { case _: Throwable => () }
-      }
-      evict
-    }
-  }
+  // memoized like a bank so the duplicate check also runs once; an
+  // evicted inverted-file bank is ~100s of MB per entry — exactly the
+  // lingering-broadcast mass the memoization exists to prevent, so the
+  // shared cache unpersists on evict
+  private val indexBankCache = boundedBroadcastCache[
+    Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]]](
+    MaxCachedIndexBanks)(v => v)
 
   /** Memoized broadcast inverted-file index for the IVF scan tier:
     * every corpus row assigned to its list by the SAME

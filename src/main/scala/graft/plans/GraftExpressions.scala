@@ -1078,7 +1078,10 @@ case class TextCount(child: Expression, kind: String)
       case "token" => TextScan.tokenCount(s)
       case "punct" => TextScan.punctCount(s)
       case "subword" => TextScan.subwordCount(s)
-      case _ => TextScan.upperCount(s)
+      case "upper" => TextScan.upperCount(s)
+      // unreachable while Kinds and this match agree — fail loudly if a
+      // new kind is added to one and not the other, never miscount
+      case other => throw new IllegalStateException(s"unhandled TextCount kind: $other")
     }
   }
   override protected def withNewChildInternal(c: Expression): Expression =
