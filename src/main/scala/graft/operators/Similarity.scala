@@ -190,7 +190,13 @@ object Similarity {
       nBits: Int = 0, nTables: Int = 8, probeBits: Int = 1,
       queryFilter: Option[Column => Column] = None,
       maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val n = CorpusStats.rowCount(df)
+    // sizing actions run only when something needs them: explicit nBits
+    // with a zero/negative broadcast budget (the documented very-large-
+    // corpus escape hatch) must reach the join tier with NO count/dim
+    // jobs — the admission probe below is gated on a positive budget,
+    // and the count on autoBits actually deriving from it
+    val wantScan = maxIndexBroadcastBytes > 0
+    val n = if (wantScan || nBits <= 0) CorpusStats.rowCount(df) else -1L
     val bits = if (nBits > 0) nBits else autoBits(n)
     // scan-tier admission (r13, the IVF scan tier's budget contract
     // applied to LSH): corpus vectors + per-table bucket directories
@@ -201,10 +207,12 @@ object Similarity {
     // Over-budget corpora (the 100 TB path) keep the join tier below;
     // duplicate-id corpora keep it too (rankTopK's groupBy merges
     // duplicate-id query rows, which independent per-row heaps cannot).
-    val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
-    if (n > 0 && lshIndexBytes(n, dim, nTables) <= maxIndexBroadcastBytes)
-      scanLshTopKWithBank(df, idCol, vecCol, k, bits, nTables, probeBits,
-        queryFilter).foreach(return _)
+    if (wantScan && n > 0) {
+      val dim = CorpusStats.vecDim(df, vecCol)
+      if (lshIndexBytes(n, dim, nTables) <= maxIndexBroadcastBytes)
+        scanLshTopKWithBank(df, idCol, vecCol, k, bits, nTables, probeBits,
+          queryFilter).foreach(return _)
+    }
     val pairs = lshCandidates(df, idCol, vecCol, k, bits, nTables,
       probeBits, queryFilter)
     // vectors re-attach to DISTINCT pairs only (ids-only candidate join)
@@ -752,12 +760,15 @@ object Similarity {
     // supported-scale envelope: advisory (or enforce-mode reject) when
     // the projected probed-member mass leaves the measured regime; a
     // queryFilter narrows the mass, counted only if the pessimistic
-    // projection fires (see annScaleAdvisory)
+    // projection fires (see annScaleAdvisory). The count excludes
+    // null-vector rows (they never probe) and memoizes via CorpusStats
+    // so a repeated-build caller pays the job once per frame (r13
+    // advice)
     annScaleAdvisory(CorpusStats.rowCount(df), lists, probe,
       spark.sparkContext.defaultParallelism,
       spark.conf.get(AnnRegimeModeKey, "advise"),
-      queryRows = queryFilter.fold(-1L)(f =>
-        df.filter(f(col(idCol))).count()))
+      queryRows = queryFilter.fold(-1L)(f => CorpusStats.rowCount(
+        df.filter(f(col(idCol)) && col(vecCol).isNotNull))))
     val centroids = trainedCentroids(df, vecCol, lists, seed, trainCap)
     val centDf = spark.createDataFrame(centroids.toSeq).toDF("list_id", "centroid")
     // scan-tier admission: the corpus (id, vec, norm) index under the
@@ -1021,8 +1032,8 @@ object Similarity {
     annScaleAdvisory(n, lists, probe,
       df.sparkSession.sparkContext.defaultParallelism,
       df.sparkSession.conf.get(AnnRegimeModeKey, "advise"),
-      queryRows = queryFilter.fold(-1L)(f =>
-        df.filter(f(col(idCol))).count()))
+      queryRows = queryFilter.fold(-1L)(f => CorpusStats.rowCount(
+        df.filter(f(col(idCol)) && col(vecCol).isNotNull))))
     val dim = if (n == 0) 0 else CorpusStats.vecDim(df, vecCol)
     if (n > 0 && ivfIndexBytes(n, dim) <= maxIndexBroadcastBytes) {
       val cents = seededCentroids(df, idCol, vecCol, lists)
@@ -1071,8 +1082,11 @@ object Similarity {
     new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean = {
         val evict = size() > max
+        // NonFatal only: swallowing InterruptedException or a VM error
+        // here would eat a thread interrupt during eviction (r13 advice)
         if (evict) toBroadcast(e.getValue).foreach { b =>
-          try b.unpersist(false) catch { case _: Throwable => () }
+          try b.unpersist(false)
+          catch { case scala.util.control.NonFatal(_) => () }
         }
         evict
       }

@@ -1060,7 +1060,8 @@ object TextScan {
   * regex form they replace.
   */
 case class StopwordCount(child: Expression, dict: TextScan.Dict)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftStringInput {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     TextScan.stopwordCount(v.asInstanceOf[UTF8String], dict)
@@ -1073,7 +1074,8 @@ case class StopwordCount(child: Expression, dict: TextScan.Dict)
   * plan canonicalization/equality stay structural.
   */
 case class TextCount(child: Expression, kind: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftStringInput {
   require(TextCount.Kinds.contains(kind), s"unknown TextCount kind: $kind")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any = {

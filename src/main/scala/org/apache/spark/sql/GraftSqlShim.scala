@@ -8,6 +8,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * public surface is insufficient; if a public equivalent appears in
   * a later Spark, delete the member (and eventually this file).
   */
+/** Analysis-time "this expression takes one string column" contract
+  * for graft text expressions (TextCount, StopwordCount): resolves the
+  * implicit cast / fails at analysis like the `regexp_count` forms they
+  * replaced, instead of a per-row ClassCastException. Lives here
+  * because `AbstractDataType` (the `inputTypes` element type) is
+  * `private[sql]` — a graft-package expression cannot name it.
+  */
+trait GraftStringInput
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}
+
 object GraftSqlShim {
   // Spark 4 made Column expression-agnostic (SPARK-46144: Column wraps
   // a ColumnNode, not an Expression) and moved the converters to

@@ -613,6 +613,27 @@ class DedupSimilaritySpec extends SparkSuite {
       nLists = 4, nProbe = 2).count()
     assert(Similarity.bankCacheSize == 2)
   }
+
+  /** r13 advice: explicit nBits + a zero broadcast budget is the
+    * documented very-large-corpus escape hatch — plan construction must
+    * run NO sizing jobs (no corpus count, no dim head). A positive
+    * budget legitimately counts for scan-tier admission.
+    */
+  test("explicit-geometry lshTopK with zero budget runs no sizing jobs") {
+    import graft.operators.CorpusStats
+    // fresh plan (unique literal content) so the memo cache cannot hide
+    // a sizing job behind a prior suite's entry
+    val emb = Tables.embeddings(spark, sf001)
+      .filter($"vec_id" =!= -987654321L)
+    val m0 = CorpusStats.misses
+    Similarity.lshTopK(emb, "vec_id", "embedding", k = 5, nBits = 12,
+      maxIndexBroadcastBytes = 0)
+    assert(CorpusStats.misses == m0,
+      "zero-budget explicit-nBits lshTopK ran a sizing job")
+    // control: the default budget needs n (+ dim) for admission
+    Similarity.lshTopK(emb, "vec_id", "embedding", k = 5, nBits = 12)
+    assert(CorpusStats.misses > m0)
+  }
 }
 
 class StatefulAnnSpec extends SparkSuite {

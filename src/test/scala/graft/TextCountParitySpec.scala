@@ -131,4 +131,28 @@ class TextCountParitySpec extends SparkSuite {
     assert(docs.nonEmpty)
     assertParity(docs, "corpus")
   }
+
+  /** r13 advice: the scan counters declare string input
+    * (ExpectsInputTypes), so a non-string column fails at ANALYSIS with
+    * a typed DATATYPE_MISMATCH (under ANSI coercion an int does not
+    * implicitly cast to string) — not a per-row ClassCastException at
+    * execution. An explicit cast stays available and matches the regex
+    * form.
+    */
+  test("non-string input fails at analysis; explicit cast matches regexp_count") {
+    val df = Seq(12345, -7, 0).toDF("n")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(TextAnalysis.tokenCount(col("n"))).collect()
+    }
+    assert(err.getMessage.contains("DATATYPE_MISMATCH"))
+    val got = df.select(
+      TextAnalysis.tokenCount(col("n").cast("string")),
+      regexTokens(col("n").cast("string")),
+      TextAnalysis.punctCount(col("n").cast("string")),
+      regexPunct(col("n").cast("string"))).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
 }
