@@ -514,7 +514,8 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 8, threshold: Double = 0.5, chunkBits: Int = 0,
-      maxBucketSize: Int = 10000, hammingRadius: Int = 12): DataFrame = {
+      maxBucketSize: Int = 10000, hammingRadius: Int = 12,
+      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
     // chunkBits ≤ 0 → derive from corpus size (one memoized count —
     // CorpusStats) so the docstring's 100 TB guidance is enforced by
     // code, not by the reader
@@ -579,6 +580,18 @@ object Dedup {
     val pTau = (1.0 + threshold) / 2.0
     val mCut = pTau - 4.0 * math.sqrt(pTau * (1.0 - pTau) / 256.0)
     val skCutoff = math.min(256, math.ceil(256.0 * (1.0 - mCut)).toInt)
+    // scan-tier admission (r14, the LSH/IVF budget contract applied to
+    // the chunk index): (id, sim, sk) + nChunks CSR bucket directories
+    // under the broadcast budget → each doc resolves its probe buckets
+    // map-side against the broadcast index, with the truncation,
+    // orientation (id_a < id_b), sketch and radius rules replayed
+    // exactly — the nChunks·(cb+1)-way probe explode, the 10⁸-collision
+    // merge join and the pair-dedup groupBy never exist (they were
+    // 5–8 s of the 17 s sf10 isolated median; the probe join's row
+    // machinery, not the filters, was the cost). Over-budget corpora
+    // (the 100 TB path) and duplicate-id corpora keep the join tier.
+    val candScan = simhashScanCand(df, sets, cb, skCutoff, hammingRadius,
+      maxBucketSize, maxIndexBroadcastBytes)
     // d(chunk_x, chunk_y) ≤ 1 ⟺ x's probe set hits y's exact value AND
     // vice versa, so the asymmetric probe→index join still sees every
     // qualifying pair in both orientations; id ordering + distinct dedup.
@@ -587,14 +600,15 @@ object Dedup {
     // value) both dedups collisions AND means the verify stage never
     // re-attaches `sim`: the attaches below move ONLY the shingle
     // arrays, once each
-    val cand = probes.as("x").join(idx.as("y"), Seq("chunk", "chunk_val"))
-      .filter(col("x.id") < col("y.id"))
-      .filter(graft.plans.GraftFunctions.arrayHamming(
-        col("x.sk"), col("y.sk")) <= lit(skCutoff))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        hamming64(col("x.sim"), col("y.sim")).cast("int").as("hamming"))
-      .filter(col("hamming") <= hammingRadius)
-      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
+    val cand = candScan.getOrElse(
+      probes.as("x").join(idx.as("y"), Seq("chunk", "chunk_val"))
+        .filter(col("x.id") < col("y.id"))
+        .filter(graft.plans.GraftFunctions.arrayHamming(
+          col("x.sk"), col("y.sk")) <= lit(skCutoff))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          hamming64(col("x.sim"), col("y.sim")).cast("int").as("hamming"))
+        .filter(col("hamming") <= hammingRadius)
+        .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming")))
     // merge-pinned verify attaches — see minhashNearDupPairs (the r9
     // sf10 driver-collect cliff). Corpus side is the co-partitioned
     // scratch: no exchange, no sort of the array frame
@@ -609,6 +623,148 @@ object Dedup {
         graft.plans.GraftFunctions.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"),
         col("hamming"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Broadcast-budget accounting for the simhash scan tier: ids + sims
+    * (8 B each) + the 32 B sketch per member, plus per chunk a position
+    * int and its share of the value/start arrays + array overhead.
+    */
+  def simhashIndexBytes(n: Long, nChunks: Int): Long =
+    n * 48L + nChunks.toLong * n * 24L
+
+  private val MaxCachedSimhashBanks = 2
+  // value None = duplicate corpus ids → scan-tier-INELIGIBLE, memoized
+  private val simhashBankCache = Similarity.boundedBroadcastCache[
+    Option[org.apache.spark.broadcast.Broadcast[graft.plans.SimhashIndexBank]]](
+    MaxCachedSimhashBanks)(v => v)
+  private[graft] def simhashBankCacheSize: Int =
+    simhashBankCache.synchronized(simhashBankCache.size())
+  private[graft] def clearSimhashBankCache(): Unit =
+    simhashBankCache.synchronized(simhashBankCache.clear())
+
+  /** Memoized broadcast simhash chunk index
+    * ([[graft.plans.SimhashIndexBank]]) — keyed on the SOURCE frame's
+    * semantic plan + file signature + geometry, like the LSH/IVF banks.
+    * The collect runs at DataFrame-construction time and reads the
+    * (id, sim, sk) columns of the already-persisted scratch — ~48 B/row
+    * to the driver, admitted only under `maxIndexBroadcastBytes` by the
+    * caller, with the same `spark.driver.maxResultSize` interaction as
+    * the other banks. Duplicate ids memoize as None (fail-closed → join
+    * tier).
+    */
+  private def simhashBankFor(df: DataFrame, sets: DataFrame, cb: Int,
+      maxBucketSize: Int)
+      : Option[org.apache.spark.broadcast.Broadcast[graft.plans.SimhashIndexBank]] = {
+    val sc = sets.sparkSession.sparkContext
+    val key = s"shb|${sc.applicationId}|${System.identityHashCode(sets.sparkSession)}|" +
+      s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
+      s"$cb|$maxBucketSize"
+    Similarity.memoized(simhashBankCache, key) {
+      val rows = sets.select(col("id"), col("sim"), col("sk"))
+        .filter(col("sim").isNotNull && col("sk").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
+      val unique = rows.forall(r => seen.add(r._1))
+      if (unique)
+        Some(sc.broadcast(graft.plans.SimhashIndexBank(rows, cb, maxBucketSize)))
+      else None
+    }
+  }
+
+  /** The simhash candidate SCAN tier: per scratch row — own-chunk
+    * probe-eligibility via truncated-bucket membership (≡ the probe
+    * frame deriving from the truncated index), the cb+1 probe values
+    * per eligible chunk scanned against the broadcast CSR directories,
+    * positions deduped (sort + unique ≡ the join path's pair groupBy),
+    * then the sketch cutoff, 64-bit Hamming and radius applied per
+    * DISTINCT pair (the join path applies them per collision — same
+    * deterministic predicates, same survivors). Emitted rows are
+    * therefore exactly the join tier's `cand` aggregate: the
+    * tier-parity spec and the `dd_simhash` oracle row both pin it.
+    *
+    * No batching: like the LSH scan (and unlike IVF), the loop is
+    * lookup-bound over a ≤ budget-size bank, not DRAM-stream-bound.
+    */
+  private def simhashScanCand(df: DataFrame, sets: DataFrame, cb: Int,
+      skCutoff: Int, hammingRadius: Int, maxBucketSize: Int,
+      maxIndexBroadcastBytes: Long): Option[DataFrame] = {
+    if (maxIndexBroadcastBytes <= 0) return None
+    val n = CorpusStats.rowCount(df)
+    if (n == 0 || simhashIndexBytes(n, 64 / cb) > maxIndexBroadcastBytes)
+      return None
+    val bankOpt = simhashBankFor(df, sets, cb, maxBucketSize)
+    if (bankOpt.isEmpty) return None
+    val bank = bankOpt.get
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val ncb = cb
+    val nch = 64 / cb
+    val msk = (1L << cb) - 1
+    val cut = skCutoff
+    val radius = hammingRadius
+    Some(sets.select(col("id"), col("sim"), col("sk"))
+      .filter(col("sim").isNotNull && col("sk").isNotNull)
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { rows =>
+        val b = bank.value
+        rows.flatMap { case (xid, xsim, xskArr) =>
+          val xpos = java.util.Arrays.binarySearch(b.ids, xid)
+          var cand = new Array[Int](64)
+          var cn = 0
+          var c = 0
+          while (c < nch) {
+            val shift = c * ncb
+            val v0 = (xsim >>> shift) & msk
+            val r0 = b.bucketRange(c, v0)
+            // probe rows exist only for (id, chunk) pairs that survived
+            // truncation in their OWN bucket
+            if (xpos >= 0 && b.inBucket(c, r0, xpos)) {
+              var pv = 0
+              while (pv <= ncb) {
+                val r = if (pv == 0) r0
+                  else b.bucketRange(c, v0 ^ (1L << (pv - 1)))
+                var m = (r >>> 32).toInt
+                val e = r.toInt
+                val posArr = b.chunkPos(c)
+                while (m < e) {
+                  val p = posArr(m)
+                  if (b.ids(p) > xid) {
+                    if (cn == cand.length) cand = java.util.Arrays.copyOf(cand, cn * 2)
+                    cand(cn) = p
+                    cn += 1
+                  }
+                  m += 1
+                }
+                pv += 1
+              }
+            }
+            c += 1
+          }
+          // sorted-unique positions ≡ the join path's pair groupBy
+          java.util.Arrays.sort(cand, 0, cn)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var r = 0
+          var last = -1
+          while (r < cn) {
+            val p = cand(r)
+            if (p != last) {
+              last = p
+              val skHam =
+                java.lang.Long.bitCount(xskArr(0) ^ b.sk(4 * p)) +
+                java.lang.Long.bitCount(xskArr(1) ^ b.sk(4 * p + 1)) +
+                java.lang.Long.bitCount(xskArr(2) ^ b.sk(4 * p + 2)) +
+                java.lang.Long.bitCount(xskArr(3) ^ b.sk(4 * p + 3))
+              if (skHam <= cut) {
+                val ham = java.lang.Long.bitCount(xsim ^ b.sims(p))
+                if (ham <= radius) out += ((xid, b.ids(p), ham))
+              }
+            }
+            r += 1
+          }
+          out
+        }
+      }.toDF("id_a", "id_b", "hamming"))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at

@@ -1076,7 +1076,7 @@ object Similarity {
     * implementation for the centroid/IVF/LSH caches so the
     * evict-unpersist rule cannot drift between them.
     */
-  private def boundedBroadcastCache[V](max: Int)(
+  private[operators] def boundedBroadcastCache[V](max: Int)(
       toBroadcast: V => Option[org.apache.spark.broadcast.Broadcast[_]])
       : java.util.LinkedHashMap[String, V] =
     new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
@@ -1110,7 +1110,7 @@ object Similarity {
     * and re-open the race.
     */
   private val keyLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def memoized[V](cache: java.util.LinkedHashMap[String, V], key: String)
+  private[operators] def memoized[V](cache: java.util.LinkedHashMap[String, V], key: String)
       (build: => V): V =
     keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
       cache.synchronized(Option(cache.get(key))).getOrElse {

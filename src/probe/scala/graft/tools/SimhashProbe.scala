@@ -26,7 +26,35 @@ object SimhashProbe {
       r
     }
 
-    // stage 1: scratch (what persistScratchById materializes)
+    // stage 0 (r14): per-kernel costs, forced by aggregating each
+    // output (count() alone lets column pruning skip the kernels)
+    val sh = hashedCharShingles(col("text"), 8)
+    val sim0 = graft.operators.Dedup.simhash(
+      split(lower(trim(col("text"))), "\\s+"))
+    timed("scan only (sum length)")(
+      docs.select(sum(length(col("text")))).head())
+    timed("kernel: shingles")(
+      docs.select(sum(size(sh))).head())
+    // % keeps ANSI sum from overflowing
+    timed("kernel: simhash (split+hash)")(
+      docs.select(sum(sim0 % 1000000L)).head())
+    timed("kernel: sketch (shingles+minhash256)")(
+      docs.select(sum(element_at(minhashBits256(sh), 1) % 1000000L)).head())
+    timed("kernel: all three")(
+      docs.select(sum(sim0 % 1000000L
+        + element_at(minhashBits256(sh), 1) % 1000000L)).head())
+    // stage 0b (r14): the meta persist the operator now does — kernel +
+    // 50 B/row shuffle + tiny cache write
+    val meta = docs.select(col("doc_id").as("id"),
+      hashedCharShingles(col("text"), 8).as("shingles"),
+      graft.operators.Dedup.simhash(
+        split(lower(trim(col("text"))), "\\s+")).as("sim"))
+      .select(col("id"), col("sim"), minhashBits256(col("shingles")).as("sk"))
+      .repartition(col("id")).sortWithinPartitions("id").persist()
+    timed("meta persist (no arrays)")(meta.count())
+    meta.unpersist()
+
+    // stage 1: scratch (what persistScratchById materialized pre-r14)
     val sets = docs.select(col("doc_id").as("id"),
       hashedCharShingles(col("text"), 8).as("shingles"),
       graft.operators.Dedup.simhash(
@@ -64,6 +92,28 @@ object SimhashProbe {
         .groupBy("id_a", "id_b").agg(min("hamming")).count())
     println(s"[simhash-probe] cutoff=$cut candidates=$preSketch " +
       s"post_sketch=$postSketch post_radius_pairs=$postRadius")
+
+    // r14: the scratch-persist lever — how many docs does the verify
+    // actually need arrays for, and what does materializing ONLY those
+    // cost vs the corpus-wide array persist above?
+    val pairs = joined
+      .filter(arrayHamming(col("x.sk"), col("y.sk")) <= lit(cut))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        graft.operators.Dedup.hamming64(col("x.sim"), col("y.sim"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 12)
+      .groupBy("id_a", "id_b").agg(min("hamming")).persist()
+    val nPairs = timed("cand persist")(pairs.count())
+    val needed = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val varr = docs.join(needed, docs("doc_id") === needed("id"), "left_semi")
+      .select(col("doc_id").as("id"), hashedCharShingles(col("text"), 8).as("shingles"))
+      .repartition(col("id")).sortWithinPartitions("id").persist()
+    val nNeeded = timed("varr materialize (needed-only)")(varr.count())
+    val nDocs = docs.count()
+    println(s"[simhash-probe] docs=$nDocs pairs=$nPairs needed=$nNeeded " +
+      f"frac=${nNeeded.toDouble / nDocs}%.3f")
+    pairs.unpersist(); varr.unpersist()
 
     val full = timed("full operator")(
       graft.operators.Dedup.simhashNearDupPairs(docs, "text", "doc_id",

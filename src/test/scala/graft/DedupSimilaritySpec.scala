@@ -614,6 +614,57 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Similarity.bankCacheSize == 2)
   }
 
+  /** r14: the simhash candidate scan tier (broadcast chunk index) must
+    * emit exactly the join tier's pair set — truncation, orientation,
+    * sketch cutoff and radius replayed bit-for-bit — across the full
+    * corpus, a saturated-bucket (truncating) geometry, and thresholds;
+    * duplicate-id corpora must fall back to the join tier.
+    */
+  test("simhash scan tier matches the join tier exactly (full, truncated, dup-id)") {
+    val docs = Tables.documents(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+      df.collect().toSet[org.apache.spark.sql.Row].map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getInt(3)))
+    Dedup.clearSimhashBankCache()
+    val scan = Dedup.simhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+    val join = Dedup.simhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5,
+      maxIndexBroadcastBytes = 0)
+    val s = rows(scan)
+    assert(s.nonEmpty)
+    assert(s == rows(join))
+    // scan-tier plan: candidate generation is the map-side bank scan —
+    // no (chunk, chunk_val) join node anywhere in the final plan
+    scan.count()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("chunk_val"), plan)
+    assert(Dedup.simhashBankCacheSize == 1)
+    // saturated buckets: maxBucketSize = 2 truncates nearly every bucket
+    // — the bank must keep the same smallest-id survivors as
+    // truncateHotKeys, and drop the same probe rows
+    val scanT = Dedup.simhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 2)
+    val joinT = Dedup.simhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 2, maxIndexBroadcastBytes = 0)
+    assert(rows(scanT) == rows(joinT))
+    assert(rows(scanT) != s, "maxBucketSize=2 should truncate some pairs")
+    // lower threshold widens the sketch cutoff identically in both tiers
+    val scanL = Dedup.simhashNearDupPairs(docs, "text", "doc_id", threshold = 0.3)
+    val joinL = Dedup.simhashNearDupPairs(docs, "text", "doc_id", threshold = 0.3,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(scanL) == rows(joinL))
+    // duplicate ids → fail-closed to the join tier (results equal, and
+    // the chunk join reappears)
+    val dup = docs.unionAll(docs.limit(3))
+    val dupScan = Dedup.simhashNearDupPairs(dup, "text", "doc_id", threshold = 0.5)
+    val dupJoin = Dedup.simhashNearDupPairs(dup, "text", "doc_id", threshold = 0.5,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(dupScan) == rows(dupJoin))
+    dupScan.count()
+    assert(dupScan.queryExecution.executedPlan.toString.contains("chunk_val"),
+      "duplicate-id corpus must take the join tier")
+  }
+
   /** r13 advice: explicit nBits + a zero broadcast budget is the
     * documented very-large-corpus escape hatch — plan construction must
     * run NO sizing jobs (no corpus count, no dim head). A positive
