@@ -1100,29 +1100,39 @@ object Dedup {
     * cells, which made the graded plan N²/16 by construction).
     */
   def semDedupPairs(df: DataFrame, vecCol: String, idCol: String,
-      nLists: Int = 0, threshold: Double = 0.45): DataFrame = {
+      nLists: Int = 0, threshold: Double = 0.45,
+      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
     import graft.functions.VectorFunctions._
     val lists = if (nLists > 0) nLists
       else Similarity.ivfListsFor(CorpusStats.rowCount(df),
         CorpusStats.vecDim(df, vecCol))
     val cents = Similarity.seededCentroids(df, idCol, vecCol, lists)
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      normSq(col(vecCol)).as("nsq"))
-    val (assigned, _) = Similarity.assignAndProbe(withNorm, cents, 1, None)
-    val a = assigned.select(col("list_id"), col("id").as("id_a"),
-      col("vec").as("va"), col("nsq").as("na"))
-    val b = assigned.select(col("list_id"), col("id").as("id_b"),
-      col("vec").as("vb"), col("nsq").as("nb"))
-    // merge-pinned: the cell self-join's sides are the full
-    // vector-carrying corpus (scan-sized estimates after the r10
-    // map-side assignment) — a broadcast conversion would build the
-    // whole corpus as a hash relation, the r7 embed-family cliff class
-    a.join(b.hint("merge"), Seq("list_id"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("list_id"),
-        cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb"))
-          .as("cosine"))
-      .filter(col("cosine") >= threshold)
+    // scan-tier admission (r14): the whole inverted file under the
+    // broadcast budget → the per-cell pair enumeration runs map-side
+    // over list ordinals against the SAME memoized IvfIndexBank the
+    // IVF scan tier uses — the corpus-wide cell self-join never exists.
+    // Over-budget and duplicate-id corpora keep the join tier below
+    // (the 100 TB path).
+    Similarity.semDedupScanPairs(df, idCol, vecCol, cents, threshold,
+      maxIndexBroadcastBytes).getOrElse {
+      val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        normSq(col(vecCol)).as("nsq"))
+      val (assigned, _) = Similarity.assignAndProbe(withNorm, cents, 1, None)
+      val a = assigned.select(col("list_id"), col("id").as("id_a"),
+        col("vec").as("va"), col("nsq").as("na"))
+      val b = assigned.select(col("list_id"), col("id").as("id_b"),
+        col("vec").as("vb"), col("nsq").as("nb"))
+      // merge-pinned: the cell self-join's sides are the full
+      // vector-carrying corpus (scan-sized estimates after the r10
+      // map-side assignment) — a broadcast conversion would build the
+      // whole corpus as a hash relation, the r7 embed-family cliff class
+      a.join(b.hint("merge"), Seq("list_id"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("list_id"),
+          cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb"))
+            .as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 
   /** Optimal hyperplane-LSH exponent ρ at a cosine threshold: a

@@ -727,6 +727,99 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "cosine", "rank"))
   }
 
+  /** The SemDeDup pair SCAN tier ([[graft.operators.Dedup.semDedupPairs]]):
+    * the cell-blocked pair enumeration run entirely against the
+    * broadcast inverted file — the SAME memoized [[IvfIndexBank]] the
+    * IVF scan tier builds (shared cache entry when a pipeline runs
+    * both), whose members are grouped per list by the identical
+    * [[graft.plans.NearestCentroidLists]] assignment the join tier
+    * explodes. The corpus-wide cell self-join (two vector-carrying
+    * shuffles + SMJ + N·cellSize pair rows through join machinery)
+    * never exists; the only exchange is a round-robin scatter of LIST
+    * ORDINALS — a few thousand longs. Per list, pairs enumerate
+    * member-sorted (ids ascend within a list, so i < j ⟺ id_a < id_b —
+    * the join tier's orientation), with the 4-accumulator gate dot +
+    * strict-fold recompute pattern of [[scanTopKWithBank]]; emitted
+    * cosines are bit-identical to `cosineFromParts(dot, na, nb)` and
+    * the SQL oracle.
+    *
+    * Two Spark comparison semantics replayed deliberately: NaN ≥
+    * anything (a NaN cosine PASSES the threshold filter in the join
+    * tier — the gate and the emit test both special-case NaN), and
+    * zero-norm pairs score literal 0.0 (emitted only if threshold ≤ 0).
+    * Duplicate-id and over-budget corpora keep the join tier (the
+    * 100 TB path — at fixed √N cells the pair mass is N^1.5, spread by
+    * cell over the cluster).
+    */
+  private[operators] def semDedupScanPairs(df: DataFrame, idCol: String,
+      vecCol: String, centDf: DataFrame, threshold: Double,
+      maxIndexBroadcastBytes: Long): Option[DataFrame] = {
+    if (maxIndexBroadcastBytes <= 0) return None
+    val n = CorpusStats.rowCount(df)
+    if (n == 0) return None
+    val dim = CorpusStats.vecDim(df, vecCol)
+    if (ivfIndexBytes(n, dim) > maxIndexBroadcastBytes) return None
+    val cbank = bankBroadcastFor(centDf)
+    val ibankOpt = indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank)
+    if (ibankOpt.isEmpty) return None
+    val ibank = ibankOpt.get
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val thr = threshold
+    val nListsPresent = ibank.value.listIds.length
+    Some(spark.range(nListsPresent.toLong).repartition(par).as[Long]
+      .mapPartitions { ords =>
+        val b = ibank.value
+        ords.flatMap { ordL =>
+          val p = ordL.toInt
+          val listId = b.listIds(p)
+          val s = b.starts(p)
+          val e = b.starts(p + 1)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Int, Double)]
+          var i = s
+          while (i < e) {
+            val vi = b.vecs(i)
+            val sqi = b.sqrtNorms(i)
+            val idi = b.ids(i)
+            var j = i + 1
+            while (j < e) {
+              val vj = b.vecs(j)
+              val nn = sqi * b.sqrtNorms(j)
+              val lim = math.min(vi.length, vj.length)
+              val main = lim - (lim & 3)
+              var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+              var k = 0
+              while (k < main) {
+                d0 += vi(k).toDouble * vj(k).toDouble
+                d1 += vi(k + 1).toDouble * vj(k + 1).toDouble
+                d2 += vi(k + 2).toDouble * vj(k + 2).toDouble
+                d3 += vi(k + 3).toDouble * vj(k + 3).toDouble
+                k += 4
+              }
+              var fast = (d0 + d1) + (d2 + d3)
+              while (k < lim) { fast += vi(k).toDouble * vj(k).toDouble; k += 1 }
+              // dim-scaled gate margin (see scanTopKWithBank); NaN must
+              // take the strict path — Spark ranks NaN above everything
+              if (java.lang.Double.isNaN(fast) ||
+                  fast >= thr * nn - (1e-13 + 5e-16 * lim) * nn) {
+                var d = 0.0
+                k = 0
+                while (k < lim) { d += vi(k).toDouble * vj(k).toDouble; k += 1 }
+                val cos = if (nn == 0.0) 0.0 else d / nn
+                if (java.lang.Double.isNaN(cos) || cos >= thr)
+                  out += ((idi, b.ids(j), listId, cos))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out
+        }
+      }.toDF("id_a", "id_b", "list_id", "cosine"))
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       nLists: Int = 0, nProbe: Int = 0, seed: Long = 42L,
       queryFilter: Option[Column => Column] = None,

@@ -665,6 +665,67 @@ class DedupSimilaritySpec extends SparkSuite {
       "duplicate-id corpus must take the join tier")
   }
 
+  /** r14: the SemDeDup pair scan tier (broadcast inverted file) must
+    * emit exactly the cell self-join tier's pairs — assignment,
+    * orientation, cosine values (strict-fold bit parity) and the two
+    * Spark comparison edge cases (NaN ≥ threshold, zero-norm → 0.0) —
+    * and fall back to the join tier on duplicate ids.
+    */
+  test("semdedup scan tier matches the join tier exactly (full, NaN, zero-norm, dup-id)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+      df.collect().toSet[org.apache.spark.sql.Row].map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    val scan = Dedup.semDedupPairs(emb, "embedding", "vec_id", threshold = 0.45)
+    val join = Dedup.semDedupPairs(emb, "embedding", "vec_id", threshold = 0.45,
+      maxIndexBroadcastBytes = 0)
+    val s = rows(scan)
+    assert(s.nonEmpty)
+    assert(s == rows(join))
+    // scan plan: no pair join node, map-side enumeration
+    scan.count()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!"Join \\[list_id".r.findFirstIn(plan).isDefined, plan)
+    // NaN vector: Spark ranks NaN above every double, so its pairs PASS
+    // the cosine threshold in the join tier — the scan tier must too.
+    // Zero-norm vector: cosine is literal 0.0 in both tiers (emitted
+    // only if threshold ≤ 0).
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val weird = emb.limit(6).select($"vec_id", $"embedding")
+      .unionAll(Seq(
+        (9001L, Seq.fill(dim)(Float.NaN)),
+        (9002L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    // one cell, so the NaN row's pairs are definitely enumerated (with
+    // multiple cells a NaN vector can land alone in its cell)
+    val wScan = Dedup.semDedupPairs(weird, "embedding", "vec_id",
+      threshold = 0.45, nLists = 1)
+    val wJoin = Dedup.semDedupPairs(weird, "embedding", "vec_id",
+      threshold = 0.45, nLists = 1, maxIndexBroadcastBytes = 0)
+    val ws = rows(wScan)
+    assert(ws == rows(wJoin))
+    assert(ws.exists(t => t._1 == 9001L || t._2 == 9001L),
+      "NaN-cosine pairs must pass the threshold (Spark NaN ordering)")
+    // the zero-norm doc scores literal 0.0 against every REAL vector
+    // (never emitted at a positive threshold); its pair with the NaN
+    // doc has a NaN dot → NaN cosine → passes, in both tiers
+    assert(!ws.exists(t => (t._1 == 9002L || t._2 == 9002L) &&
+        t._1 != 9001L && t._2 != 9001L),
+      "zero-norm pairs score 0.0 and must not pass a positive threshold")
+    // duplicate ids → fail-closed to the join tier (results equal, and
+    // the cell-keyed join reappears)
+    val dup = emb.select($"vec_id", $"embedding")
+      .unionAll(emb.select($"vec_id", $"embedding").limit(3))
+    val dupScan = Dedup.semDedupPairs(dup, "embedding", "vec_id", threshold = 0.45)
+    val dupJoin = Dedup.semDedupPairs(dup, "embedding", "vec_id", threshold = 0.45,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(dupScan) == rows(dupJoin))
+    dupScan.count()
+    assert("Join \\[list_id".r.findFirstIn(
+      dupScan.queryExecution.executedPlan.toString).isDefined,
+      "duplicate-id corpus must take the join tier")
+  }
+
   /** r13 advice: explicit nBits + a zero broadcast budget is the
     * documented very-large-corpus escape hatch — plan construction must
     * run NO sizing jobs (no corpus count, no dim head). A positive

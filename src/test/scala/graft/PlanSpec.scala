@@ -103,15 +103,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("dd_semdedup: cell-keyed pair join; only the tiny centroid table broadcasts") {
+  test("dd_semdedup: scan tier plans no pair join; over-budget keeps the cell-keyed join") {
+    // budget-admitted (r14): the pair enumeration is a map-side scan of
+    // the broadcast inverted file — no join node, no cartesian, and the
+    // only non-centroid work above the scan is the list-ordinal scatter
     val plan = planOf("dd_semdedup")
-    // the centroid assignment is a deliberate broadcast of ≤ nLists rows;
-    // the corpus-side PAIR join must be an equi-join keyed on the cell id,
-    // never a cartesian product over the corpus
     assert(!plan.contains("CartesianProduct"), s"corpus-side cartesian:\n$plan")
-    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[list_id".r
+    assert(plan.contains("MapPartitions"), s"scan tier lost its MapPartitions:\n$plan")
+    assert(!"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[list_id".r
       .findFirstIn(plan).isDefined,
-      s"pair join is not keyed on the cell id:\n$plan")
+      s"scan tier still plans a cell-keyed pair join:\n$plan")
+    // over-budget corpora (the 100 TB path): the pair join must stay an
+    // equi-join keyed on the cell id, never a cartesian product
+    val joinPlan = graft.operators.Dedup.semDedupPairs(
+      graft.sources.Tables.embeddings(spark, sf001), "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine, maxIndexBroadcastBytes = 0)
+      .queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("CartesianProduct"), s"corpus-side cartesian:\n$joinPlan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[list_id".r
+      .findFirstIn(joinPlan).isDefined,
+      s"pair join is not keyed on the cell id:\n$joinPlan")
   }
 
   test("cu_dedup_keep_best ranks inside clusters with one window shuffle") {
