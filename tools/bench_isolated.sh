@@ -79,6 +79,29 @@ for q in "${QUERIES[@]}"; do
          tail -5 "$TMP/$q.err" >&2; FAILED=1; }
 done
 
+# label-warm second leg (r13 verdict ask #7): any query Bench flagged
+# label_cold gets re-run with SPARK_GRAFT_BENCH_LABELS=warm (untimed
+# pre-warm per pass — the full-run semantics), so the artifact carries
+# BOTH numbers: production+marginal (cold) and the post-label marginal
+# comparable to in-suite medians (warm).
+for q in "${QUERIES[@]}"; do
+  if [ -f "$TMP/$q.json" ] && python3 -c "
+import json, sys
+sys.exit(0 if '$q' in json.load(open('$TMP/$q.json')).get('label_cold', []) else 1)
+" 2>/dev/null; then
+    echo "[isolated] $q (label-warm leg) ..." >&2
+    SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
+    SPARK_GRAFT_BENCH_PASSES="$PASSES" SPARK_GRAFT_BENCH_GC=on \
+    SPARK_GRAFT_BENCH_LABELS=warm \
+    SPARK_GRAFT_BENCH_OUT="$TMP/warm__$q.json" \
+      java -Xmx"$MEM" $OPENS \
+        -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+        -cp "$CP" graft.Bench "$q" > /dev/null 2> "$TMP/warm__$q.err" \
+      || { echo "[isolated] FAIL $q warm leg (errors kept at $TMP/warm__$q.err)" >&2
+           tail -5 "$TMP/warm__$q.err" >&2; FAILED=1; }
+  fi
+done
+
 if [ "$FAILED" -ne 0 ]; then
   # never clobber a committed artifact with a silently-partial one —
   # the partial lands next to it, clearly named
@@ -86,15 +109,30 @@ if [ "$FAILED" -ne 0 ]; then
   echo "[isolated] failures occurred: writing PARTIAL artifact to $OUT" >&2
 fi
 
-python3 - "$TMP" "$OUT" "$SFDIR" "$PASSES" <<'EOF'
+# BASELINE_ARTIFACT: the committed band to diff against (r13 verdict
+# ask #5 — self-adjudicating variance budgets). Default: the committed
+# sf10 artifact when measuring an sf10 dir; set explicitly otherwise,
+# or to /dev/null to skip.
+BASELINE="${BASELINE_ARTIFACT:-}"
+if [ -z "$BASELINE" ] && [[ "$SFDIR" == *sf10* ]]; then
+  BASELINE="$REPO/BENCH_sf10_isolated.json"
+fi
+
+python3 - "$TMP" "$OUT" "$SFDIR" "$PASSES" "$BASELINE" <<'EOF'
 import json, glob, os, sys, statistics
-tmp, out, sfdir, passes = sys.argv[1:5]
+tmp, out, sfdir, passes, baseline = sys.argv[1:6]
 queries, spread, passes_by_query = {}, {}, {}
+warm_queries, warm_passes = {}, {}
 for f in sorted(glob.glob(os.path.join(tmp, "*.json"))):
     d = json.load(open(f))
+    warm = os.path.basename(f).startswith("warm__")
     for k, v in d["queries"].items():
-        queries[k] = v
         ps = d.get("passes_by_query", {}).get(k, [])
+        if warm:
+            warm_queries[k] = v
+            warm_passes[k] = ps
+            continue
+        queries[k] = v
         passes_by_query[k] = ps
         if ps:
             spread[k] = {"min": min(ps), "max": max(ps),
@@ -105,18 +143,45 @@ for f in sorted(glob.glob(os.path.join(tmp, "*.json"))):
 # number asked for includes the dominant cost) — so for these queries
 # the isolated median is label-production + marginal query, NOT the
 # in-suite post-label marginal. Bench names them in its own artifact
-# ("label_cold" — single source, Bench.LabelConsumers); flagged here so
-# round-over-round readers compare like with like.
+# ("label_cold" — single source, Bench.LabelConsumers); flagged here,
+# and each such query ALSO carries a label-warm median (post-label
+# marginal, the in-suite-comparable number) in queries_label_warm.
 label_cold = set()
 for f in sorted(glob.glob(os.path.join(tmp, "*.json"))):
     label_cold.update(json.load(open(f)).get("label_cold", []))
+# variance budget: a regression is a new median above the committed
+# band's max by >15% (beyond the recorded per-pass spread, with margin
+# for host window) — the field a verdict reads instead of adjudicating
+# single draws by hand. Empty on a healthy round.
+regressions = []
+baseline_used = None
+if baseline and os.path.exists(baseline):
+    try:
+        b = json.load(open(baseline))
+        baseline_used = baseline
+        for k, v in queries.items():
+            if k not in b.get("queries", {}):
+                continue
+            bmed = b["queries"][k]
+            bmax = b.get("spread", {}).get(k, {}).get("max", bmed)
+            # label-cold medians only compare against label-cold baselines
+            if (k in label_cold) != (k in set(b.get("includes_label_production", []))):
+                continue
+            if v > max(bmed, bmax) * 1.15:
+                regressions.append({"query": k, "median": v,
+                                    "baseline_median": bmed, "baseline_max": bmax})
+    except Exception as e:
+        print(f"[isolated] baseline diff skipped: {e}", file=sys.stderr)
 artifact = {"metric": "isolated_medians", "unit": "sec", "stat": "median",
             "passes": int(passes), "sf": sfdir, "isolation": "fresh JVM per query",
             "queries": queries, "passes_by_query": passes_by_query, "spread": spread,
             "includes_label_production": sorted(label_cold),
+            "queries_label_warm": warm_queries,
+            "passes_by_query_label_warm": warm_passes,
+            "baseline": baseline_used, "regressions": regressions,
             "total_of_medians": round(sum(queries.values()), 3)}
 json.dump(artifact, open(out, "w"), indent=1)
 print(json.dumps({"isolated_total": artifact["total_of_medians"],
-                  "n": len(queries)}))
+                  "n": len(queries), "regressions": len(regressions)}))
 EOF
 exit $FAILED
