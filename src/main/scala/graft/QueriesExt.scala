@@ -254,23 +254,11 @@ object QueriesExt {
   val WinnowMinShared = 20
   val WinnowOverlapW = 8
   val WinnowMaxDocFreq = 100
-  val ddWinnowOverlap: Q = (s, d) => {
-    val fps = docs(s, d).select(col("doc_id"),
-      explode(array_distinct(
-        TextAnalysis.winnowFingerprints(col("text"), WinnowK, WinnowOverlapW)))
-        .as("fp"))
-    val keep = fps.groupBy("fp")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= WinnowMaxDocFreq)
-      .select("fp")
-    val inv = fps.join(keep, Seq("fp"), "left_semi")
-    inv.as("x").join(inv.as("y"), Seq("fp"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).cast("long").as("shared_fps"))
-      .filter(col("shared_fps") >= WinnowMinShared)
+  val ddWinnowOverlap: Q = (s, d) =>
+    Dedup.winnowOverlapPairs(docs(s, d), "text", "doc_id",
+      k = WinnowK, w = WinnowOverlapW, maxDocFreq = WinnowMaxDocFreq,
+      minShared = WinnowMinShared)
       .orderBy("id_a", "id_b")
-  }
   lazy val ddWinnowOverlapSql: String =
     s"""WITH ${winnowCte(WinnowK, WinnowOverlapW)},
        |dfp AS (SELECT DISTINCT doc_id, sv FROM fp),

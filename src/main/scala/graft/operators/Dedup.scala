@@ -767,6 +767,135 @@ object Dedup {
       }.toDF("id_a", "id_b", "hamming"))
   }
 
+  /** Winnowing/MOSS fingerprint-overlap pairs: document pairs sharing
+    * at least `minShared` DISTINCT kept winnow fingerprints
+    * ([[graft.functions.TextAnalysis.winnowFingerprints]]), where
+    * "kept" excludes fingerprints in more than `maxDocFreq` documents
+    * (boilerplate — s²/2 candidate pairs, near-zero signal). The join
+    * tier is the classic inverted-index self-join + pair-count
+    * aggregate; its cost is Θ(true fingerprint-overlap mass) (r11/r12
+    * probes — at sf10, 120 M pair instances through join + aggregate
+    * machinery were 26 of the query's 28 s).
+    *
+    * SCAN TIER (r14, the same budget-admitted broadcast-bank contract
+    * as IVF/LSH/simhash/SemDeDup): when the KEPT inverted index fits
+    * the broadcast budget, pair counting runs doc-major against
+    * [[graft.plans.WinnowPairBank]] — gather co-member positions above
+    * the own position across the doc's fingerprints, sort, run-length
+    * encode (the run length ≡ the join tier's COUNT(*) per pair, since
+    * each shared kept fingerprint contributes exactly one partner
+    * instance). The 10⁸-row pair stream and its aggregate exchange
+    * never exist; the only exchange scatters doc ordinals. Duplicate-id
+    * corpora fail closed to the join tier (merged fingerprint lists
+    * cannot reproduce per-id-value grouping of duplicate rows);
+    * over-budget corpora keep the join tier — the 100 TB path, where
+    * pair mass ≤ (maxDocFreq−1)/2 · keptOccurrences stays linear in
+    * the corpus with a bounded constant.
+    */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 8, maxDocFreq: Int = 100, minShared: Int = 20,
+      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.TextAnalysis
+        .winnowFingerprints(col(textCol), k, w))).as("fp"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select("fp")
+    val inv = fps.join(keep, Seq("fp"), "left_semi")
+    winnowScanPairs(df, idCol, inv, minShared, maxIndexBroadcastBytes)
+      .getOrElse(
+        inv.as("x").join(inv.as("y"), Seq("fp"))
+          .filter(col("x.id") < col("y.id"))
+          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .agg(count(lit(1)).cast("long").as("shared_fps"))
+          .filter(col("shared_fps") >= minShared))
+  }
+
+  /** Broadcast-budget accounting for the winnow scan tier: two CSR
+    * orientations of the kept occurrences (an int each + start-array
+    * share) plus the sorted doc-id directory.
+    */
+  def winnowIndexBytes(keptOccurrences: Long, nDocs: Long): Long =
+    keptOccurrences * 16L + nDocs * 24L
+
+  private val MaxCachedWinnowBanks = 2
+  private val winnowBankCache = Similarity.boundedBroadcastCache[
+    Option[org.apache.spark.broadcast.Broadcast[graft.plans.WinnowPairBank]]](
+    MaxCachedWinnowBanks)(v => v)
+  private[graft] def winnowBankCacheSize: Int =
+    winnowBankCache.synchronized(winnowBankCache.size())
+  private[graft] def clearWinnowBankCache(): Unit =
+    winnowBankCache.synchronized(winnowBankCache.clear())
+
+  private def winnowScanPairs(df: DataFrame, idCol: String, inv: DataFrame,
+      minShared: Int, maxIndexBroadcastBytes: Long): Option[DataFrame] = {
+    if (maxIndexBroadcastBytes <= 0) return None
+    val nDocs = CorpusStats.rowCount(df)
+    if (nDocs == 0) return None
+    // kept-occurrence mass for admission (memoized; the collect below
+    // is the same job's data)
+    val keptOcc = CorpusStats.rowCount(inv)
+    if (winnowIndexBytes(keptOcc, nDocs) > maxIndexBroadcastBytes) return None
+    // duplicate ids → fail-closed (one memoized distinct-count job,
+    // only paid by otherwise-admissible corpora)
+    if (CorpusStats.rowCount(df.select(col(idCol)).distinct()) != nDocs)
+      return None
+    val sc = inv.sparkSession.sparkContext
+    val key = s"wb|${sc.applicationId}|${System.identityHashCode(inv.sparkSession)}|" +
+      s"${inv.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}"
+    val bankOpt = Similarity.memoized(winnowBankCache, key) {
+      // explicit projection: a using-column join reorders columns to
+      // put the key first, so a positional read would swap (id, fp)
+      val rows = inv.select(col("id"), col("fp")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      Some(sc.broadcast(graft.plans.WinnowPairBank(rows)))
+    }
+    if (bankOpt.isEmpty) return None
+    val bank = bankOpt.get
+    val spark = inv.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val minS = minShared
+    val nBankDocs = bank.value.nDocs
+    Some(spark.range(nBankDocs.toLong).repartition(par).as[Long]
+      .mapPartitions { ords =>
+        val b = bank.value
+        ords.flatMap { xl =>
+          val x = xl.toInt
+          var cand = new Array[Int](64)
+          var cn = 0
+          var fi = b.docStart(x)
+          val fe = b.docStart(x + 1)
+          while (fi < fe) {
+            val f = b.docFpOrd(fi)
+            val s = b.fpStart(f)
+            val e = b.fpStart(f + 1)
+            // members ascend; take the strict tail above the own
+            // position (id_a < id_b orientation)
+            var m = java.util.Arrays.binarySearch(b.fpDocPos, s, e, x)
+            m = if (m >= 0) m + 1 else -(m + 1)
+            while (m < e) {
+              if (cn == cand.length) cand = java.util.Arrays.copyOf(cand, cn * 2)
+              cand(cn) = b.fpDocPos(m)
+              cn += 1
+              m += 1
+            }
+            fi += 1
+          }
+          java.util.Arrays.sort(cand, 0, cn)
+          // run-length ≡ shared kept fingerprints per partner
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var r = 0
+          while (r < cn) {
+            var q = r + 1
+            while (q < cn && cand(q) == cand(r)) q += 1
+            if (q - r >= minS) out += ((b.ids(x), b.ids(cand(r)), (q - r).toLong))
+            r = q
+          }
+          out
+        }
+      }.toDF("id_a", "id_b", "shared_fps"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share at
     * least one shingle (inverted-index blocking — all-pairs is never
     * materialized; non-near-dup pairs sharing common shingles are pruned

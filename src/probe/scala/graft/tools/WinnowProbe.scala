@@ -74,6 +74,40 @@ object WinnowProbe {
     println(s"[winnow-probe] pair_mass_formula=${prof.getLong(4) / 2} " +
       s"realized_pair_rows=$pairRows " +
       s"pairs_per_kept_occ=${f"$ratio%.2f"} ceiling=${(maxDf - 1) / 2.0}")
+
+    // r14 stage-split (the simhash treatment, verdict ask #4): wall
+    // time per stage of the ACTUAL operator shape — fps is NOT
+    // persisted in the operator (r11 measured the persist neutral), so
+    // the kernel runs once per consumer; this split measures what each
+    // layer adds on top of the previous one, fresh plans each time.
+    fps.unpersist(); byDf.unpersist()
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[winnow-probe] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    def freshFps = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.winnowFingerprints(
+        col("text"), QueriesExt.WinnowK, QueriesExt.WinnowOverlapW))).as("fp"))
+    timed("scan only (sum length)")(
+      docs.select(sum(length(col("text")))).head())
+    timed("fps kernel+explode")(freshFps.count())
+    timed("  + keep agg (df<=cap)")(freshFps.groupBy("fp")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf).count())
+    val keepF = freshFps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    timed("  + inv semi join")(freshFps.join(keepF, Seq("fp"), "left_semi").count())
+    val invF = freshFps.join(keepF, Seq("fp"), "left_semi")
+    timed("  + pair join (no agg)")(invF.as("x").join(invF.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id")).count())
+    timed("  + pair agg (shared_fps)")(invF.as("x").join(invF.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= QueriesExt.WinnowMinShared).count())
+    timed("full operator")(
+      QueriesExt.ddWinnowOverlap(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -726,6 +726,46 @@ class DedupSimilaritySpec extends SparkSuite {
       "duplicate-id corpus must take the join tier")
   }
 
+  /** r14: the winnow-overlap scan tier (broadcast inverted fingerprint
+    * index, doc-major run-length pair counting) must emit exactly the
+    * join tier's (id_a, id_b, shared_fps) rows — including the doc-freq
+    * exclusion and the minShared filter — and fall back to the join
+    * tier on duplicate ids.
+    */
+  test("winnow-overlap scan tier matches the join tier exactly (full, tight cap, dup-id)") {
+    val docs = Tables.documents(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().toSet[org.apache.spark.sql.Row]
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scan = Dedup.winnowOverlapPairs(docs, "text", "doc_id", minShared = 10)
+    val join = Dedup.winnowOverlapPairs(docs, "text", "doc_id", minShared = 10,
+      maxIndexBroadcastBytes = 0)
+    val s = rows(scan)
+    assert(s.nonEmpty)
+    assert(s == rows(join))
+    // scan plan: no fingerprint self-join, map-side enumeration
+    scan.count()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!"Join \\[fp".r.findFirstIn(plan).isDefined, plan)
+    // a tight doc-freq cap changes the kept set — both tiers must track
+    val scanC = Dedup.winnowOverlapPairs(docs, "text", "doc_id",
+      minShared = 5, maxDocFreq = 3)
+    val joinC = Dedup.winnowOverlapPairs(docs, "text", "doc_id",
+      minShared = 5, maxDocFreq = 3, maxIndexBroadcastBytes = 0)
+    assert(rows(scanC) == rows(joinC))
+    // duplicate ids → fail-closed to the join tier
+    val dup = docs.unionAll(docs.limit(3))
+    val dupScan = Dedup.winnowOverlapPairs(dup, "text", "doc_id", minShared = 10)
+    val dupJoin = Dedup.winnowOverlapPairs(dup, "text", "doc_id", minShared = 10,
+      maxIndexBroadcastBytes = 0)
+    assert(rows(dupScan) == rows(dupJoin))
+    dupScan.count()
+    assert("Join \\[fp".r.findFirstIn(
+      dupScan.queryExecution.executedPlan.toString).isDefined,
+      "duplicate-id corpus must take the join tier")
+  }
+
   /** r13 advice: explicit nBits + a zero broadcast budget is the
     * documented very-large-corpus escape hatch — plan construction must
     * run NO sizing jobs (no corpus count, no dim head). A positive
