@@ -46,6 +46,28 @@ object BenchStreaming {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("bench_stream").toString
 
+    // State-store partitioning for the streaming queries (r14,
+    // measured): each stateful micro-batch pays a fixed load+commit
+    // (delta file + rename) PER state partition, so at micro-batch
+    // rates the 32 batch-shuffle partitions are mostly per-batch fixed
+    // cost — 8 measured near-dup 4.4→6.5k docs/s and stateful-latest
+    // 33→55k ev/s on identical code (4 was equal; 16 halfway). A real
+    // deployment sizes a streaming job's `spark.sql.shuffle.partitions`
+    // to its STATE volume and rate, not to the batch-query width —
+    // Spark pins the choice into the checkpoint at first start. Set for
+    // the streaming section only, restored after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevShuffle.toInt).toString)
+    try runStreams(spark, sfDir, tmp)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runStreams(spark: SparkSession, sfDir: String,
+      tmp: String): Seq[(String, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
     // sf-scaled volumes: events rows drive the CDC surfaces (sf0.1 →
     // 100k envelope events over a 20k keyspace), documents drive near-dup
     val nEvents = math.min(200000L,

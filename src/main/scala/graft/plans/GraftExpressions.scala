@@ -1096,6 +1096,46 @@ case class TextCount(child: Expression, kind: String)
 
 object TextCount { val Kinds = Set("token", "punct", "subword", "upper") }
 
+/** All `bands` LSH band hashes of a minhash signature in ONE pass —
+  * bit-identical to the declarative banding SPEC the batch operators
+  * keep for oracle replay:
+  * `xxhash64(concat_ws("_", transform(slice(sig, b·rpb+1, rpb),
+  * cast string)))` — same decimal rendering (`Long.toString` ≡ Spark's
+  * long→string cast), same '_' joins, same xxhash64 seed (42). The
+  * string-expression form allocates per-element UTF8Strings and an
+  * array per band per row; this builds each band's exact byte string
+  * in one reused builder and hashes it directly (r14, the streaming
+  * near-dup banding stage — measured at ~half the stream's per-doc
+  * cost). Equality is spec-pinned (`StreamNearDupSpec` banding parity).
+  */
+case class MinhashBandHashes(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands > 0, "bands must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData].toLongArray()
+    val rpb = sig.length / bands
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(rpb * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = 0
+      while (i < rpb) {
+        if (i > 0) sb.append('_')
+        sb.append(sig(b * rpb + i))
+        i += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        UTF8String.fromString(sb.toString), 42L)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API wrappers. */
 object GraftFunctions {
   private def e(c: Column): Expression = GraftSqlShim.expression(c)
@@ -1127,6 +1167,8 @@ object GraftFunctions {
     col(LongArrayHamming(e(a), e(b)))
   def minhashSigL(hashedSet: Column, numHashes: Int): Column =
     col(MinHashSigL(e(hashedSet), numHashes))
+  def minhashBandHashes(sig: Column, bands: Int): Column =
+    col(MinhashBandHashes(e(sig), bands))
   def minhashBits256(hashedSet: Column): Column =
     col(MinhashBits256(e(hashedSet)))
   def nearestCentroidLists(vec: Column,

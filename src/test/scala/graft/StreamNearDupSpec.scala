@@ -145,6 +145,32 @@ class StreamNearDupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  /** r14: the fused [[graft.plans.MinhashBandHashes]] banding must be
+    * bit-identical to the declarative SPEC form the batch operators
+    * keep for oracle replay — same decimal rendering, '_' joins, and
+    * xxhash64 seed — or a streamed doc and its batch backfill land in
+    * different buckets.
+    */
+  test("fused band hashing equals the xxhash64(concat_ws(...)) spec form") {
+    import org.apache.spark.sql.functions._
+    val bands = 8
+    val rpb = 4
+    val rng = new scala.util.Random(7)
+    val sigs = (1 to 200).map(_ => Seq.fill(bands * rpb)(rng.nextLong()))
+    val df = sigs.toDF("sig")
+    val rows = df.select(
+      graft.plans.GraftFunctions.minhashBandHashes(col("sig"), bands).as("fused"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          transform(slice(col("sig"), b * rpb + 1, lit(rpb)),
+            _.cast("string"))))).as("spec")).collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[Long](0)
+      val spec = r.getSeq[Long](1)
+      assert(fused == spec, s"fused=$fused spec=$spec")
+    }
+  }
+
   test("streaming near-dup: saturated buckets keep matching, stop growing") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
