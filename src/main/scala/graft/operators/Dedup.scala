@@ -258,14 +258,15 @@ object Dedup {
       .transform(if (scale) persistScratchById else persistScratch)
     def pin(d: DataFrame): DataFrame = if (scale) d.hint("merge") else d
     // ids-only banding: candidates shuffle (id, band, hash) rows, never
-    // the shingle sets or signatures
+    // the shingle sets or signatures. Fused single-pass band hashing
+    // (r14) — bit-identical to the declarative
+    // xxhash64(concat_ws("_", slice casts)) SPEC form (parity
+    // spec-pinned in StreamNearDupSpec), measured 1.7 → 0.34 s on the
+    // sf10 banding stage
     val banded = Skew.saltOversized(withSig.select(
       col("id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              _.cast("string")))))).as(Seq("band", "band_hash"))),
+      posexplode(graft.plans.GraftFunctions.minhashBandHashes(
+        col("sig"), bands)).as(Seq("band", "band_hash"))),
       Seq("band", "band_hash"), maxBucketSize, saltOn = col("id"))
     val cand = banded.as("x").join(pin(banded.as("y")), Seq("band", "band_hash", "__salt"))
       .filter(col("x.id") < col("y.id"))
@@ -357,7 +358,6 @@ object Dedup {
       textCol: String, idCol: String, shingleLen: Int = 8,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucketSize: Int = 10000): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // corpus scratch co-partitioned by id (persistScratchById) so its
     // merge-pinned attach below is exchange- and sort-free; the NEW
     // shard stays naturally partitioned — its attach broadcasts. Both
@@ -372,13 +372,12 @@ object Dedup {
           graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
       if (copartition) persistScratchById(base) else persistScratch(base)
     }
+    // fused band hashing ≡ the xxhash64(concat_ws) spec form (r14; see
+    // minhashNearDupPairs)
     def banded(sig: DataFrame): DataFrame = sig.select(
       col("id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              _.cast("string")))))).as(Seq("band", "band_hash")))
+      posexplode(graft.plans.GraftFunctions.minhashBandHashes(
+        col("sig"), bands)).as(Seq("band", "band_hash")))
     val nsig = prep(newDocs, copartition = false)
     val csig = prep(corpus, copartition = scale)
     val idx = Skew.truncateHotKeys(banded(csig), Seq("band", "band_hash"),

@@ -305,18 +305,29 @@ case class MinHashSigL(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
     val n = arr.numElements()
-    while (i < n) {
-      val base = arr.getLong(i)
-      var j = 0
-      while (j < numHashes) {
-        val h = Hash64.splitmix64(base ^ (j * 0xbf58476d1ce4e5b9L))
-        if (h < mins(j)) mins(j) = h
-        j += 1
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (n == 0) return new GenericArrayData(mins)
+    // bit-identical restructure (r14, the MinhashBits256 r13 lesson):
+    // elements copied to a primitive array once (ArrayData.getLong is a
+    // virtual call per element) and the HASH loop outside — the shingle
+    // set streams from L1 numHashes times while the running min stays
+    // in a register, instead of numHashes mins-array loads/stores per
+    // element. Same splitmix64 per (element, hash), same minima — the
+    // signature bytes (and so every bucket and estimate) are unchanged.
+    val xs = arr.toLongArray()
+    var j = 0
+    while (j < numHashes) {
+      val c = j * 0xbf58476d1ce4e5b9L
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = Hash64.splitmix64(xs(i) ^ c)
+        if (h < mn) mn = h
+        i += 1
       }
-      i += 1
+      mins(j) = mn
+      j += 1
     }
     new GenericArrayData(mins)
   }
