@@ -952,11 +952,14 @@ object QueriesExt {
       .filter(col("cluster_id") === col("doc_id")).select("doc_id")
     val survEmb = emb(s, d)
       .join(survivors.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
-    // NOTE: the returned plan reads the semantic contraction's
-    // checkpointed frame, so each invocation leaves one
+    // NOTE: when the semantic contraction takes the DISTRIBUTED CC
+    // tier (edge list over Dedup.CcMaxDriverEdgesKey), the returned
+    // plan reads its checkpointed frame, so each invocation leaves one
     // O(semantic-nodes) checkpoint behind until the RDD is GC'd
     // (ContextCleaner) — callers running this repeatedly in one session
-    // should call QueriesExt.releaseDerived on the result once consumed.
+    // should call QueriesExt.releaseDerived on the result once
+    // consumed. The driver union-find tier embeds the labels as a
+    // local relation and leaves no storage.
     // NOT Dedup.release: the plan also composes over the SHARED
     // clusterLabels checkpoint, and an unscoped release would poison the
     // label cache for every later family consumer.

@@ -1013,8 +1013,10 @@ object Dedup {
     * re-running the contraction, and release it with [[release]] when
     * done.
     */
+  val CcMaxDriverEdgesKey = "spark.graft.cc.maxDriverEdges"
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, maxDriverEdges: Long = 4000000L): DataFrame = {
     // large-star: every node u points its LARGER neighbors at the
     // minimum of its neighborhood (incl. itself) — long chains collapse
     // exponentially while edge count never grows
@@ -1058,6 +1060,60 @@ object Dedup {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .localCheckpoint(true)
+    // DRIVER tier (r14, the broadcast-bank admission contract applied
+    // to CC): a deduped edge list under `maxDriverEdges` (~64 MB of
+    // longs at the default) is union-find on the driver — near-dup
+    // edge lists are tiny relative to their corpora (sf10: 116 k edges
+    // off 500 k docs), and each large-star/small-star round below costs
+    // 2 shuffles + a checkpoint + a checksum action REGARDLESS of edge
+    // count, so a ~8-round convergence on a small graph is pure fixed
+    // overhead (~6 s of dd_cluster's 12 at sf10). Union-by-min-root +
+    // path compression yields component = min node id — the same
+    // labels as the alternating-star fixpoint, by definition. Larger
+    // graphs (the 100 TB path) keep the distributed loop.
+    // session override (`spark.graft.cc.maxDriverEdges`): lifecycle
+    // specs pin the distributed tier with 0; a deployment can widen or
+    // disable the driver tier as policy
+    val driverCap = edges.sparkSession.conf
+      .getOption(CcMaxDriverEdgesKey).map(_.toLong).getOrElse(maxDriverEdges)
+    if (e.count() <= driverCap) {
+      try {
+        val rows = e.collect()
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+          rows.length * 2)
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x)
+          if (p == null) { parent.put(x, x); return x }
+          while (p != x) {
+            val gp = parent.get(p.longValue())
+            parent.put(x, gp) // path halving
+            x = gp
+            p = parent.get(x)
+          }
+          x
+        }
+        rows.foreach { r =>
+          val ru = find(r.getLong(0))
+          val rv = find(r.getLong(1))
+          if (ru != rv) {
+            // min id becomes the root, so find() IS the component label
+            if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          }
+        }
+        val labels = new Array[(Long, Long)](parent.size())
+        val it = parent.keySet().iterator()
+        var i = 0
+        while (it.hasNext) {
+          val id = it.next().longValue()
+          labels(i) = (id, find(id))
+          i += 1
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return labels.toSeq.toDF("id", "component")
+      } finally org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(e)
+    }
     try {
       var prev = checksum(e)
       var converged = prev._2 == 0L

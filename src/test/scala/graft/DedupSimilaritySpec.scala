@@ -231,25 +231,50 @@ class DedupSimilaritySpec extends SparkSuite {
 
   test("connected components: chains, triangles, singletons, id order") {
     // component {1,2,3,9} via a chain, {4,5,6} via a triangle, {7,8}
-    // as a pair; edge direction and duplicates must not matter
+    // as a pair; edge direction and duplicates must not matter — on
+    // BOTH tiers (r14: driver union-find under maxDriverEdges, the
+    // alternating-star loop above it / the 100 TB path)
     val edges = Seq((3L, 1L), (2L, 3L), (9L, 2L), (4L, 5L), (5L, 6L),
       (6L, 4L), (8L, 7L), (7L, 8L), (1L, 3L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
-      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L))
+    for (maxDriver <- Seq(4000000L, 0L)) {
+      val got = Dedup.connectedComponents(edges, "a", "b",
+        maxDriverEdges = maxDriver).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+        4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L),
+        s"maxDriverEdges=$maxDriver")
+    }
   }
 
   test("connected components: long path converges within the round budget") {
     // a 64-node path is the worst diameter-per-edge shape — label
     // propagation would need 64 rounds; star contraction must stay
-    // inside the default maxIter
+    // inside the default maxIter (forced distributed: the driver tier
+    // has no rounds to converge)
     val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.connectedComponents(path, "a", "b")
+    val got = Dedup.connectedComponents(path, "a", "b", maxDriverEdges = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 64 && got.forall(_._2 == 0L))
     val empty = Dedup.connectedComponents(path.filter(lit(false)), "a", "b")
     assert(empty.isEmpty)
+    val emptyDist = Dedup.connectedComponents(path.filter(lit(false)), "a", "b",
+      maxDriverEdges = 0L)
+    assert(emptyDist.isEmpty)
+  }
+
+  /** r14: the driver union-find tier must label exactly like the
+    * distributed alternating-star loop on a real near-dup edge list
+    * (union-by-min-root ⇒ component = min id, the same fixpoint).
+    */
+  test("connected components: driver tier equals the distributed tier on the real pair list") {
+    val pairs = Dedup.minhashNearDupPairs(
+      Tables.documents(spark, sf001), "text", "doc_id", threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val driver = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      maxDriverEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(driver.nonEmpty)
+    assert(driver == dist)
   }
 
   test("dd_cluster labels every doc with its duplicate cluster minimum") {

@@ -221,6 +221,11 @@ class ScaleOpsSpec extends SparkSuite {
   test("releaseDerived frees a composed result's checkpoints but not the shared labels") {
     import org.apache.spark.sql.GraftSqlShim
     QueriesExt.clearClusterLabelCache()
+    // force the DISTRIBUTED CC tier: this lifecycle contract is about
+    // the contraction's checkpoint storage, which the r14 driver
+    // union-find tier (taken at test scale otherwise) never creates
+    spark.conf.set(graft.operators.Dedup.CcMaxDriverEdgesKey, "0")
+    try {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val labels = QueriesExt.clusterLabels(spark, sf001)
     val sem = QueriesExt.cuDedupSemantic(spark, sf001)
@@ -250,6 +255,10 @@ class ScaleOpsSpec extends SparkSuite {
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
       s"blocks left after full release: ${(after -- before).mkString(",")}")
+    } finally {
+      spark.conf.unset(graft.operators.Dedup.CcMaxDriverEdgesKey)
+      QueriesExt.clearClusterLabelCache()
+    }
   }
 
 }
