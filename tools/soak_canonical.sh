@@ -49,12 +49,21 @@ SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=target/testdata/sf10 SPARK_GRAFT_CPUS=32
   SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
   sbt -batch "runMain graft.Bench"
 
+# snapshot the COMMITTED isolated baseline before this soak overwrites
+# it — both stages below must diff against last round's bands, and the
+# refused witness runs after the isolated stage would have replaced
+# them (the r14 soak caught a 424 s hot-host draw only on re-check
+# because of exactly this ordering)
+PREV_BASELINE=$(mktemp)
+cp BENCH_sf10_isolated.json "$PREV_BASELINE" 2>/dev/null || PREV_BASELINE=/dev/null
+
 echo "[soak] sf10 isolated top-10 medians" >&2
-SPARK_DRIVER_MEM=48g \
+SPARK_DRIVER_MEM=48g BASELINE_ARTIFACT="$PREV_BASELINE" \
   tools/bench_isolated.sh target/testdata/sf10 BENCH_sf10_isolated.json 3
 
 echo "[soak] sf10 contract-refused regime witness (isolated, 1-pass)" >&2
-SPARK_DRIVER_MEM=48g \
+SPARK_DRIVER_MEM=48g BASELINE_ARTIFACT="$PREV_BASELINE" \
   tools/bench_isolated.sh target/testdata/sf10 BENCH_sf10_refused.json 1 \
   dd_embed_neardup
+rm -f "$PREV_BASELINE" 2>/dev/null || true
 echo "[soak] done: BENCH_sf{1,4,10}.json + BENCH_sf10_isolated.json + BENCH_sf10_refused.json" >&2
