@@ -178,10 +178,17 @@ object Queries {
       |FROM orders WHERE o_orderkey % 100 = 0 AND o_totalprice + 1.0 <> o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
-  /** J4 — existence semi-join (reference: tests/test_cdc_live.py:268-272). */
+  /** J4 — existence semi-join (reference: tests/test_cdc_live.py:268-272).
+    * Shuffle-hash pinned: the build side is every order's custkey —
+    * ~10× the probe side by TPC-H shape — but bigint keys compress
+    * under AQE's broadcast threshold at bench scale (sf10: a 15 M-key
+    * hashed relation built and shipped for a "small" side; isolated
+    * 7.2 s broadcast vs ~2 s pinned — the c6/ghostRows cliff class).
+    */
   val j4SemiJoin: Q = (s, d) =>
     cust(s, d).select(col("c_custkey").as("custkey"), col("c_name"))
-      .join(ord(s, d).select(col("o_custkey").as("custkey")), Seq("custkey"), "left_semi")
+      .join(ord(s, d).select(col("o_custkey").as("custkey")).hint("shuffle_hash"),
+        Seq("custkey"), "left_semi")
       .orderBy("custkey")
   val j4Sql =
     """SELECT c_custkey AS custkey, c_name FROM customer

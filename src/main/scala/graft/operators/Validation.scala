@@ -136,7 +136,18 @@ object Validation {
     * ("ghosts"). The reversed anti-join of J1 — distributed, no row cap.
     */
   def ghostRows(sink: DataFrame, source: DataFrame, pkCols: Seq[String]): DataFrame =
-    sink.join(source.select(pkCols.map(col): _*), pkCols, "left_anti")
+    // shuffle-hash pinned: the build side is the SOURCE KEY SET, which
+    // by the check's semantics is ~the sink's row count (deletes are
+    // the rare exception being hunted) — never broadcast-small. AQE's
+    // compressed-bytes estimate disagrees at bench scale (15 M bigint
+    // keys compress under the threshold) and built a ~300 MB hashed
+    // relation on the driver: sf10 isolated 8.1 s broadcast vs the
+    // pinned per-partition builds; on a cluster the same plan is a
+    // driver/executor OOM — the r9/r13 deserialized-relation cliff
+    // class. Hash (not merge): an anti join needs no sort order, and
+    // the per-partition build is keys-only.
+    sink.join(source.select(pkCols.map(col): _*).hint("shuffle_hash"),
+      pkCols, "left_anti")
 
   def deleteSemantics(source: DataFrame, sink: DataFrame, pkCols: Seq[String]): CheckResult = {
     val ghosts = ghostRows(sink, source, pkCols).count()
@@ -285,8 +296,14 @@ object Validation {
     */
   def orphans(sink: DataFrame, source: DataFrame, pkCols: Seq[String]): DataFrame = {
     val nonNull = (d: DataFrame) => d.filter(pkCols.map(col(_).isNotNull).reduce(_ && _))
+    // shuffle-hash pinned, like [[ghostRows]]: the build side is the
+    // source key set — table-scale by the check's semantics (orphans
+    // are the rare exception), but bigint keys compress under AQE's
+    // broadcast threshold at bench scale and the "small" build is a
+    // table-sized hashed relation
     nonNull(sink.select(pkCols.map(col): _*))
-      .join(nonNull(source.select(pkCols.map(col): _*)), pkCols, "left_anti")
+      .join(nonNull(source.select(pkCols.map(col): _*)).hint("shuffle_hash"),
+        pkCols, "left_anti")
       .distinct()
   }
 
