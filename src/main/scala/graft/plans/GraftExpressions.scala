@@ -624,7 +624,31 @@ private[graft] object HyperplanePool {
     // same as the IVF scan loop / NearestCentroidLists)
     val v = arr.toFloatArray()
     val pool = new Array[Long]((poolBits + 63) >> 6)
+    // 4 BITS per pass over the vector (r14): each bit's projection is
+    // a strictly SERIAL double fold (order unchanged — the sketch is
+    // bit-identical by construction, no tolerance involved), but the
+    // four folds are independent chains, so interleaving them hides
+    // the ~4-cycle FMA latency the single-bit loop serialized on.
+    val main = poolBits - (poolBits & 3)
     var j = 0
+    while (j < main) {
+      var p0 = 0.0; var p1 = 0.0; var p2 = 0.0; var p3 = 0.0
+      val b0 = j * dim; val b1 = b0 + dim; val b2 = b1 + dim; val b3 = b2 + dim
+      var i = 0
+      while (i < dim) {
+        val x = v(i).toDouble
+        p0 += x * signs(b0 + i)
+        p1 += x * signs(b1 + i)
+        p2 += x * signs(b2 + i)
+        p3 += x * signs(b3 + i)
+        i += 1
+      }
+      if (p0 >= 0.0) pool(j >> 6) |= (1L << (j & 63))
+      if (p1 >= 0.0) pool((j + 1) >> 6) |= (1L << ((j + 1) & 63))
+      if (p2 >= 0.0) pool((j + 2) >> 6) |= (1L << ((j + 2) & 63))
+      if (p3 >= 0.0) pool((j + 3) >> 6) |= (1L << ((j + 3) & 63))
+      j += 4
+    }
     while (j < poolBits) {
       var proj = 0.0
       var i = 0
