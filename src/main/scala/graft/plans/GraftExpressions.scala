@@ -316,7 +316,36 @@ case class MinHashSigL(child: Expression, numHashes: Int)
     // element. Same splitmix64 per (element, hash), same minima — the
     // signature bytes (and so every bucket and estimate) are unchanged.
     val xs = arr.toLongArray()
+    // 4 hashes per element pass where numHashes allows (r14, the
+    // sketchOf lesson): splitmix64 is itself a serial ~10-op chain, so
+    // four independent (hash, min) chains interleave to hide it and
+    // each element loads once per four hashes. Same splitmix64 per
+    // (element, hash), same minima — signature bytes unchanged.
+    val main = numHashes - (numHashes & 3)
     var j = 0
+    while (j < main) {
+      val c0 = j * 0xbf58476d1ce4e5b9L
+      val c1 = (j + 1) * 0xbf58476d1ce4e5b9L
+      val c2 = (j + 2) * 0xbf58476d1ce4e5b9L
+      val c3 = (j + 3) * 0xbf58476d1ce4e5b9L
+      var m0 = Long.MaxValue; var m1 = Long.MaxValue
+      var m2 = Long.MaxValue; var m3 = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val x = xs(i)
+        val h0 = Hash64.splitmix64(x ^ c0)
+        val h1 = Hash64.splitmix64(x ^ c1)
+        val h2 = Hash64.splitmix64(x ^ c2)
+        val h3 = Hash64.splitmix64(x ^ c3)
+        if (h0 < m0) m0 = h0
+        if (h1 < m1) m1 = h1
+        if (h2 < m2) m2 = h2
+        if (h3 < m3) m3 = h3
+        i += 1
+      }
+      mins(j) = m0; mins(j + 1) = m1; mins(j + 2) = m2; mins(j + 3) = m3
+      j += 4
+    }
     while (j < numHashes) {
       val c = j * 0xbf58476d1ce4e5b9L
       var mn = Long.MaxValue
@@ -391,19 +420,36 @@ case class MinhashBits256(child: Expression)
     // loads/stores per element. Same affine products, same unsigned
     // compares, same minima.
     val xs = arr.toLongArray()
+    // 4 BITS per element pass (r14, the sketchOf lesson): the per-bit
+    // running min is a serial cmp/cmov chain; four independent chains
+    // interleave to hide it, and each element is loaded once per FOUR
+    // bits instead of once per bit. Minima are order-free — the sketch
+    // bits are identical.
     var j = 0
     while (j < 256) {
-      val a = MulA(j)
-      val b = AddB(j)
-      var mn = -1L // unsigned max
+      val a0 = MulA(j); val b0 = AddB(j)
+      val a1 = MulA(j + 1); val b1 = AddB(j + 1)
+      val a2 = MulA(j + 2); val b2 = AddB(j + 2)
+      val a3 = MulA(j + 3); val b3 = AddB(j + 3)
+      var m0 = -1L; var m1 = -1L; var m2 = -1L; var m3 = -1L // unsigned max
       var i = 0
       while (i < n) {
-        val p = a * xs(i) + b
-        if (java.lang.Long.compareUnsigned(p, mn) < 0) mn = p
+        val x = xs(i)
+        val p0 = a0 * x + b0
+        val p1 = a1 * x + b1
+        val p2 = a2 * x + b2
+        val p3 = a3 * x + b3
+        if (java.lang.Long.compareUnsigned(p0, m0) < 0) m0 = p0
+        if (java.lang.Long.compareUnsigned(p1, m1) < 0) m1 = p1
+        if (java.lang.Long.compareUnsigned(p2, m2) < 0) m2 = p2
+        if (java.lang.Long.compareUnsigned(p3, m3) < 0) m3 = p3
         i += 1
       }
-      if ((Hash64.splitmix64(mn) & 1L) == 1L) words(j >>> 6) |= 1L << (j & 63)
-      j += 1
+      if ((Hash64.splitmix64(m0) & 1L) == 1L) words(j >>> 6) |= 1L << (j & 63)
+      if ((Hash64.splitmix64(m1) & 1L) == 1L) words((j + 1) >>> 6) |= 1L << ((j + 1) & 63)
+      if ((Hash64.splitmix64(m2) & 1L) == 1L) words((j + 2) >>> 6) |= 1L << ((j + 2) & 63)
+      if ((Hash64.splitmix64(m3) & 1L) == 1L) words((j + 3) >>> 6) |= 1L << ((j + 3) & 63)
+      j += 4
     }
     new GenericArrayData(words)
   }
