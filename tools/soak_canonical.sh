@@ -61,9 +61,14 @@ echo "[soak] sf10 isolated top-10 medians" >&2
 SPARK_DRIVER_MEM=48g BASELINE_ARTIFACT="$PREV_BASELINE" \
   tools/bench_isolated.sh target/testdata/sf10 BENCH_sf10_isolated.json 3
 
+# the witness diffs against its OWN committed artifact — it left the
+# isolated top-10 when the wall-clock tier stopped running it, so the
+# isolated baseline no longer carries its band
+PREV_REFUSED=$(mktemp)
+cp BENCH_sf10_refused.json "$PREV_REFUSED" 2>/dev/null || PREV_REFUSED="$PREV_BASELINE"
 echo "[soak] sf10 contract-refused regime witness (isolated, 1-pass)" >&2
-SPARK_DRIVER_MEM=48g BASELINE_ARTIFACT="$PREV_BASELINE" \
+SPARK_DRIVER_MEM=48g BASELINE_ARTIFACT="$PREV_REFUSED" \
   tools/bench_isolated.sh target/testdata/sf10 BENCH_sf10_refused.json 1 \
   dd_embed_neardup
-rm -f "$PREV_BASELINE" 2>/dev/null || true
+rm -f "$PREV_BASELINE" "$PREV_REFUSED" 2>/dev/null || true
 echo "[soak] done: BENCH_sf{1,4,10}.json + BENCH_sf10_isolated.json + BENCH_sf10_refused.json" >&2
