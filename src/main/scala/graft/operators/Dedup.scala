@@ -655,12 +655,21 @@ object Dedup {
       maxBucketSize: Int)
       : Option[org.apache.spark.broadcast.Broadcast[graft.plans.SimhashIndexBank]] = {
     val sc = sets.sparkSession.sparkContext
+    // keyed on the DERIVED sets frame's semantic hash, not the source
+    // df's: the sets plan encodes textCol/idCol/shingleLen, so two
+    // calls on the same source with different columns or shingle
+    // length cannot alias to one bank (r14 advice); the file signature
+    // still covers data changes under an unchanged plan
     val key = s"shb|${sc.applicationId}|${System.identityHashCode(sets.sparkSession)}|" +
-      s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
+      s"${sets.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
       s"$cb|$maxBucketSize"
     Similarity.memoized(simhashBankCache, key) {
+      // null ids are filtered like the join tier's semantics (a null id
+      // never survives `x.id < y.id` there); without the filter a null
+      // would read as doc 0 via getLong and could emit spurious pairs
+      // (r14 advice)
       val rows = sets.select(col("id"), col("sim"), col("sk"))
-        .filter(col("sim").isNotNull && col("sk").isNotNull)
+        .filter(col("id").isNotNull && col("sim").isNotNull && col("sk").isNotNull)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
@@ -703,7 +712,9 @@ object Dedup {
     val cut = skCutoff
     val radius = hammingRadius
     Some(sets.select(col("id"), col("sim"), col("sk"))
-      .filter(col("sim").isNotNull && col("sk").isNotNull)
+      // id.isNotNull mirrors the join tier, where a null id fails every
+      // `x.id < y.id` orientation filter (r14 advice)
+      .filter(col("id").isNotNull && col("sim").isNotNull && col("sk").isNotNull)
       .as[(Long, Long, Array[Long])]
       .mapPartitions { rows =>
         val b = bank.value
@@ -843,8 +854,11 @@ object Dedup {
       s"${inv.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}"
     val bankOpt = Similarity.memoized(winnowBankCache, key) {
       // explicit projection: a using-column join reorders columns to
-      // put the key first, so a positional read would swap (id, fp)
-      val rows = inv.select(col("id"), col("fp")).collect()
+      // put the key first, so a positional read would swap (id, fp).
+      // null ids drop like the join tier (null fails x.id < y.id);
+      // unfiltered they would read as doc 0 via getLong (r14 advice)
+      val rows = inv.filter(col("id").isNotNull)
+        .select(col("id"), col("fp")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       Some(sc.broadcast(graft.plans.WinnowPairBank(rows)))
     }
@@ -1078,9 +1092,22 @@ object Dedup {
       .getOption(CcMaxDriverEdgesKey).map(_.toLong).getOrElse(maxDriverEdges)
     if (e.count() <= driverCap) {
       try {
-        val rows = e.collect()
+        val spark = edges.sparkSession
+        import spark.implicits._
+        // collect through a primitive-typed Dataset into per-partition
+        // packed long arrays: a Row collect of 4 M edges materializes
+        // hundreds of MB of boxed Row objects transiently on the driver
+        // (r14 advice) — the packed form is the ~16 B/edge the cap's
+        // "~64 MB" sizing actually promises
+        val chunks: Array[Array[Long]] = e.as[(Long, Long)]
+          .mapPartitions { it =>
+            val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+            it.foreach { case (u, v) => buf += u; buf += v }
+            Iterator.single(buf.result())
+          }.collect()
+        val nEdges = chunks.iterator.map(_.length / 2).sum
         val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
-          rows.length * 2)
+          nEdges * 2)
         def find(x0: Long): Long = {
           var x = x0
           var p = parent.get(x)
@@ -1093,14 +1120,21 @@ object Dedup {
           }
           x
         }
-        rows.foreach { r =>
-          val ru = find(r.getLong(0))
-          val rv = find(r.getLong(1))
-          if (ru != rv) {
-            // min id becomes the root, so find() IS the component label
-            if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        chunks.foreach { arr =>
+          var i = 0
+          while (i < arr.length) {
+            val ru = find(arr(i))
+            val rv = find(arr(i + 1))
+            if (ru != rv) {
+              // min id becomes the root, so find() IS the component label
+              if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+            }
+            i += 2
           }
         }
+        // label output is node-bounded (≤ 2·edges, typically far less
+        // on near-dup graphs) — the transient tuple boxing here is an
+        // order smaller than the edge collect the packed form replaced
         val labels = new Array[(Long, Long)](parent.size())
         val it = parent.keySet().iterator()
         var i = 0
@@ -1109,8 +1143,6 @@ object Dedup {
           labels(i) = (id, find(id))
           i += 1
         }
-        val spark = edges.sparkSession
-        import spark.implicits._
         return labels.toSeq.toDF("id", "component")
       } finally org.apache.spark.sql.GraftSqlShim.releaseCheckpoint(e)
     }
@@ -1550,10 +1582,16 @@ object Dedup {
     // sort-free on the corpus side; the broadcast tier keeps the natural
     // layout — its attaches broadcast and a repartition would be a
     // wasted full shuffle of the vectors
+    // null-id rows are dropped at the scratch: they can never emit a
+    // pair in any tier (a null id fails the id_a < id_b orientation in
+    // the join tiers), and downstream the broadcast tier reads ids as
+    // primitive longs (bank keys, packed pairs) where a null would
+    // alias to id 0 (r14 advice class)
     val sig = (if (broadcastTier) persistScratch _ else persistScratchById _)(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        normSq(col(vecCol)).as("nsq"),
-        hyperplanePoolSketch(col(vecCol), poolBits).as("sk")))
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          normSq(col(vecCol)).as("nsq"),
+          hyperplanePoolSketch(col(vecCol), poolBits).as("sk")))
     // NOT persisted, although BOTH sides of the bucket self-join scan it
     // and neither static ReuseExchange nor AQE stage reuse deduplicates
     // them (probe-verified: FINAL_REUSED_STAGES=0 — the explode + salt
