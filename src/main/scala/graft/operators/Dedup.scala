@@ -1406,6 +1406,14 @@ object Dedup {
     */
   val RegimeModeKey = "spark.graft.embed.regime"
 
+  /** `auto` (default) admits the broadcast-bank bucket-directory scan
+    * tier of [[embeddingNearDupPairs]] when its exact size model fits
+    * the broadcast budget; `off` forces the (bucketKey, salt)
+    * shuffle+sort pipeline at any size — the tier-parity spec uses it
+    * to pin the two paths bit-for-bit on identical blocking.
+    */
+  val EmbedScanTierKey = "spark.graft.embed.scanTier"
+
   /** Evaluate (and if super-linear, record + log — or, under
     * `enforce`, reject) the regime advisory. Called by
     * [[embeddingNearDupPairs]] on every invocation.
@@ -1508,6 +1516,191 @@ object Dedup {
     }
   }
 
+  private val MaxCachedEmbedBanks = 2
+  // value None = duplicate corpus ids → scan-tier-INELIGIBLE (the
+  // (bucketKey, salt) pipeline below keeps its own duplicate contract:
+  // identical duplicate rows tolerated, conflicting ids fail fast)
+  private val embedBankCache = Similarity.boundedBroadcastCache[
+    Option[org.apache.spark.broadcast.Broadcast[graft.plans.EmbedIndexBank]]](
+    MaxCachedEmbedBanks)(v => v)
+  private[graft] def embedBankCacheSize: Int =
+    embedBankCache.synchronized(embedBankCache.size())
+  private[graft] def clearEmbedBankCache(): Unit =
+    embedBankCache.synchronized(embedBankCache.clear())
+
+  /** The embedding near-dup candidate SCAN tier (r15 — see
+    * [[graft.plans.EmbedIndexBank]]): distinct checkpoint-surviving
+    * pairs enumerated by a zero-input-shuffle distributed loop over
+    * (table, bucket-lane) units against broadcast per-table bucket
+    * directories, instead of shuffling + sorting the n·tables-row
+    * exploded index (the r14 probe's 6.6 s stage at sf10). Bucket
+    * membership, salt splitting ([[Skew.saltOversized]]'s
+    * `pmod(xxhash64(id, bk), ⌈s/max⌉)` — replicated with Spark's own
+    * XXH64 and the same double-ceil), min-first orientation, the
+    * prorated Hamming checkpoints and the downstream distinct are all
+    * replayed exactly, so the emitted survivor set is bit-identical to
+    * the (bucketKey, salt) pipeline's — pinned by the tier-parity spec
+    * and the `dd_embed_neardup*` oracle rows. Refused (→ the existing
+    * pipeline) when the directory size model exceeds the broadcast
+    * budget (the 100 TB / low-threshold path — at the cos-0.45 sf10
+    * witness geometry the directories alone are ~1.3 GB), when
+    * `spark.graft.embed.scanTier=off`, when bits > 30, or when corpus
+    * ids are not unique.
+    */
+  private def embedScanSurvivors(df: DataFrame, sig: DataFrame, n: Long,
+      poolBits: Int, bits: Int, tabs: Int, maxBucketSize: Int,
+      threshold: Double, maxBroadcastBytes: Long): Option[DataFrame] = {
+    val spark = sig.sparkSession
+    if (!spark.conf.get(EmbedScanTierKey, "auto").equalsIgnoreCase("auto"))
+      return None
+    if (bits > 30) return None
+    val words = (poolBits + 63) >> 6
+    if (graft.plans.EmbedIndexBank.estimateBytes(n, words, bits, tabs) >
+      maxBroadcastBytes) return None
+    val sc = spark.sparkContext
+    val key = s"eb|${sc.applicationId}|${System.identityHashCode(spark)}|" +
+      s"${sig.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
+      s"$poolBits|$bits|$tabs|$maxBucketSize"
+    val bankOpt = Similarity.memoized(embedBankCache, key) {
+      // null sketches (null vectors) never enter the exploded index
+      // (explode of a null array drops the row), so they are excluded
+      // here too; null ids are already dropped at the scratch
+      val rows = sig.select(col("id"), col("sk"))
+        .filter(col("sk").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
+      val unique = rows.forall(r => seen.add(r._1))
+      if (unique)
+        Some(sc.broadcast(graft.plans.EmbedIndexBank(
+          rows, poolBits, bits, tabs, 42L, maxBucketSize)))
+      else None
+    }
+    if (bankOpt.isEmpty) return None
+    val bank = bankOpt.get
+    import spark.implicits._
+    val cps = hammingCheckpoints(poolBits, threshold)
+    val par = sc.defaultParallelism
+    // lanes interleave each table's bucket ordinals across ≥ 2·par
+    // units; contiguous range partitions then hold a stride of TABLES
+    // (u mod tables cycles), so every task mixes tables and lanes —
+    // no per-table straggler
+    val lanes = math.max(1L, math.ceil(par * 2.0 / tabs).toLong)
+    val units = tabs.toLong * lanes
+    val unitDs = spark.range(0, units, 1,
+      math.min(par.toLong, units).toInt).as[Long]
+    val mbs = maxBucketSize
+    val wordsL = words
+    // emits each checkpoint survivor once per bucket/salt-group
+    // co-occurrence (the join pipeline's pre-distinct stream), pairs
+    // ordered min-first by position (positions ascend with id)
+    def scanUnit(b: graft.plans.EmbedIndexBank, u: Long,
+        emit: (Int, Int) => Unit): Unit = {
+      val nt = b.nTables
+      val t = (u % nt).toInt
+      val lane = (u / nt).toInt
+      val laneCount = (units / nt).toInt
+      val starts = b.tabStarts(t)
+      val pos = b.tabPos(t)
+      val sk = b.sk
+      val bigOrd = b.tabBigOrd(t)
+      val bigKey = b.tabBigKey(t)
+      val nG = starts.length - 1
+      var g = lane
+      while (g < nG) {
+        val s0 = starts(g)
+        val e0 = starts(g + 1)
+        val sz = e0 - s0
+        if (sz <= mbs) {
+          var i = s0
+          while (i < e0) {
+            val pi = pos(i)
+            val xo = pi * wordsL
+            var j = i + 1
+            while (j < e0) {
+              val pj = pos(j)
+              if (graft.plans.HammingWithinCheckpoints.withinFlat(
+                sk, xo, pj * wordsL, wordsL, cps)) emit(pi, pj)
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          // saltOversized replay: __key_n is the bucket's row count
+          // (= sz — one exploded row per member per table), the salt
+          // is pmod(xxhash64(id, bk), ceil(sz / maxPerKey)) with
+          // Spark's seed-42 chain and double-division ceil
+          val bi = java.util.Arrays.binarySearch(bigOrd, g)
+          val bk = bigKey(bi)
+          val m = math.ceil(sz.toDouble / mbs).toLong
+          val salted = new Array[Long](sz)
+          var i = 0
+          while (i < sz) {
+            val id = b.ids(pos(s0 + i))
+            var h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(id, 42L)
+            h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(bk, h)
+            val sm = h % m
+            val salt = if (sm < 0) sm + m else sm
+            // local index in the low 32 bits: the sort below is then
+            // (salt asc, position asc), so min-first survives salting
+            salted(i) = (salt << 32) | i.toLong
+            i += 1
+          }
+          java.util.Arrays.sort(salted)
+          var a = 0
+          while (a < sz) {
+            val sv = salted(a) >>> 32
+            var e = a + 1
+            while (e < sz && (salted(e) >>> 32) == sv) e += 1
+            var i2 = a
+            while (i2 < e) {
+              val pi = pos(s0 + salted(i2).toInt)
+              val xo = pi * wordsL
+              var j2 = i2 + 1
+              while (j2 < e) {
+                val pj = pos(s0 + salted(j2).toInt)
+                if (graft.plans.HammingWithinCheckpoints.withinFlat(
+                  sk, xo, pj * wordsL, wordsL, cps)) emit(pi, pj)
+                j2 += 1
+              }
+              i2 += 1
+            }
+            a = e
+          }
+        }
+        g += laneCount
+      }
+    }
+    // survivor-pair distinct mirrors the pipeline below: packed single
+    // longs when every id fits 31 bits (known from the sorted bank for
+    // free), two columns otherwise
+    val bv = bank.value
+    val packable = bv.minId >= 0 && bv.maxId < (1L << 31)
+    val survivors =
+      if (packable)
+        unitDs.mapPartitions { us =>
+          val b = bank.value
+          us.flatMap { u =>
+            val out = new scala.collection.mutable.ArrayBuilder.ofLong
+            scanUnit(b, u, (pi, pj) => out += (b.ids(pi) << 32) | b.ids(pj))
+            out.result().iterator
+          }
+        }.toDF("p").distinct()
+          .select(shiftright(col("p"), 32).as("id_a"),
+            col("p").bitwiseAND(0xffffffffL).as("id_b"))
+      else
+        unitDs.mapPartitions { us =>
+          val b = bank.value
+          us.flatMap { u =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            scanUnit(b, u, (pi, pj) => out += ((b.ids(pi), b.ids(pj))))
+            out.iterator
+          }
+        }.toDF("id_a", "id_b").distinct()
+    Some(survivors)
+  }
+
   /** `nBits`/`nTables` ≤ 0 → auto from corpus size. The corpus is
     * count()ed unconditionally — the broadcast-vs-shuffle TIER decision
     * needs n even when the geometry is passed explicitly — so explicit
@@ -1606,7 +1799,8 @@ object Dedup {
         explode(poolBucketKeys(col("sk"), poolBits, bits, tabs)).as("bk")),
       Seq("bk"), maxBucketSize, saltOn = col("id"))
     val survivors =
-      if (broadcastTier) {
+      if (broadcastTier) embedScanSurvivors(df, sig, n, poolBits, bits,
+        tabs, maxBucketSize, threshold, maxBroadcastBytes).getOrElse {
         // bucket-LOCAL pairwise prefilter — the r11 rewrite of the bucket
         // self-join. The join shape computed the exploded index TWICE
         // (neither static ReuseExchange nor AQE stage reuse dedups the

@@ -981,6 +981,22 @@ object HammingWithinCheckpoints {
     }
     true
   }
+
+  /** The identical gate over two `words`-long slices of one flat
+    * sketch array (the [[EmbedIndexBank]] layout) — same per-word
+    * checkpoints, same early exit, no per-member array allocation.
+    */
+  @inline final def withinFlat(sk: Array[Long], xo: Int, yo: Int,
+      words: Int, cps: Array[Int]): Boolean = {
+    var hd = 0
+    var i = 0
+    while (i < words) {
+      hd += java.lang.Long.bitCount(sk(xo + i) ^ sk(yo + i))
+      if (hd > cps(i)) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Single-pass byte-scan replacements for the regex counters the text

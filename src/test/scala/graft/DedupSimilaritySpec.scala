@@ -163,6 +163,43 @@ class DedupSimilaritySpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.embed.packedKey")
   }
 
+  test("embed scan tier matches the (bucketKey, salt) pipeline bit-for-bit, " +
+      "including salt-split oversized buckets (r15)") {
+    val emb = Tables.embeddings(spark, sf001)
+    // maxBucketSize = 20 pushes every (table, bucket) group over the
+    // cap (same fixture as the salt-split test), so this pins the scan
+    // tier's driver-side saltOversized replay — xxhash64(id, bk) seed
+    // chain, double-division ceil, per-salt sub-grouping — not just
+    // the common unsalted loop
+    def run(): Set[(Long, Long)] =
+      Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+        threshold = QueriesExt.NearDupCosine, nTables = 36, maxBucketSize = 20)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    Dedup.clearEmbedBankCache()
+    val scan = run()
+    assert(Dedup.embedBankCacheSize >= 1,
+      "scan tier did not engage — the test would compare the pipeline to itself")
+    assert(scan.nonEmpty)
+    spark.conf.set(Dedup.EmbedScanTierKey, "off")
+    try {
+      val pipeline = run()
+      assert(scan == pipeline,
+        s"missed: ${pipeline -- scan}, spurious: ${scan -- pipeline}")
+    } finally spark.conf.unset(Dedup.EmbedScanTierKey)
+    // default geometry (unsalted buckets) too
+    def runAuto(): Set[(Long, Long)] =
+      Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+        threshold = QueriesExt.NearDupCosine)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val scanAuto = runAuto()
+    spark.conf.set(Dedup.EmbedScanTierKey, "off")
+    try {
+      val pipeAuto = runAuto()
+      assert(scanAuto == pipeAuto,
+        s"missed: ${pipeAuto -- scanAuto}, spurious: ${scanAuto -- pipeAuto}")
+    } finally spark.conf.unset(Dedup.EmbedScanTierKey)
+  }
+
   test("LSH-blocked embedding near-dup equals exact all-pairs on real embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val v = emb.select($"vec_id", $"embedding",
