@@ -53,6 +53,23 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q3_topk_join keeps its partial top-k and broadcast segment filter (r15 audit)") {
+    // r14 verdict suspected a lost TakeOrdered pushdown or the AQE
+    // compressed-bytes broadcast class behind the 3.8 s sf10 median;
+    // the r15 audit found neither — the cost is the legitimate
+    // fact⋈orders join. Two rewrites were A-B measured and REJECTED
+    // (SCALE_SOAK r15): eager aggregation below the join (partial agg
+    // over mostly-unique l_orderkey is pure overhead: 8.3 vs 4.9 s
+    // isolated) and a pre-filtered shuffle-hash orders side (rode the
+    // same regression). This pin keeps what must not degrade: the
+    // limit stays a partial top-k (never a global sort) and the
+    // segment filter stays a broadcast.
+    val plan = planOf("q3_topk_join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(8).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("o1 pagination plans as a partial top-k with offset, no global sort") {
     val plan = planOf("o1_pagination")
     assert(plan.contains("TakeOrderedAndProject"),
