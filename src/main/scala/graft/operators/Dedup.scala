@@ -250,12 +250,25 @@ object Dedup {
     // over the text bytes, no per-shingle substring allocation.
     // Persisted: it feeds the banding AND both verify-side joins —
     // without it the shingle hashing/sorting runs 3×.
-    val withSig = df.select(col(idCol).as("id"),
-      graft.plans.GraftFunctions.hashedCharShingles(
-        col(textCol), shingleLen).as("shingles"))
+    // the id exchange sits BELOW the kernels (r15): shuffling raw
+    // (id, text) rows, with shingle hashing + signatures computed
+    // post-exchange, (a) moves ~10× fewer bytes than exchanging the
+    // hash-array frame and (b) runs the kernels at full shuffle
+    // parallelism instead of file-split parallelism (85 MB of sf10
+    // documents bin-packs into 1–2 uneven splits — the r12
+    // split-starvation lesson, re-measured r15 on the embed scratch:
+    // 6.6 → 1.6 s). Projections preserve the hash partitioning and id
+    // sort, so the merge-pinned attaches below stay exchange-free.
+    val rawText = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val withSig = (if (scale)
+        rawText.repartition(col("id")).sortWithinPartitions("id")
+      else rawText)
+      .select(col("id"),
+        graft.plans.GraftFunctions.hashedCharShingles(
+          col("__text"), shingleLen).as("shingles"))
       .select(col("id"), col("shingles"),
         graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
-      .transform(if (scale) persistScratchById else persistScratch)
+      .transform(persistScratch)
     def pin(d: DataFrame): DataFrame = if (scale) d.hint("merge") else d
     // ids-only banding: candidates shuffle (id, band, hash) rows, never
     // the shingle sets or signatures. Fused single-pass band hashing
@@ -365,12 +378,19 @@ object Dedup {
     // operator — a small corpus broadcasts its attach instead.
     val scale = scaleAttach(corpus)
     def prep(df: DataFrame, copartition: Boolean): DataFrame = {
-      val base = df.select(col(idCol).as("id"),
-        graft.plans.GraftFunctions.hashedCharShingles(
-          col(textCol), shingleLen).as("shingles"))
+      // id exchange below the kernels — raw text shuffles, shingle
+      // hashing runs post-exchange at full parallelism (r15; see
+      // minhashNearDupPairs)
+      val rawText = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      val base = (if (copartition)
+          rawText.repartition(col("id")).sortWithinPartitions("id")
+        else rawText)
+        .select(col("id"),
+          graft.plans.GraftFunctions.hashedCharShingles(
+            col("__text"), shingleLen).as("shingles"))
         .select(col("id"), col("shingles"),
           graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
-      if (copartition) persistScratchById(base) else persistScratch(base)
+      persistScratch(base)
     }
     // fused band hashing ≡ the xxhash64(concat_ws) spec form (r14; see
     // minhashNearDupPairs)
@@ -530,14 +550,23 @@ object Dedup {
     // — the sketch pays for itself at every scale)
     val scale = scaleAttach(df)
     def pin(d: DataFrame): DataFrame = if (scale) d.hint("merge") else d
-    // persisted: feeds the index, the probes, and both verify-side joins
-    val base = df.select(col(idCol).as("id"),
-      graft.plans.GraftFunctions.hashedCharShingles(
-        col(textCol), shingleLen).as("shingles"),
-      simhash(split(lower(trim(col(textCol))), "\\s+")).as("sim"))
+    // persisted: feeds the index, the probes, and both verify-side
+    // joins. The id exchange sits BELOW the kernels (r15): raw text
+    // shuffles (~10× fewer bytes than the hash-array frame) and the
+    // shingle/simhash/minhash256 kernels run post-exchange at full
+    // shuffle parallelism instead of the corpus's 1–2 file splits —
+    // see minhashNearDupPairs for the measured split-starvation
+    val rawText = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val base = (if (scale)
+        rawText.repartition(col("id")).sortWithinPartitions("id")
+      else rawText)
+      .select(col("id"),
+        graft.plans.GraftFunctions.hashedCharShingles(
+          col("__text"), shingleLen).as("shingles"),
+        simhash(split(lower(trim(col("__text"))), "\\s+")).as("sim"))
       .select(col("id"), col("shingles"), col("sim"),
         graft.plans.GraftFunctions.minhashBits256(col("shingles")).as("sk"))
-    val sets = (if (scale) persistScratchById(base) else persistScratch(base))
+    val sets = persistScratch(base)
     val carryCols: Seq[Column] = Seq(col("id"), col("sim"), col("sk"))
     // truncate (not drop) hot index values: an identical-content flood
     // saturates EVERY chunk position at once, so dropping hot buckets
@@ -958,11 +987,19 @@ object Dedup {
     // Co-partition + merge pins are scale machinery ([[ScaleFloorKey]])
     val scale = scaleAttach(df)
     def pin(d: DataFrame): DataFrame = if (scale) d.hint("merge") else d
-    val sets = df.select(col(idCol).as("id") +:
-      graft.plans.GraftFunctions.hashedCharShingles(
-        col(textCol), shingleLen, stride).as("shingles") +:
+    // id exchange below the kernel — raw text shuffles, shingle
+    // hashing runs post-exchange at full parallelism (r15; see
+    // minhashNearDupPairs for the measured split-starvation)
+    val rawText = df.select(col(idCol).as("id") +: col(textCol).as("__text") +:
       carry.map(col): _*)
-      .transform(if (scale) persistScratchById else persistScratch)
+    val sets = (if (scale)
+        rawText.repartition(col("id")).sortWithinPartitions("id")
+      else rawText)
+      .select(col("id") +:
+        graft.plans.GraftFunctions.hashedCharShingles(
+          col("__text"), shingleLen, stride).as("shingles") +:
+        carry.map(col): _*)
+      .transform(persistScratch)
     // ceil must never round UP past the exact ⌈t·s⌉ (a too-short prefix
     // loses pairs); the epsilon makes float error shorten the ceil —
     // i.e. lengthen the prefix — which only adds candidates.
@@ -1780,11 +1817,26 @@ object Dedup {
     // the join tiers), and downstream the broadcast tier reads ids as
     // primitive longs (bank keys, packed pairs) where a null would
     // alias to id 0 (r14 advice class)
-    val sig = (if (broadcastTier) persistScratch _ else persistScratchById _)(
-      df.filter(col(idCol).isNotNull)
-        .select(col(idCol).as("id"), col(vecCol).as("vec"),
-          normSq(col(vecCol)).as("nsq"),
-          hyperplanePoolSketch(col(vecCol), poolBits).as("sk")))
+    val raw = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // KERNEL PARALLELISM (r15): the poolBits×dim projection kernel is
+    // the dominant per-row cost, and a zero-exchange pipeline inherits
+    // file-split parallelism (the r12 lesson) — measured at sf10, the
+    // 51 MB embedding corpus bin-packed into 16 uneven splits and the
+    // sketch stage ran 6.6 s vs 1.6 s after one round-robin exchange
+    // of the raw (id, vec) rows. Both tiers therefore place their ONE
+    // corpus exchange BEFORE the kernel: round-robin for the broadcast
+    // tier (its attaches broadcast, so layout is otherwise free), the
+    // id hash+sort the shuffle tier's merge-pinned attaches already
+    // required (previously below the kernel, now above it — same
+    // layout, kernel runs post-exchange at full parallelism).
+    val laidOut =
+      if (broadcastTier)
+        raw.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else raw.repartition(col("id")).sortWithinPartitions("id")
+    val sig = persistScratch(laidOut.select(col("id"), col("vec"),
+      normSq(col("vec")).as("nsq"),
+      hyperplanePoolSketch(col("vec"), poolBits).as("sk")))
     // NOT persisted, although BOTH sides of the bucket self-join scan it
     // and neither static ReuseExchange nor AQE stage reuse deduplicates
     // them (probe-verified: FINAL_REUSED_STAGES=0 — the explode + salt
