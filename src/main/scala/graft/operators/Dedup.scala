@@ -834,12 +834,28 @@ object Dedup {
   def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 8, maxDocFreq: Int = 100, minShared: Int = 20,
       maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
+    // the winnow rolling-hash kernel otherwise runs at file-split
+    // parallelism (r15 split-starvation class — it dominated the scan
+    // tier's one-time bank build); the exchange is gated on actual
+    // under-parallelism so a corpus with thousands of splits never
+    // pays a text shuffle it doesn't need
+    val rawText = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val laidOut =
+      if (rawText.rdd.getNumPartitions < par) rawText.repartition(par)
+      else rawText
+    val fps = laidOut.select(col("id"),
       explode(array_distinct(graft.functions.TextAnalysis
-        .winnowFingerprints(col(textCol), k, w))).as("fp"))
+        .winnowFingerprints(col("__text"), k, w))).as("fp"))
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq).select("fp")
-    val inv = fps.join(keep, Seq("fp"), "left_semi")
+    // persisted through the scratch registry (releaseIntermediates
+    // lifecycle): the scan tier's admission count and bank collect, and
+    // the join tier's two self-join sides, would otherwise each re-run
+    // the winnow kernel + keep groupBy — the narrow (id, fp) rows cache
+    // once and every consumer reads them (r15: one ~4 s kernel pass off
+    // the one-time bank build at sf10)
+    val inv = persistScratch(fps.join(keep, Seq("fp"), "left_semi"))
     winnowScanPairs(df, idCol, inv, minShared, maxIndexBroadcastBytes)
       .getOrElse(
         inv.as("x").join(inv.as("y"), Seq("fp"))
