@@ -333,15 +333,26 @@ object QueriesExt {
     val docsPar =
       if (rawDocs.rdd.getNumPartitions < par) rawDocs.repartition(par)
       else rawDocs
-    val tok = docsPar.select(col("doc_id"),
-      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("term"))
-    val c = tok.groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("c"))
-    val m = c.groupBy("doc_id").agg(sum(col("c")).as("m"))
+    // per-(doc, term) counts computed INSIDE the scan via
+    // [[graft.plans.TermFrequencies]] (≡ explode(regexp_extract_all) +
+    // groupBy — the byte-exact \S+ contract, parity spec-pinned): the
+    // corpus-sized (doc_id, term) string exchange and the m-groupBy
+    // never exist — the per-doc total is an aggregate() fold over the
+    // same array. Remaining exchanges: the vocabulary aggregate (AQE
+    // sizes its join-back — broadcast at real vocabularies, shuffle
+    // when huge) and the per-doc top-k window.
+    val c = docsPar.select(col("doc_id"),
+      graft.plans.GraftFunctions.termFrequencies(col("text")).as("tf"))
+      .select(col("doc_id"),
+        aggregate(col("tf"), lit(0L), (acc, x) => acc + x.getField("c")).as("m"),
+        explode(col("tf")).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.c").as("c"), col("m"))
     val df = c.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     val n = docs(s, d).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    c.join(m, Seq("doc_id")).join(df, Seq("term")).crossJoin(broadcast(n))
+    c.join(df, Seq("term")).crossJoin(broadcast(n))
       .withColumn("score",
         (col("c").cast("double") / col("m").cast("double")) *
           (col("n").cast("double") / col("df").cast("double")))

@@ -1031,6 +1031,9 @@ object TextScan {
       (b >= '0' && b <= '9') || b == '_'
   @inline private def isSpaceByte(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  // the same `\s` contract for expressions outside this object
+  // ([[TermFrequencies]])
+  @inline private[plans] def isSpacePublic(b: Byte): Boolean = isSpaceByte(b)
   @inline private def isLeadByte(b: Byte): Boolean = (b & 0xC0) != 0x80
 
   /** Dictionary words grouped by byte length for allocation-free
@@ -1193,6 +1196,65 @@ case class TextCount(child: Expression, kind: String)
 
 object TextCount { val Kinds = Set("token", "punct", "subword", "upper") }
 
+/** Per-document term frequencies in ONE pass: `array<struct<term
+  * string, c bigint>>`, terms distinct and byte-sorted. Term boundaries
+  * are the `\S+` contract of [[TextScan]] (ASCII-six whitespace;
+  * multi-byte chars are non-space, so byte runs ≡ the regex's
+  * character runs), and UTF-8 byte equality ≡ string equality — so
+  * `explode(termFrequencies(text))` is row-for-row the
+  * `explode(regexp_extract_all(text, "\\S+")) → groupBy(doc, term) →
+  * count` pipeline, with the per-(doc, term) aggregation done map-side
+  * inside the expression instead of through a corpus-sized string
+  * exchange + hash aggregate (the r15 tx_tfidf lever: the 10⁷-row
+  * (doc, term) exchange and TWO of the query's three groupBys never
+  * exist; the per-doc total is a free `aggregate()` fold over the
+  * array). Parity is spec-pinned against the regex+groupBy form on
+  * adversarial inputs (TextCountParitySpec).
+  */
+case class TermFrequencies(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.GraftStringInput {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val b = s.getBytes
+    val n = b.length
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      if (!TextScan.isSpacePublic(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && !TextScan.isSpacePublic(b(i))) i += 1
+        val term = UTF8String.fromBytes(b, start, i - start)
+        val prev = counts.get(term)
+        if (prev == null) counts.put(term, Array(1L)) else prev(0) += 1L
+      } else i += 1
+    }
+    val terms = new Array[UTF8String](counts.size())
+    val it = counts.keySet().iterator()
+    var k = 0
+    while (it.hasNext) { terms(k) = it.next(); k += 1 }
+    // byte-order sort: deterministic output independent of hash layout
+    java.util.Arrays.sort(terms, (a: UTF8String, c: UTF8String) => a.compareTo(c))
+    val rows = new Array[Any](terms.length)
+    k = 0
+    while (k < terms.length) {
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(
+        terms(k), counts.get(terms(k))(0))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** All `bands` LSH band hashes of a minhash signature in ONE pass —
   * bit-identical to the declarative banding SPEC the batch operators
   * keep for oracle replay:
@@ -1262,6 +1324,7 @@ object GraftFunctions {
     col(PoolBucketKeys(e(sketch), poolBits, bits, tables, seed))
   def arrayHamming(a: Column, b: Column): Column =
     col(LongArrayHamming(e(a), e(b)))
+  def termFrequencies(text: Column): Column = col(TermFrequencies(e(text)))
   def minhashSigL(hashedSet: Column, numHashes: Int): Column =
     col(MinHashSigL(e(hashedSet), numHashes))
   def minhashBandHashes(sig: Column, bands: Int): Column =

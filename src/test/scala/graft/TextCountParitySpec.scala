@@ -132,6 +132,52 @@ class TextCountParitySpec extends SparkSuite {
     assertParity(docs, "corpus")
   }
 
+  /** r15: [[graft.plans.TermFrequencies]] must reproduce the
+    * explode(regexp_extract_all)+groupBy pipeline row-for-row — same
+    * terms (UTF-8 byte equality), same counts, per document. The
+    * per-doc total fold must equal SUM(c).
+    */
+  test("termFrequencies equals explode(regexp_extract_all)+groupBy, and its fold equals the sum") {
+    val texts = Seq(
+      "", " ", "the the the", "a b a b a", "x", " lead trail ",
+      "the\tand\nofto\fis\ris", "a b a b", "café café cafe",
+      "日本語 the 日本語", "🙂 🙂 y",
+      "dup  dup   dup", "_ _ __ _", "vtabvtab",
+      "word " * 300 + "tail") ++ {
+      val rng = new scala.util.Random(20260815L)
+      val pool = "ab \t\né日 _"
+      (1 to 150).map { _ =>
+        (0 until rng.nextInt(120)).map(_ => pool(rng.nextInt(pool.length))).mkString
+      }
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = df.select(col("doc_id"),
+      graft.plans.GraftFunctions.termFrequencies(col("text")).as("tf"))
+      .select(col("doc_id"),
+        aggregate(col("tf"), lit(0L), (acc, x) => acc + x.getField("c")).as("m"),
+        explode(col("tf")).as("e"))
+      .select(col("doc_id"), col("e.term"), col("e.c"), col("m"))
+      .as[(Long, String, Long, Long)].collect()
+    val spec = df.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("c"))
+      .as[(Long, String, Long)].collect()
+    assert(fast.map(r => (r._1, r._2, r._3)).toSet == spec.toSet,
+      s"term/count mismatch: fast=${fast.length} spec=${spec.length}")
+    val specTotals = spec.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+    fast.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.map(_._4).toSet.size == 1 && rs.head._4 == specTotals(d),
+        s"per-doc fold total mismatch for doc $d")
+    }
+    // non-string input fails at analysis like the other scan expressions
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.plans.GraftFunctions.termFrequencies(col("doc_id"))).collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH")
+      || e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   /** r13 advice: the scan counters declare string input
     * (ExpectsInputTypes), so a non-string column fails at ANALYSIS with
     * a typed DATATYPE_MISMATCH (under ANSI coercion an int does not
