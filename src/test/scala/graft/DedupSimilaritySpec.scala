@@ -200,6 +200,45 @@ class DedupSimilaritySpec extends SparkSuite {
     } finally spark.conf.unset(Dedup.EmbedScanTierKey)
   }
 
+  test("embed scan tier refusal paths fall through to the pipeline with identical pairs") {
+    val emb = Tables.embeddings(spark, sf001)
+    // duplicate id with the SAME vector: the pipeline tolerates it
+    // (idempotent bank put, pairs unchanged after distinct) while the
+    // scan tier memoizes None and must fall through — outputs equal
+    val withDup = emb.unionAll(emb.limit(1))
+    Dedup.clearEmbedBankCache()
+    val viaScanPath = Dedup.embeddingNearDupPairs(withDup, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    spark.conf.set(Dedup.EmbedScanTierKey, "off")
+    try {
+      val viaPipeline = Dedup.embeddingNearDupPairs(withDup, "embedding", "vec_id",
+        threshold = QueriesExt.NearDupCosine)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(viaScanPath == viaPipeline && viaPipeline.nonEmpty,
+        s"missed: ${viaPipeline -- viaScanPath}, spurious: ${viaScanPath -- viaPipeline}")
+    } finally spark.conf.unset(Dedup.EmbedScanTierKey)
+    // bits past the packed (value << 32 | pos) build budget: the scan
+    // tier must REFUSE (no bank built — the cache stays empty) and the
+    // pipeline's group-key path must run to completion. 31-bit buckets
+    // on a 500-row corpus are all singletons (per-table collision
+    // ~1.6e-6), so zero pairs is the CORRECT output at this geometry —
+    // the assertions are "refused + ran + nothing spurious", not recall
+    Dedup.clearEmbedBankCache()
+    val auto = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.nonEmpty && Dedup.embedBankCacheSize >= 1)
+    Dedup.clearEmbedBankCache()
+    val wide = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      threshold = QueriesExt.NearDupCosine, nBits = 31, nTables = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Dedup.embedBankCacheSize == 0,
+      "bits=31 must refuse the scan tier — no bank should have been built")
+    assert(wide.subsetOf(auto),
+      s"wide geometry emitted pairs outside the exact set: ${wide -- auto}")
+  }
+
   test("LSH-blocked embedding near-dup equals exact all-pairs on real embeddings") {
     val emb = Tables.embeddings(spark, sf001)
     val v = emb.select($"vec_id", $"embedding",
