@@ -668,7 +668,7 @@ object Dedup {
   private[graft] def simhashBankCacheSize: Int =
     simhashBankCache.synchronized(simhashBankCache.size())
   private[graft] def clearSimhashBankCache(): Unit =
-    simhashBankCache.synchronized(simhashBankCache.clear())
+    Similarity.clearBroadcastCache(simhashBankCache)(v => v)
 
   /** Memoized broadcast simhash chunk index
     * ([[graft.plans.SimhashIndexBank]]) — keyed on the SOURCE frame's
@@ -879,7 +879,7 @@ object Dedup {
   private[graft] def winnowBankCacheSize: Int =
     winnowBankCache.synchronized(winnowBankCache.size())
   private[graft] def clearWinnowBankCache(): Unit =
-    winnowBankCache.synchronized(winnowBankCache.clear())
+    Similarity.clearBroadcastCache(winnowBankCache)(v => v)
 
   private def winnowScanPairs(df: DataFrame, idCol: String, inv: DataFrame,
       minShared: Int, maxIndexBroadcastBytes: Long): Option[DataFrame] = {
@@ -1579,7 +1579,7 @@ object Dedup {
   private[graft] def embedBankCacheSize: Int =
     embedBankCache.synchronized(embedBankCache.size())
   private[graft] def clearEmbedBankCache(): Unit =
-    embedBankCache.synchronized(embedBankCache.clear())
+    Similarity.clearBroadcastCache(embedBankCache)(v => v)
 
   /** The embedding near-dup candidate SCAN tier (r15 — see
     * [[graft.plans.EmbedIndexBank]]): distinct checkpoint-surviving
@@ -1626,7 +1626,8 @@ object Dedup {
       val unique = rows.forall(r => seen.add(r._1))
       if (unique)
         Some(sc.broadcast(graft.plans.EmbedIndexBank(
-          rows, poolBits, bits, tabs, 42L, maxBucketSize)))
+          rows, poolBits, bits, tabs,
+          graft.plans.GraftFunctions.DefaultSeed, maxBucketSize)))
       else None
     }
     if (bankOpt.isEmpty) return None

@@ -295,8 +295,15 @@ class ParquetUpsertTable(
         return
     }
     val bucketed = changes.withColumn(BucketCol, bucketExpr)
-    val touched = bucketed.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by numBuckets, driver-safe
+    // One job yields BOTH the touched-bucket set (bounded by numBuckets,
+    // driver-safe) and the batch row count — the count feeds
+    // applyChanges' anti-join admission gate as a hint, so the
+    // streaming path never schedules a dedicated count() job per
+    // micro-batch (r15 verdict: the gate's extra action cost ~6% CDC
+    // apply throughput).
+    val perBucket = bucketed.groupBy(BucketCol).count().collect()
+    val touched = perBucket.map(_.getInt(0)).sorted
+    val batchRows = perBucket.map(_.getLong(1)).sum
     val currentRaw = readBuckets(manifest, touched.toSeq)
     // T8 additive schema evolution (schema.evolution=basic, reference:
     // connectors/sinks/postgres/trading.json:17): new incoming fields
@@ -316,7 +323,7 @@ class ParquetUpsertTable(
     }
     val rowCols = current.columns.toSeq
     val merged = CdcMerge.applyChanges(
-      current, alignedChanges, pkCols, orderCols)
+      current, alignedChanges, pkCols, orderCols, Some(batchRows))
       .select(rowCols.map(col): _*)
       .withColumn(BucketCol, bucketExpr)
 

@@ -139,6 +139,14 @@ object Similarity {
     * reconstruction (`sim_ann_lsh_cand`), while the ranked top-k
     * output stays gated by recall floors in ScalaTest.
     */
+  /** Per-table LSH seed — ONE derivation shared by the join-tier
+    * signature columns, the scan-tier bank build, and the scan kernel's
+    * query-side `HyperplaneSig.of` replay (r15 advice: a re-typed
+    * literal at any of the three sites could silently desync tiers).
+    */
+  private[graft] def lshTableSeed(t: Int): Long =
+    graft.plans.GraftFunctions.DefaultSeed + 1000L * t
+
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       nBits: Int = 0, nTables: Int = 8, probeBits: Int = 1,
       queryFilter: Option[Column => Column] = None): DataFrame = {
@@ -148,7 +156,7 @@ object Similarity {
     // Costs one count() — pass nBits explicitly to skip it.
     val bits = if (nBits > 0) nBits else autoBits(CorpusStats.rowCount(df))
     val sigCols = (0 until nTables).map(t =>
-      hyperplaneSignature(col(vecCol), bits, seed = 42L + 1000L * t).as(s"__sig$t"))
+      hyperplaneSignature(col(vecCol), bits, seed = lshTableSeed(t)).as(s"__sig$t"))
     val sig = df.select(col(idCol).as("id") +: sigCols: _*)
     // searching a subset of queries (recall sampling, point lookups)
     // narrows ONLY the probe side — the corpus stays full; the predicate
@@ -280,7 +288,7 @@ object Similarity {
         val sigs = new Array[Long](tt)
         var t = 0
         while (t < tt) {
-          sigs(t) = graft.plans.HyperplaneSig.of(qv, bb, 42L + 1000L * t)
+          sigs(t) = graft.plans.HyperplaneSig.of(qv, bb, lshTableSeed(t))
           t += 1
         }
         var cand = new Array[Int](64)
@@ -375,7 +383,7 @@ object Similarity {
       s"$idCol|$vecCol|$bits|$nTables"
     memoized(lshBankCache, key) {
       val sigCols = (0 until nTables).map(t =>
-        hyperplaneSignature(col(vecCol), bits, seed = 42L + 1000L * t))
+        hyperplaneSignature(col(vecCol), bits, seed = lshTableSeed(t)))
       val rows = df
         .filter(col(vecCol).isNotNull)
         .select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -395,7 +403,7 @@ object Similarity {
   private[graft] def lshBankCacheSize: Int =
     lshBankCache.synchronized(lshBankCache.size())
   private[graft] def clearLshBankCache(): Unit =
-    lshBankCache.synchronized(lshBankCache.clear())
+    clearBroadcastCache(lshBankCache)(v => v)
 
   /** IVF (inverted-file) approximate top-k: k-means partitions the
     * corpus into `nLists` cells; each query searches only the `nProbe`
@@ -1185,6 +1193,24 @@ object Similarity {
       }
     }
 
+  /** Clear a memoized broadcast cache AND unpersist every entry's
+    * broadcast — the clear-side mirror of `removeEldestEntry`'s
+    * evict-unpersist rule (r15 advice: a clear that drops the map
+    * references leaves the broadcasts pinned until JVM exit).
+    */
+  private[graft] def clearBroadcastCache[V](
+      cache: java.util.LinkedHashMap[String, V])(
+      toBroadcast: V => Option[org.apache.spark.broadcast.Broadcast[_]]): Unit =
+    cache.synchronized {
+      cache.values().forEach { v =>
+        toBroadcast(v).foreach { b =>
+          try b.unpersist(false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+      cache.clear()
+    }
+
   private val MaxCachedBanks = 8
   private val bankCache = boundedBroadcastCache[
     org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank]](
@@ -1285,11 +1311,12 @@ object Similarity {
 
   // test hook (BankCacheSpec): observe hit/miss behavior across calls
   private[graft] def bankCacheSize: Int = bankCache.synchronized(bankCache.size())
-  private[graft] def clearBankCache(): Unit = bankCache.synchronized(bankCache.clear())
+  private[graft] def clearBankCache(): Unit =
+    clearBroadcastCache(bankCache)(Some(_))
   private[graft] def indexBankCacheSize: Int =
     indexBankCache.synchronized(indexBankCache.size())
   private[graft] def clearIndexBankCache(): Unit =
-    indexBankCache.synchronized(indexBankCache.clear())
+    clearBroadcastCache(indexBankCache)(v => v)
 
   private val MaxCachedCentroids = 8
   private val centroidCache =

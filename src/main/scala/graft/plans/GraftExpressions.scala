@@ -1297,30 +1297,38 @@ case class MinhashBandHashes(child: Expression, bands: Int)
 
 /** Column-API wrappers. */
 object GraftFunctions {
+  /** The one LSH/sketch seed every hash-family default shares. Hoisted
+    * (r15 advice) so scan-tier bank builds that REPLAY a pipeline's
+    * hashing (e.g. [[graft.plans.EmbedIndexBank]] vs [[poolBucketKeys]])
+    * reference the same named constant instead of a re-typed literal —
+    * a seed change can no longer desync the tiers silently.
+    */
+  val DefaultSeed = 42L
+
   private def e(c: Column): Expression = GraftSqlShim.expression(c)
   private def col(x: Expression): Column = GraftSqlShim.column(x)
 
   def dotFF(a: Column, b: Column): Column = col(DotProductFF(e(a), e(b)))
-  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long = DefaultSeed): Column =
     col(MinHashSig(e(shingles), numHashes, seed))
-  def simhash64(tokens: Column, seed: Long = 42L): Column = col(SimHash64(e(tokens), seed))
-  def hyperplaneSig(vec: Column, nBits: Int, seed: Long = 42L): Column =
+  def simhash64(tokens: Column, seed: Long = DefaultSeed): Column = col(SimHash64(e(tokens), seed))
+  def hyperplaneSig(vec: Column, nBits: Int, seed: Long = DefaultSeed): Column =
     col(HyperplaneSig(e(vec), nBits, seed))
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
     col(Winnow(e(text), k, w))
-  def hashedShingleSet(shingles: Column, seed: Long = 42L): Column =
+  def hashedShingleSet(shingles: Column, seed: Long = DefaultSeed): Column =
     col(HashedShingleSet(e(shingles), seed))
   def hashedCharShingles(text: Column, n: Int, stride: Int = 1,
-      seed: Long = 42L): Column =
+      seed: Long = DefaultSeed): Column =
     col(HashedCharShingles(e(text), n, stride, seed))
   def sortedJaccard(a: Column, b: Column): Column = col(SortedLongJaccard(e(a), e(b)))
   def hyperplanePoolBuckets(vec: Column, poolBits: Int, bits: Int,
-      tables: Int, seed: Long = 42L): Column =
+      tables: Int, seed: Long = DefaultSeed): Column =
     col(HyperplanePoolBuckets(e(vec), poolBits, bits, tables, seed))
-  def hyperplanePoolSketch(vec: Column, poolBits: Int, seed: Long = 42L): Column =
+  def hyperplanePoolSketch(vec: Column, poolBits: Int, seed: Long = DefaultSeed): Column =
     col(HyperplanePoolSketch(e(vec), poolBits, seed))
   def poolBucketKeys(sketch: Column, poolBits: Int, bits: Int,
-      tables: Int, seed: Long = 42L): Column =
+      tables: Int, seed: Long = DefaultSeed): Column =
     col(PoolBucketKeys(e(sketch), poolBits, bits, tables, seed))
   def arrayHamming(a: Column, b: Column): Column =
     col(LongArrayHamming(e(a), e(b)))

@@ -42,6 +42,39 @@ class CdcSpec extends SparkSuite {
     assert(twice.as[KV].collect().toSeq.sortBy(_.k) == Seq(KV(1, "new")))
   }
 
+  // The anti-join admission gate (r15/r16): the pin must respond to the
+  // TRUE batch size (hint or memoized count), and "-1" (broadcast
+  // disabled session-wide) must disable the gate entirely — the plain
+  // long parse, not byteStringAsBytes, handles it.
+  private def hintedShuffleHash(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.exists(_.toString.contains("shuffle_hash")) => h
+    }.nonEmpty
+
+  test("applyChanges pins shuffle_hash only above the bytes model; -1 disables the gate") {
+    val current = Seq(KV(1, "old"), KV(2, "keep")).toDS().toDF()
+    val ch = changes((1L, "new", "u", 1L))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10MB")
+      val small = CdcMerge.applyChanges(current, ch, Seq("k"),
+        Seq(col("__source_ts_ms"), col("__seq")), batchRowsHint = Some(1L))
+      assert(!hintedShuffleHash(small))
+      val big = CdcMerge.applyChanges(current, ch, Seq("k"),
+        Seq(col("__source_ts_ms"), col("__seq")), batchRowsHint = Some(10_000_000L))
+      assert(hintedShuffleHash(big))
+      assert(big.as[KV].collect().toSeq.sortBy(_.k) == Seq(KV(1, "new"), KV(2, "keep")))
+      spark.conf.set(key, "-1")
+      val disabled = CdcMerge.applyChanges(current, ch, Seq("k"),
+        Seq(col("__source_ts_ms"), col("__seq")), batchRowsHint = Some(10_000_000L))
+      assert(!hintedShuffleHash(disabled))
+      assert(disabled.as[KV].collect().toSeq.sortBy(_.k) ==
+        Seq(KV(1, "new"), KV(2, "keep")))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("P3 unwrap keeps delete rows via before-image") {
     val rows = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val env = Envelope.wrap(rows, "db1", "t1",
