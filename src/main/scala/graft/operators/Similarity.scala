@@ -618,20 +618,35 @@ object Similarity {
     // candidate stream still never exists (plan-guarded: no join, no
     // aggregate, one exchange carrying query rows only).
     //
-    // The in-partition sort by probed-list array + the batched
-    // member-major loop below are the tier's memory-bandwidth levers:
-    // at 10¹⁰ probed members a per-query scan re-streams the bank per
-    // query (2.5 TB of DRAM traffic at the sf10 soak — the measured
-    // wall once parallelism was fixed, and why a per-row Expression
-    // cannot win here: it sees one query at a time). Sorting queries
-    // by their probe set makes identical sets adjacent, and the
-    // partition loop then scores each loaded member vector against a
-    // whole RUN of queries (≤32) before moving on — classic GEMM
-    // tiling, traffic ÷ run length. mapPartitions is justified as in
-    // the Dedup bucket-local prefilter: the declarative alternative IS
-    // the 10¹⁰-row probes⋈members join this tier replaces, and the
-    // per-row Expression variant was built and measured first
+    // The partition loop is LIST-major (r16): queries drain into
+    // arrays (double-converted once), a per-list CSR of local probers
+    // is built, and each member vector is then converted once and
+    // scored against ALL local queries probing its list. The r15-era
+    // shape sorted queries by probe-set array and batched runs of
+    // identical sets (≤32) — IvfStageProbe measured the mean run
+    // length at sf10 as 1.00 (22-of-448 probe sets are unique per
+    // query), so every member load was a pointer-chasing cache miss
+    // serving ONE query; the kernel A-B (same probe) measured
+    // member-major deep tiling at 6.4× the run-batched shape
+    // (2.0 vs 0.3 GMAC/s single-thread). Here the tile depth is the
+    // list's local prober count (~queries/par · probe/lists — hundreds
+    // at sf10), the member double-convert amortizes across the whole
+    // tile, and the per-list query block (~prober·8·dim bytes) stays
+    // cache-resident. Final heap state is insertion-order-independent
+    // (TopKHeap: total order (score desc, id asc), distinct ids;
+    // entrants always strict-recomputed), so reordering pairs
+    // list-major emits the SAME rows as the query-major loop —
+    // tier-parity specs + the hash-graded oracle pin it.
+    //
+    // mapPartitions is justified as in the Dedup bucket-local
+    // prefilter: the declarative alternative IS the 10¹⁰-row
+    // probes⋈members join this tier replaces, and the per-row
+    // Expression variant was built and measured first
     // (tools/DotLoopProbe + sf10 bench: 48–75 s vs ~13 s batched).
+    // Draining the partition's queries is bounded by construction:
+    // the query frame is the SAME corpus the index-bank budget
+    // admitted, so a partition holds ≤ (admitted bytes)/par of
+    // vectors (~2 MB/task at the 64 MB sf10 bank, 32 tasks).
     val spark = df.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
@@ -639,99 +654,140 @@ object Similarity {
     val assigned = filtered.repartition(par)
       .withColumn("__lists",
         graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), cbank, probe))
-      .sortWithinPartitions("__lists")
       .select(col("query_id"), col("vec"), col("__lists"))
       .as[(Long, Array[Float], Array[Int])]
     Some(assigned.mapPartitions { rows =>
       val b = ibank.value
-      val it = rows.buffered
-      val MaxBatch = 32
-      def nextBatch(): Iterator[(Long, Long, Double, Int)] = {
-        if (!it.hasNext) return null
-        val head = it.next()
-        val lists = head._3
-        val qids = scala.collection.mutable.ArrayBuffer(head._1)
-        val qvecs = scala.collection.mutable.ArrayBuffer(head._2)
-        while (qids.length < MaxBatch && it.hasNext &&
-            java.util.Arrays.equals(it.head._3, lists)) {
-          val r = it.next()
-          qids += r._1
-          qvecs += r._2
-        }
-        val bs = qids.length
-        val sqb = new Array[Double](bs)
-        val heaps = new Array[graft.plans.TopKHeap](bs)
-        var bi = 0
-        while (bi < bs) {
-          val q = qvecs(bi)
+      val qidsB = scala.collection.mutable.ArrayBuilder.make[Long]
+      val qvecsB = scala.collection.mutable.ArrayBuilder.make[Array[Double]]
+      val qlistsB = scala.collection.mutable.ArrayBuilder.make[Array[Int]]
+      rows.foreach { case (id, v, ls) =>
+        val d = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+        qidsB += id
+        qvecsB += d
+        qlistsB += ls
+      }
+      val qids = qidsB.result()
+      val qvecs = qvecsB.result()
+      val qlists = qlistsB.result()
+      val nq = qids.length
+      if (nq == 0) Iterator.empty
+      else {
+        val sqb = new Array[Double](nq)
+        val heaps = new Array[graft.plans.TopKHeap](nq)
+        var qi = 0
+        while (qi < nq) {
+          val q = qvecs(qi)
           var qn = 0.0
           var i = 0
-          while (i < q.length) { val x = q(i).toDouble; qn += x * x; i += 1 }
-          sqb(bi) = math.sqrt(qn)
-          heaps(bi) = new graft.plans.TopKHeap(kk)
-          bi += 1
+          while (i < q.length) { qn += q(i) * q(i); i += 1 }
+          sqb(qi) = math.sqrt(qn)
+          heaps(qi) = new graft.plans.TopKHeap(kk)
+          qi += 1
+        }
+        // CSR: bank-list ordinal -> local prober query indices
+        val nl = b.listIds.length
+        val off = new Array[Int](nl + 1)
+        qi = 0
+        while (qi < nq) {
+          val ls = qlists(qi)
+          var i = 0
+          while (i < ls.length) {
+            val p = java.util.Arrays.binarySearch(b.listIds, ls(i))
+            if (p >= 0) off(p + 1) += 1
+            i += 1
+          }
+          qi += 1
         }
         var li = 0
-        while (li < lists.length) {
-          val range = b.listRange(lists(li))
-          var m = (range >> 32).toInt
-          val end = range.toInt
-          while (m < end) {
-            // member vector loaded once, scored against the whole run
-            val cv = b.vecs(m)
-            val nid = b.ids(m)
-            val sn = b.sqrtNorms(m)
-            bi = 0
-            while (bi < bs) {
-              if (nid != qids(bi)) {
-                val q = qvecs(bi)
-                val lim = math.min(q.length, cv.length)
-                val main = lim - (lim & 3)
-                // 4-accumulator gate dot: breaks the serial FMA chain
-                // for the ~100% of members that cannot enter the heap;
-                // the margin is DIM-SCALED: any summation order of the
-                // same products is within ~2·dim·ε·(√qn·√cn) of the
-                // strict fold (Cauchy–Schwarz bounds Σ|xᵢyᵢ| ≤ nn), so
-                // (1e-13 + 5e-16·dim)·nn dominates the bound at every
-                // dim — a fixed 1e-12 margin would stop dominating
-                // past dim ≈ 4500 and could gate out a true entrant
-                var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
-                var j = 0
-                while (j < main) {
-                  d0 += q(j).toDouble * cv(j).toDouble
-                  d1 += q(j + 1).toDouble * cv(j + 1).toDouble
-                  d2 += q(j + 2).toDouble * cv(j + 2).toDouble
-                  d3 += q(j + 3).toDouble * cv(j + 3).toDouble
-                  j += 4
-                }
-                var fast = (d0 + d1) + (d2 + d3)
-                while (j < lim) { fast += q(j).toDouble * cv(j).toDouble; j += 1 }
-                val nn = sqb(bi) * sn
-                val heap = heaps(bi)
-                if (heap.size < kk ||
-                    fast >= heap.scores(0) * nn - (1e-13 + 5e-16 * lim) * nn) {
-                  // strict left-fold recompute — the bit-parity value
-                  // (the DotProductFF order the oracle replays)
-                  var d = 0.0
+        while (li < nl) { off(li + 1) += off(li); li += 1 }
+        val probers = new Array[Int](off(nl))
+        val fill = java.util.Arrays.copyOf(off, nl)
+        qi = 0
+        while (qi < nq) {
+          val ls = qlists(qi)
+          var i = 0
+          while (i < ls.length) {
+            val p = java.util.Arrays.binarySearch(b.listIds, ls(i))
+            if (p >= 0) { probers(fill(p)) = qi; fill(p) += 1 }
+            i += 1
+          }
+          qi += 1
+        }
+        var cvd = new Array[Double](0)
+        li = 0
+        while (li < nl) {
+          val ps = off(li)
+          val pe = off(li + 1)
+          if (pe > ps) {
+            var m = b.starts(li)
+            val end = b.starts(li + 1)
+            while (m < end) {
+              // member vector converted once, scored against every
+              // local prober of its list
+              val cv = b.vecs(m)
+              if (cvd.length < cv.length) cvd = new Array[Double](cv.length)
+              var j = 0
+              while (j < cv.length) { cvd(j) = cv(j).toDouble; j += 1 }
+              val nid = b.ids(m)
+              val sn = b.sqrtNorms(m)
+              var pi = ps
+              while (pi < pe) {
+                val qi2 = probers(pi)
+                if (nid != qids(qi2)) {
+                  val q = qvecs(qi2)
+                  val lim = math.min(q.length, cv.length)
+                  val main = lim - (lim & 3)
+                  // 4-accumulator gate dot: breaks the serial FMA chain
+                  // for the ~100% of members that cannot enter the
+                  // heap; the margin is DIM-SCALED: any summation
+                  // order of the same products is within
+                  // ~2·dim·ε·(√qn·√cn) of the strict fold
+                  // (Cauchy–Schwarz bounds Σ|xᵢyᵢ| ≤ nn), so
+                  // (1e-13 + 5e-16·dim)·nn dominates the bound at
+                  // every dim — a fixed 1e-12 margin would stop
+                  // dominating past dim ≈ 4500 and could gate out a
+                  // true entrant. float→double is exact, so the
+                  // pre-converted arrays fold to bit-identical values.
+                  var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
                   j = 0
-                  while (j < lim) { d += q(j).toDouble * cv(j).toDouble; j += 1 }
-                  heap.offer(if (nn == 0.0) 0.0 else d / nn, nid)
+                  while (j < main) {
+                    d0 += q(j) * cvd(j)
+                    d1 += q(j + 1) * cvd(j + 1)
+                    d2 += q(j + 2) * cvd(j + 2)
+                    d3 += q(j + 3) * cvd(j + 3)
+                    j += 4
+                  }
+                  var fast = (d0 + d1) + (d2 + d3)
+                  while (j < lim) { fast += q(j) * cvd(j); j += 1 }
+                  val nn = sqb(qi2) * sn
+                  val heap = heaps(qi2)
+                  if (heap.size < kk ||
+                      fast >= heap.scores(0) * nn - (1e-13 + 5e-16 * lim) * nn) {
+                    // strict left-fold recompute — the bit-parity value
+                    // (the DotProductFF order the oracle replays)
+                    var d = 0.0
+                    j = 0
+                    while (j < lim) { d += q(j) * cvd(j); j += 1 }
+                    heap.offer(if (nn == 0.0) 0.0 else d / nn, nid)
+                  }
                 }
+                pi += 1
               }
-              bi += 1
+              m += 1
             }
-            m += 1
           }
           li += 1
         }
-        (0 until bs).iterator.flatMap { i =>
+        (0 until nq).iterator.flatMap { i =>
           val h = heaps(i)
           h.rankedIndices.iterator.zipWithIndex.map { case (x, r) =>
             (qids(i), h.ids(x), h.scores(x), r + 1)
           }
         }
       }
-      Iterator.continually(nextBatch()).takeWhile(_ != null).flatten
     }.toDF("query_id", "neighbor_id", "cosine", "rank"))
   }
 
