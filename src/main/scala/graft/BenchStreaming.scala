@@ -132,8 +132,13 @@ object BenchStreaming {
       .select($"doc_id".cast("long"), $"text").limit(nDocs)
       .as[(Long, String)].collect()
     val ndStream = MemoryStream[(Long, String)]
+    // prePartition: MemoryStream delivers each micro-batch in ONE
+    // partition, serializing the ~78 µs/doc banding kernel (half the
+    // per-doc cost) while the cluster idles — the r16 NearDupPartProbe
+    // A-B-A measured the raw-doc pre-exchange at +27% end-to-end
     val ndOut = StreamNearDup.candidatePairs(
-      ndStream.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      ndStream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      prePartition = spark.sparkContext.defaultParallelism)
     val ndq = ndOut.writeStream.format("noop")
       .option("checkpointLocation", s"$tmp/ckpt_nd")
       .outputMode("append").start()

@@ -974,8 +974,18 @@ object QueriesExt {
   val cuDedupSemantic: Q = (s, d) => {
     val survivors = clusterLabels(s, d)
       .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+    // persisted ONLY across semDedupPairs' construction: the bank
+    // build runs ~4 actions over this frame (rowCount, vecDim, the
+    // seeded-centroid pick, the assignment collect), each otherwise
+    // re-paying the embeddings ⋈ survivors join (SemanticStageProbe
+    // r16: bank-cold 5.6 → 4.4 s at sf10). Unpersisted right after
+    // construction — the admitted scan tier's pair plan never scans
+    // survEmb again (cell ordinals against the broadcast bank), and
+    // the over-budget join-tier fallback just recomputes it at
+    // execution, exactly the pre-persist behavior.
     val survEmb = emb(s, d)
       .join(survivors.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // NOTE: when the semantic contraction takes the DISTRIBUTED CC
     // tier (edge list over Dedup.CcMaxDriverEdgesKey), the returned
     // plan reads its checkpointed frame, so each invocation leaves one
@@ -989,6 +999,7 @@ object QueriesExt {
     // label cache for every later family consumer.
     val pairs = Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
       threshold = NearDupCosine)
+    survEmb.unpersist(false)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
     survivors

@@ -89,13 +89,29 @@ object StreamNearDup {
       .as[BandedDoc]
   }
 
-  /** @param docs streaming DataFrame with `idCol` (long) and `textCol` */
+  /** @param docs streaming DataFrame with `idCol` (long) and `textCol`
+    * @param prePartition when > 0, repartition the RAW doc stream to
+    *   this width before the signature/banding kernels — the streaming
+    *   edition of the r15 kernels-below-exchange fix. A micro-batch
+    *   inherits its SOURCE's partitioning (one partition for
+    *   MemoryStream, topic-partition count for Kafka), so the
+    *   per-doc minhash kernel (~78 µs/doc, half the pipeline per the
+    *   r15 StreamProbe split) can serialize on a narrow source while
+    *   the cluster idles. The added exchange carries raw (id, text)
+    *   once; the banded exchange into the state stores is unchanged.
+    *   Left 0 (off) by default: a source already as wide as the
+    *   cluster gains nothing and would pay a pure-overhead text
+    *   shuffle — the same gate reasoning as the batch operators'
+    *   `getNumPartitions < defaultParallelism` check, which a static
+    *   streaming plan cannot evaluate per batch.
+    */
   def candidatePairs(docs: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 8, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 1000,
-      idleEvictMs: Long = 0L): Dataset[CandidatePair] = {
+      idleEvictMs: Long = 0L, prePartition: Int = 0): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    val banded = bandedDocs(docs, textCol, idCol, shingleLen, numHashes, bands)
+    val src = if (prePartition > 0) docs.repartition(prePartition) else docs
+    val banded = bandedDocs(src, textCol, idCol, shingleLen, numHashes, bands)
     val timeoutMode =
       if (idleEvictMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout

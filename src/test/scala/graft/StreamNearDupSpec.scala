@@ -89,6 +89,30 @@ class StreamNearDupSpec extends SparkSuite {
       s"stream+verify != batch: extra=${verified -- batch} missing=${batch -- verified}")
   }
 
+  test("prePartition variant emits the same pairs as the unpartitioned stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(pre: Int, name: String): Set[(Long, Long)] = {
+      val stream = MemoryStream[(Long, String)]
+      val out = StreamNearDup.candidatePairs(
+        stream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        prePartition = pre)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      stream.addData(docs(0), docs(2))
+      q.processAllAvailable()
+      stream.addData(docs(1), docs(3))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val plain = run(0, "ndpp_plain")
+    val pre = run(8, "ndpp_pre")
+    assert(pre == plain,
+      s"prePartition changed pairs: extra=${pre -- plain} missing=${plain -- pre}")
+    assert(plain.nonEmpty)
+  }
+
   test("redelivery of a doc that arrived while saturated does not re-emit") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
