@@ -377,6 +377,76 @@ object QueriesExt {
        |SELECT doc_id, term, score, CAST(rn AS INT) AS rank
        |FROM r WHERE rn <= $TfidfK ORDER BY doc_id, rank""".stripMargin
 
+  /** Per-document unigram surprisal score (r16) — the corpus-LM quality
+    * signal (CCNet-style) a training pipeline runs to rank documents by
+    * how "surprising" their tokens are under the corpus unigram
+    * distribution. Graded form uses the RATIONAL inverse probability
+    * tot/n (not −log p): transcendental functions are the one place
+    * Spark's and DuckDB's doubles can drift by an ulp (the tx_tfidf
+    * precedent), the log is monotone so ranking is unchanged, and every
+    * arithmetic step stays an IEEE-exact-parity divide/multiply/add.
+    * Per-doc mean = Σᵢ cᵢ·(tot/nᵢ) / m folded over the doc's terms in
+    * ascending (nᵢ, cᵢ) order on both engines (Spark: sort_array over
+    * two-long structs + sequential aggregate(); DuckDB:
+    * list(… ORDER BY n, c) + list_reduce — first-element seed ≡ the
+    * 0.0-seeded left fold for positive addends). (n, c) ties are
+    * bitwise-identical addends (the addend is a pure function of the
+    * pair), so the shared order is total where it matters and the
+    * double sum is bit-identical — and unlike a term-ordered fold, the
+    * term STRING never crosses the per-doc exchange or sits in the
+    * aggregation state (an early string-struct variant drew 4–16 s
+    * GC-noise passes at sf10; the two-long state is stable).
+    *
+    * Scale: per-(doc, term) counts come out of the scan
+    * ([[graft.plans.TermFrequencies]] — no corpus-sized string
+    * exchange); the vocabulary aggregate is map-side combined
+    * (vocab-sized exchange) and AQE broadcasts its join-back at real
+    * vocabularies; the per-doc regroup is the one corpus-sized
+    * exchange — the same class as the standard distributed tf·idf.
+    */
+  val txSurprisal: Q = (s, d) => {
+    val rawDocs = docs(s, d).select(col("doc_id"), col("text"))
+    val par = s.sparkContext.defaultParallelism
+    val docsPar =
+      if (rawDocs.rdd.getNumPartitions < par) rawDocs.repartition(par)
+      else rawDocs
+    val c = docsPar.select(col("doc_id"),
+      graft.plans.GraftFunctions.termFrequencies(col("text")).as("tf"))
+      .select(col("doc_id"),
+        aggregate(col("tf"), lit(0L), (acc, x) => acc + x.getField("c")).as("m"),
+        explode(col("tf")).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.c").as("c"), col("m"))
+    val vocab = c.groupBy("term").agg(sum(col("c")).cast("long").as("n"))
+    val tot = vocab.agg(sum(col("n")).cast("long").as("tot"))
+    c.join(vocab, Seq("term"))
+      .select(col("doc_id"), col("m"), col("n"), col("c"))
+      .groupBy("doc_id")
+      .agg(max(col("m")).cast("long").as("n_tokens"),
+        sort_array(collect_list(struct(col("n"), col("c")))).as("l"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("l"), lit(0.0), (acc, e) =>
+          acc + e.getField("c").cast("double") *
+            (col("tot").cast("double") / e.getField("n").cast("double"))) /
+          col("n_tokens").cast("double")).as("mean_inv_prob"))
+      .orderBy("doc_id")
+  }
+  val txSurprisalSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+      |c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS m FROM c GROUP BY 1),
+      |v AS (SELECT term, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM v),
+      |ip AS (SELECT c.doc_id,
+      |    CAST(c.c AS DOUBLE) * (CAST(t.tot AS DOUBLE) / CAST(v.n AS DOUBLE)) AS ip,
+      |    v.n AS n, c.c AS c
+      |  FROM c JOIN v USING (term) CROSS JOIN t),
+      |g AS (SELECT doc_id, list(ip ORDER BY n, c) AS l FROM ip GROUP BY doc_id)
+      |SELECT g.doc_id, m.m AS n_tokens,
+      |  list_reduce(g.l, (a, x) -> a + x) / CAST(m.m AS DOUBLE) AS mean_inv_prob
+      |FROM g JOIN m USING (doc_id) ORDER BY g.doc_id""".stripMargin
+
   /** Deterministic mixture downsampling: equalize SOURCE token shares by
     * keeping each doc of an over-represented source with probability
     * rate = min(1, total/(k·source_tokens)) — the data-mixing step of a

@@ -91,6 +91,7 @@ object SparkEntry {
     "tx_winnow" -> QueriesExt.txWinnow,
     "tx_vocab" -> QueriesExt.txVocab,
     "tx_tfidf" -> QueriesExt.txTfidf,
+    "tx_surprisal" -> QueriesExt.txSurprisal,
     "tx_redact" -> QueriesExt.txRedact,
     // dedup
     "dd_exact_keep" -> QueriesExt.ddExactKeep,
@@ -207,6 +208,7 @@ object SparkEntry {
     "tx_winnow" -> QueriesExt.txWinnowSql,
     "tx_vocab" -> QueriesExt.txVocabSql,
     "tx_tfidf" -> QueriesExt.txTfidfSql,
+    "tx_surprisal" -> QueriesExt.txSurprisalSql,
     "tx_redact" -> QueriesExt.txRedactSql,
     "cu_mix_sample" -> QueriesExt.cuMixSampleSql,
     "cu_dedup_pipeline" -> QueriesExt.cuDedupPipelineSql,

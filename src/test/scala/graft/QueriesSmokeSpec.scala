@@ -15,6 +15,26 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("tx_surprisal: rare-token docs score higher, common-token docs lower") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("surprisal").toString
+    // "the" dominates the corpus; doc 3 holds corpus-unique tokens
+    Seq(
+      (1L, "the the the the", "a"),
+      (2L, "the the the cat", "a"),
+      (3L, "zq xv bw yk", "a"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesExt.txSurprisal(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2) == Seq(4L, 4L, 4L))
+    val byDoc = got.map(g => g._1 -> g._3).toMap
+    // inverse probability: common "the" → low, unique tokens → high (= tot)
+    assert(byDoc(1L) < byDoc(2L) && byDoc(2L) < byDoc(3L), s"got $byDoc")
+    assert(byDoc(3L) == 12.0, s"unique-token doc should score tot=12, got ${byDoc(3L)}")
+  }
+
   test("all queries run at sf0.001 and are non-degenerate") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf001).count()
