@@ -35,6 +35,28 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(byDoc(3L) == 12.0, s"unique-token doc should score tot=12, got ${byDoc(3L)}")
   }
 
+  test("tx_surprisal edges: empty/null-text docs drop, single-token doc scores tot/n") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("surprisal_edge").toString
+    Seq(
+      (1L, "hello hello world", "a"),
+      (2L, "", "a"),              // zero tokens -> no output row
+      (3L, null: String, "a"),    // null text -> no output row
+      (4L, "hello", "a"))         // single token
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesExt.txSurprisal(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Seq(1L, 4L), s"empty/null docs must drop: $got")
+    // corpus: hello x3, world x1, tot = 4
+    // doc 1: (2*(4/3) + 1*(4/1)) / 3 ; doc 4: (1*(4/3)) / 1
+    val d1 = (2.0 * (4.0 / 3.0) + 1.0 * (4.0 / 1.0)) / 3.0
+    val d4 = 4.0 / 3.0
+    val byDoc = got.map(g => g._1 -> g._3).toMap
+    assert(byDoc(1L) == d1 && byDoc(4L) == d4, s"got $byDoc expected ($d1, $d4)")
+    assert(got.map(_._2) == Seq(3L, 1L))
+  }
+
   test("all queries run at sf0.001 and are non-degenerate") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf001).count()
