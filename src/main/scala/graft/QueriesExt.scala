@@ -485,6 +485,63 @@ object QueriesExt {
       |  < r.rate * 16777216.0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Temperature-smoothed mixture sampling at α = 1/2 (r16) — the
+    * standard multilingual/multi-source sampling op (mT5/XLM-R style):
+    * target source share qᵢ ∝ pᵢ^α flattens the mixture without
+    * equalizing it (cu_mix_sample is the α→0 limit; α=1 is identity).
+    * α = 1/2 keeps the whole computation bit-exact across engines:
+    * pᵢ^0.5 is IEEE-correctly-rounded sqrt on both, the k-source
+    * normalizer Σ√pⱼ folds in ascending source order (the
+    * tx_surprisal fold device — sort_array + sequential aggregate() vs
+    * list(… ORDER BY source) + list_reduce), and the keep decision is
+    * the deterministic md5 fraction (the o3_sample device), so replays
+    * and the oracle agree row-for-row.
+    *
+    * Scale: one partial-agg shuffle for per-source totals (k rows),
+    * everything else broadcasts; the corpus itself never shuffles —
+    * a scan-side filter, same posture as cu_mix_sample.
+    */
+  val cuTemperatureSample: Q = (s, d) => {
+    val dd = docs(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val st = dd.groupBy("source").agg(sum(col("n_tokens")).as("st"))
+    val tot = st.agg(sum(col("st")).as("tot"))
+    val w = st.crossJoin(broadcast(tot))
+      .select(col("source"), col("st"), col("tot"),
+        sqrt(col("st").cast("double") / col("tot").cast("double")).as("w"))
+    val wsum = w.agg(
+      aggregate(sort_array(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, e) => acc + e.getField("w")).as("wsum"))
+    val rates = w.crossJoin(broadcast(wsum)).select(col("source"),
+      least(lit(1.0),
+        col("w") / col("wsum") * col("tot").cast("double") /
+          col("st").cast("double")).as("rate"))
+    dd.join(broadcast(rates), Seq("source"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") < col("rate") * lit(16777216.0))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"))
+      .orderBy("doc_id")
+  }
+  val cuTemperatureSampleSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT source, SUM(n_tokens) AS st FROM d GROUP BY 1),
+      |t AS (SELECT SUM(st) AS tot FROM s),
+      |w AS (SELECT source, st, tot,
+      |    sqrt(CAST(st AS DOUBLE) / CAST(tot AS DOUBLE)) AS w
+      |  FROM s CROSS JOIN t),
+      |ws AS (SELECT list_reduce(list(w ORDER BY source), (a, x) -> a + x) AS wsum
+      |  FROM w),
+      |r AS (SELECT source,
+      |    least(1.0, w / wsum * CAST(tot AS DOUBLE) / CAST(st AS DOUBLE)) AS rate
+      |  FROM w CROSS JOIN ws)
+      |SELECT d.doc_id, d.source, d.n_tokens, r.rate
+      |FROM d JOIN r USING (source)
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+      |  < r.rate * 16777216.0
+      |ORDER BY d.doc_id""".stripMargin
+
   /** PII-style scrubbing: redact emails / URLs / IPv4s with typed
     * placeholders and report per-doc hit counts — the standard
     * training-corpus hygiene pass. Patterns use only constructs Java

@@ -125,6 +125,7 @@ object SparkEntry {
     "cu_token_mix" -> QueriesExt.cuTokenMix,
     "cu_pack" -> QueriesExt.cuPack,
     "cu_mix_sample" -> QueriesExt.cuMixSample,
+    "cu_temperature_sample" -> QueriesExt.cuTemperatureSample,
     "cu_dedup_pipeline" -> QueriesExt.cuDedupPipeline,
     "cu_dedup_semantic" -> QueriesExt.cuDedupSemantic,
     "cu_quality_threshold" -> QueriesExt.cuQualityThreshold,
@@ -211,6 +212,7 @@ object SparkEntry {
     "tx_surprisal" -> QueriesExt.txSurprisalSql,
     "tx_redact" -> QueriesExt.txRedactSql,
     "cu_mix_sample" -> QueriesExt.cuMixSampleSql,
+    "cu_temperature_sample" -> QueriesExt.cuTemperatureSampleSql,
     "cu_dedup_pipeline" -> QueriesExt.cuDedupPipelineSql,
     "cu_dedup_semantic" -> QueriesExt.cuDedupSemanticSql,
     "cu_quality_threshold" -> QueriesExt.cuQualityThresholdSql,

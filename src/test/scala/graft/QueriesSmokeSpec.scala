@@ -57,6 +57,26 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(got.map(_._2) == Seq(3L, 1L))
   }
 
+  test("cu_temperature_sample: alpha=1/2 flattens without equalizing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tempsample").toString
+    // source a: 90% of tokens, source b: 10% — alpha=1/2 targets
+    // sqrt(.9)/(sqrt(.9)+sqrt(.1)) ~= 0.75 of tokens for a
+    val docs = (1L to 90L).map(i => (i, "w " * 10, "a")) ++
+      (91L to 100L).map(i => (i, "w " * 10, "b"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rates = QueriesExt.cuTemperatureSample(spark, dir)
+      .select("source", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wa = math.sqrt(0.9); val wb = math.sqrt(0.1)
+    val expA = (wa / (wa + wb)) / 0.9  // target share / current share
+    assert(math.abs(rates("a") - expA) < 1e-12, s"got $rates expected a=$expA")
+    assert(rates("b") == 1.0, s"under-represented source must keep all: $rates")
+    // flattened, not equalized: a's rate above the equalize rate (1/(2*.9))
+    assert(rates("a") > 1.0 / (2 * 0.9) && rates("a") < 1.0)
+  }
+
   test("all queries run at sf0.001 and are non-degenerate") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf001).count()
