@@ -1124,9 +1124,12 @@ object QueriesExt {
     // NOT Dedup.release: the plan also composes over the SHARED
     // clusterLabels checkpoint, and an unscoped release would poison the
     // label cache for every later family consumer.
-    val pairs = Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
-      threshold = NearDupCosine)
-    survEmb.unpersist(false)
+    // finally: an enforce-mode advisory reject (or any construction
+    // failure) must not leave the frame pinned in a long-lived session
+    val pairs =
+      try Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
+        threshold = NearDupCosine)
+      finally survEmb.unpersist(false)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
     survivors
