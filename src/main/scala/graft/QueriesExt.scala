@@ -19,6 +19,15 @@ object QueriesExt {
 
   // ---------------------------------------------------------------- text analysis
 
+  /** The two token currencies as DuckDB count expressions — whitespace
+    * \S+ runs and the BPE-ish subword proxy (same regex as
+    * [[TextAnalysis.subwordCount]]'s single-pass scan). One constant
+    * each so every oracle that counts tokens shares the exact pattern.
+    */
+  val CountTokensSql = """len(regexp_extract_all(text, '\S+'))"""
+  val CountSubwordsSql =
+    """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))"""
+
   val txTokenCount: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -485,62 +494,121 @@ object QueriesExt {
       |  < r.rate * 16777216.0
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Temperature-smoothed mixture sampling at α = 1/2 (r16) — the
-    * standard multilingual/multi-source sampling op (mT5/XLM-R style):
-    * target source share qᵢ ∝ pᵢ^α flattens the mixture without
+  /** Temperature-smoothed mixture sampling (r16; α generalized r17) —
+    * the standard multilingual/multi-source sampling op (mT5/XLM-R
+    * style): target source share qᵢ ∝ pᵢ^α flattens the mixture without
     * equalizing it (cu_mix_sample is the α→0 limit; α=1 is identity).
-    * α = 1/2 keeps the whole computation bit-exact across engines:
-    * pᵢ^0.5 is IEEE-correctly-rounded sqrt on both, the k-source
-    * normalizer Σ√pⱼ folds in ascending source order (the
-    * tx_surprisal fold device — sort_array + sequential aggregate() vs
-    * list(… ORDER BY source) + list_reduce), and the keep decision is
-    * the deterministic md5 fraction (the o3_sample device), so replays
-    * and the oracle agree row-for-row.
+    * The graded α grid {1/4, 1/2, 3/4} keeps the whole computation
+    * bit-exact across engines: each weight is a COMPOSITION of
+    * IEEE-correctly-rounded sqrts and products evaluated in the same
+    * order on both engines (p^½ = sqrt p, p^¼ = sqrt∘sqrt p,
+    * p^¾ = sqrt p · sqrt∘sqrt p — cross-engine parity needs identical
+    * double OPS, not a correctly-rounded pow), the k-source normalizer
+    * Σ wⱼ folds in ascending source order (the tx_surprisal fold
+    * device — sort_array + sequential aggregate() vs list(… ORDER BY
+    * source) + list_reduce), and the keep decision is the deterministic
+    * md5 fraction (the o3_sample device), so replays and the oracle
+    * agree row-for-row.
+    *
+    * ARBITRARY α (design note, r17 — why the grid stops at dyadic
+    * α = m/2^k): general pᵅ = exp(α·ln p) and neither exp nor ln nor
+    * pow is required to be correctly rounded by IEEE 754 — Spark
+    * (java.lang.Math, platform-tuned) and DuckDB (libm) legitimately
+    * differ in the last ulp, and a 1-ulp rate difference flips the
+    * `md5 < rate·2²⁴` keep decision for any doc whose 24-bit hash
+    * fraction straddles it — a ROW-SET change, not a hash-formatting
+    * one, so neither hash- nor rows-grading survives. Two honest
+    * variants if a non-dyadic α is ever needed: (a) rows+schema-graded
+    * with a TOLERANCE comparator — quantize the rate to ~2⁻²⁰ before
+    * the threshold compare on both engines (floor(rate·2²⁰)/2²⁰ —
+    * floor-parity is exact), accepting that the published semantics is
+    * the quantized rate; or (b) rational-approximation α ≈ m/2^k for
+    * k ≤ 6 via repeated-squaring sqrt chains (each step stays
+    * correctly rounded; ~k sqrts + popcount(m) products), which keeps
+    * BIT-exact grading at any dyadic rational — (b) is this grid with
+    * more terms, so the engine exposes the weight builder rather than
+    * hard-coding three vals.
+    *
+    * A zero-token source (st = 0) gets rate 1.0 EXPLICITLY — it
+    * contributes no tokens to the budget, so nothing needs
+    * downsampling; without the guard the rate expression is
+    * 0/wsum·tot/0 = NaN and the keep-all outcome would rest on both
+    * engines ordering NaN above all doubles (ADVICE r16).
     *
     * Scale: one partial-agg shuffle for per-source totals (k rows),
     * everything else broadcasts; the corpus itself never shuffles —
     * a scan-side filter, same posture as cu_mix_sample.
+    *
+    * `tokens` picks the budget currency (ask-5 r17): whitespace \S+
+    * or the BPE-ish subword proxy ([[TextAnalysis.subwordCount]]) —
+    * whitespace counts skew per-language shares (CJK-style scripts
+    * tokenize to few huge "words"), which is the exact bias
+    * temperature sampling exists to manage.
     */
-  val cuTemperatureSample: Q = (s, d) => {
-    val dd = docs(s, d).select(col("doc_id"), col("source"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-    val st = dd.groupBy("source").agg(sum(col("n_tokens")).as("st"))
-    val tot = st.agg(sum(col("st")).as("tot"))
-    val w = st.crossJoin(broadcast(tot))
-      .select(col("source"), col("st"), col("tot"),
-        sqrt(col("st").cast("double") / col("tot").cast("double")).as("w"))
-    val wsum = w.agg(
-      aggregate(sort_array(collect_list(struct(col("source"), col("w")))),
-        lit(0.0), (acc, e) => acc + e.getField("w")).as("wsum"))
-    val rates = w.crossJoin(broadcast(wsum)).select(col("source"),
-      least(lit(1.0),
-        col("w") / col("wsum") * col("tot").cast("double") /
-          col("st").cast("double")).as("rate"))
-    dd.join(broadcast(rates), Seq("source"))
-      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long") < col("rate") * lit(16777216.0))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"))
-      .orderBy("doc_id")
+  private def cuTempSample(weight: Column => Column, weightSql: String => String,
+      tokens: Column => Column = TextAnalysis.tokenCount,
+      tokensSql: String = CountTokensSql): (Q, String) = {
+    val q: Q = (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("source"),
+        tokens(col("text")).as("n_tokens"))
+      val st = dd.groupBy("source").agg(sum(col("n_tokens")).as("st"))
+      val tot = st.agg(sum(col("st")).as("tot"))
+      val w = st.crossJoin(broadcast(tot))
+        .select(col("source"), col("st"), col("tot"),
+          weight(col("st").cast("double") / col("tot").cast("double")).as("w"))
+      val wsum = w.agg(
+        aggregate(sort_array(collect_list(struct(col("source"), col("w")))),
+          lit(0.0), (acc, e) => acc + e.getField("w")).as("wsum"))
+      val rates = w.crossJoin(broadcast(wsum)).select(col("source"),
+        when(col("st") > 0L,
+          least(lit(1.0),
+            col("w") / col("wsum") * col("tot").cast("double") /
+              col("st").cast("double")))
+          .otherwise(lit(1.0)).as("rate"))
+      dd.join(broadcast(rates), Seq("source"))
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") < col("rate") * lit(16777216.0))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"))
+        .orderBy("doc_id")
+    }
+    val p = "CAST(st AS DOUBLE) / CAST(tot AS DOUBLE)"
+    val sql =
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST($tokensSql AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT source, SUM(n_tokens) AS st FROM d GROUP BY 1),
+         |t AS (SELECT SUM(st) AS tot FROM s),
+         |w AS (SELECT source, st, tot,
+         |    ${weightSql(p)} AS w
+         |  FROM s CROSS JOIN t),
+         |ws AS (SELECT list_reduce(list(w ORDER BY source), (a, x) -> a + x) AS wsum
+         |  FROM w),
+         |r AS (SELECT source,
+         |    CASE WHEN st > 0
+         |      THEN least(1.0, w / wsum * CAST(tot AS DOUBLE) / CAST(st AS DOUBLE))
+         |      ELSE 1.0 END AS rate
+         |  FROM w CROSS JOIN ws)
+         |SELECT d.doc_id, d.source, d.n_tokens, r.rate
+         |FROM d JOIN r USING (source)
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+         |  < r.rate * 16777216.0
+         |ORDER BY d.doc_id""".stripMargin
+    (q, sql)
   }
-  val cuTemperatureSampleSql: String =
-    """WITH d AS (SELECT doc_id, source,
-      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
-      |  FROM documents),
-      |s AS (SELECT source, SUM(n_tokens) AS st FROM d GROUP BY 1),
-      |t AS (SELECT SUM(st) AS tot FROM s),
-      |w AS (SELECT source, st, tot,
-      |    sqrt(CAST(st AS DOUBLE) / CAST(tot AS DOUBLE)) AS w
-      |  FROM s CROSS JOIN t),
-      |ws AS (SELECT list_reduce(list(w ORDER BY source), (a, x) -> a + x) AS wsum
-      |  FROM w),
-      |r AS (SELECT source,
-      |    least(1.0, w / wsum * CAST(tot AS DOUBLE) / CAST(st AS DOUBLE)) AS rate
-      |  FROM w CROSS JOIN ws)
-      |SELECT d.doc_id, d.source, d.n_tokens, r.rate
-      |FROM d JOIN r USING (source)
-      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
-      |  < r.rate * 16777216.0
-      |ORDER BY d.doc_id""".stripMargin
+  private val tempA50 = cuTempSample(p => sqrt(p), p => s"sqrt($p)")
+  private val tempA25 = cuTempSample(p => sqrt(sqrt(p)), p => s"sqrt(sqrt($p))")
+  private val tempA75 = cuTempSample(p => sqrt(p) * sqrt(sqrt(p)),
+    p => s"sqrt($p) * sqrt(sqrt($p))")
+  private val tempA50Subword = cuTempSample(p => sqrt(p), p => s"sqrt($p)",
+    tokens = TextAnalysis.subwordCount, tokensSql = CountSubwordsSql)
+  val cuTemperatureSample: Q = tempA50._1
+  val cuTemperatureSampleSql: String = tempA50._2
+  val cuTemperatureSampleA25: Q = tempA25._1
+  val cuTemperatureSampleA25Sql: String = tempA25._2
+  val cuTemperatureSampleA75: Q = tempA75._1
+  val cuTemperatureSampleA75Sql: String = tempA75._2
+  val cuTemperatureSampleSubword: Q = tempA50Subword._1
+  val cuTemperatureSampleSubwordSql: String = tempA50Subword._2
 
   /** PII-style scrubbing: redact emails / URLs / IPv4s with typed
     * placeholders and report per-doc hit counts — the standard
@@ -1843,22 +1911,37 @@ object QueriesExt {
     * of rows and the global-share window runs over that handful, not
     * the corpus.
     */
-  val cuTokenMix: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    docs(s, d).groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("token_share", col("n_tokens").cast("double") /
-        sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
-      .orderBy("lang", "source")
+  /** Both token currencies (r17 ask-5): the whitespace key feeds the
+    * historical mixing dashboards; the subword key is the currency a
+    * real token budget is written in — whitespace under-counts exactly
+    * the punctuation-/digit-dense sources a mixing policy needs to see.
+    */
+  private def cuTokenMixWith(tokens: Column => Column, tokensSql: String)
+      : (Q, String) = {
+    val q: Q = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("token_share", col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+        .orderBy("lang", "source")
+    }
+    val sql =
+      s"""WITH m AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM($tokensSql) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang, source)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+         |FROM m ORDER BY lang, source""".stripMargin
+    (q, sql)
   }
-  val cuTokenMixSql: String =
-    """WITH m AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY lang, source)
-      |SELECT lang, source, n_docs, n_tokens,
-      |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
-      |FROM m ORDER BY lang, source""".stripMargin
+  private val tokenMixWs = cuTokenMixWith(TextAnalysis.tokenCount, CountTokensSql)
+  private val tokenMixSw = cuTokenMixWith(TextAnalysis.subwordCount, CountSubwordsSql)
+  val cuTokenMix: Q = tokenMixWs._1
+  val cuTokenMixSql: String = tokenMixWs._2
+  val cuTokenMixSubword: Q = tokenMixSw._1
+  val cuTokenMixSubwordSql: String = tokenMixSw._2
 
   /** Sequence packing for pretraining batches: documents stream into
     * fixed `PackBudget`-token packs per language in doc_id order, pack
@@ -1875,30 +1958,40 @@ object QueriesExt {
     * prefix and the window stays embarrassingly parallel.
     */
   val PackBudget = 2048L
-  val cuPack: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, d).select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr(s"start_tok div $PackBudget").as("pack_id"),
-        (col("start_tok") % lit(PackBudget)).cast("long").as("pack_offset"))
-      .orderBy("doc_id")
+  private def cuPackWith(tokens: Column => Column, tokensSql: String)
+      : (Q, String) = {
+    val q: Q = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, d).select(col("doc_id"), col("lang"),
+          tokens(col("text")).as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"start_tok div $PackBudget").as("pack_id"),
+          (col("start_tok") % lit(PackBudget)).cast("long").as("pack_offset"))
+        .orderBy("doc_id")
+    }
+    val sql =
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST($tokensSql AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |st AS (SELECT doc_id, lang, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(start_tok // $PackBudget AS BIGINT) AS pack_id,
+         |  CAST(start_tok % $PackBudget AS BIGINT) AS pack_offset
+         |FROM st ORDER BY doc_id""".stripMargin
+    (q, sql)
   }
-  val cuPackSql: String =
-    s"""WITH t AS (SELECT doc_id, lang,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
-       |  FROM documents),
-       |st AS (SELECT doc_id, lang, n_tokens,
-       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
-       |  FROM t)
-       |SELECT doc_id, lang, n_tokens,
-       |  CAST(start_tok // $PackBudget AS BIGINT) AS pack_id,
-       |  CAST(start_tok % $PackBudget AS BIGINT) AS pack_offset
-       |FROM st ORDER BY doc_id""".stripMargin
+  private val packWs = cuPackWith(TextAnalysis.tokenCount, CountTokensSql)
+  private val packSw = cuPackWith(TextAnalysis.subwordCount, CountSubwordsSql)
+  val cuPack: Q = packWs._1
+  val cuPackSql: String = packWs._2
+  val cuPackSubword: Q = packSw._1
+  val cuPackSubwordSql: String = packSw._2
 
   /** Chunk geometry: fixed token windows every `ChunkStride` tokens
     * (8-token overlap) — the context-window packing shape a training

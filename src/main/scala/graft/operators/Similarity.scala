@@ -575,19 +575,35 @@ object Similarity {
   /** The broadcast SCAN tier shared by [[ivfTopK]] and
     * [[ivfSeededTopK]]: when the whole (list → member ids + vectors)
     * inverted file fits the broadcast budget, each query row scans its
-    * probed lists map-side (batched member-major loop, see the body) into a bounded
+    * probed lists map-side (list-major prober-tile loop, see the body)
+    * into a bounded
     * [[graft.plans.TopKHeap]] — the probes⋈assigned candidate join and
     * its ~N·probe·listSize-row stream (2·10⁹ rows / 29 of
     * `sim_ann_ivf`'s 33.8 s at the r11 sf10 soak) never exist. The
     * plan is scan → round-robin exchange of the COMPACT query frame
-    * (parallelism — see the comment in the body) → in-partition sort
-    * by probe set → batched member-major scan loop: no join, no
+    * (parallelism — see the comment in the body) → per-partition
+    * list-major scan: queries drain into driver-side arrays, a per-list
+    * CSR of local probers is built, and each member vector is converted
+    * once and scored against all local queries probing its list (r16 —
+    * the kernel A-B measured 6.4× over the removed r15 probe-set-run
+    * batching, whose mean run length was 1.00). No join, no
     * aggregate, no candidate-volume exchange (plan-guarded), and the
     * emitted rows are bit-identical to the join + [[rankTopK]] path
     * (same assignment expression, same fold order, same heap — the
     * r12 tier-parity spec pins it; the DuckDB oracle hashes it).
     * Over-budget corpora keep the join tier — a 100 TB corpus never
     * broadcasts.
+    *
+    * MEMORY INVARIANT at the drain: the per-partition query arrays
+    * (ids + double-converted vectors + probe lists + one TopKHeap per
+    * query) are bounded BY CONSTRUCTION, not by a runtime check — the
+    * query frame is the same corpus whose inverted file the index-bank
+    * budget just admitted (`maxIndexBroadcastBytes`, ≤256 MB default),
+    * round-robin split over `defaultParallelism` partitions, so a task
+    * holds ≤ admitted-bytes/par ≈ 2·(bank MB)/par in doubles (~4 MB/
+    * task at the 64 MB sf10 bank, 32 tasks). A future caller routing a
+    * DIFFERENT, unadmitted query frame through this tier must add its
+    * own cap: the bound is the corpus≡queries identity, not the loop.
     */
   private def scanTopKWithBank(df: DataFrame, idCol: String, vecCol: String,
       k: Int, probe: Int, centDf: DataFrame,

@@ -77,6 +77,69 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(rates("a") > 1.0 / (2 * 0.9) && rates("a") < 1.0)
   }
 
+  test("cu_temperature_sample alpha grid: smaller alpha flattens harder; " +
+      "composed-sqrt weights are the exact IEEE ops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tempgrid").toString
+    val docs = (1L to 90L).map(i => (i, "w " * 10, "a")) ++
+      (91L to 100L).map(i => (i, "w " * 10, "b"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rateA(q: Queries.Q): Double =
+      q(spark, dir).select("source", "rate").distinct()
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap.apply("a")
+    // the same op sequences the Column expressions run, including the
+    // left-associated rate chain w/wsum*tot/st — exact equality, no eps
+    val (p, pB) = (900.0 / 1000.0, 100.0 / 1000.0)
+    def w25(x: Double) = math.sqrt(math.sqrt(x))
+    def w50(x: Double) = math.sqrt(x)
+    def w75(x: Double) = math.sqrt(x) * math.sqrt(math.sqrt(x))
+    def rate(w: Double => Double): Double = w(p) / (w(p) + w(pB)) * 1000.0 / 900.0
+    val r25 = rateA(QueriesExt.cuTemperatureSampleA25)
+    val r50 = rateA(QueriesExt.cuTemperatureSample)
+    val r75 = rateA(QueriesExt.cuTemperatureSampleA75)
+    assert(r25 == rate(w25))
+    assert(r50 == rate(w50))
+    assert(r75 == rate(w75))
+    // alpha orders the flattening: smaller alpha -> flatter mixture ->
+    // lower keep rate for the over-represented source
+    assert(r25 < r50 && r50 < r75 && r75 < 1.0, s"got $r25 $r50 $r75")
+  }
+
+  test("cu_temperature_sample: zero-token source keeps all at rate 1.0 (specified, not NaN)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tempzero").toString
+    (Seq((1L, "w w w w", "a"), (2L, "w w", "a")) ++
+      Seq((3L, "", "z"), (4L, "", "z")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesExt.cuTemperatureSample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val z = got.filter(_._2 == "z")
+    assert(z.map(_._1).toSet == Set(3L, 4L), s"zero-token docs must all keep: $got")
+    assert(z.forall(_._3 == 1.0), s"zero-token source rate must be exactly 1.0: $z")
+  }
+
+  test("subword token currency: punct/digit-dense text counts higher than whitespace") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("subcur").toString
+    Seq((1L, "plain words here", "en", "a"),
+        (2L, "f(x)=3.14*y;", "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ws = QueriesExt.cuPack(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sw = QueriesExt.cuPackSubword(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ws(1L) == 3L && sw(1L) == 3L)        // plain prose: currencies agree
+    // "f(x)=3.14*y;" -> f ( x ) = 3 . 1 4 * y ; = 12 subwords, 1 \S+ run
+    assert(ws(2L) == 1L && sw(2L) == 12L, s"got ws=$ws sw=$sw")
+    // the mix the two currencies report differs exactly where it should
+    val mixW = QueriesExt.cuTokenMix(spark, dir).collect().head.getLong(3)
+    val mixS = QueriesExt.cuTokenMixSubword(spark, dir).collect().head.getLong(3)
+    assert(mixW == 4L && mixS == 15L)
+  }
+
   test("all queries run at sf0.001 and are non-degenerate") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf001).count()
