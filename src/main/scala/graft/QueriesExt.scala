@@ -1194,9 +1194,21 @@ object QueriesExt {
     // label cache for every later family consumer.
     // finally: an enforce-mode advisory reject (or any construction
     // failure) must not leave the frame pinned in a long-lived session
+    //
+    // CONTENT memo key for the survivor bank (r17 ask #3): survEmb's
+    // plan hash embeds the label CHECKPOINT's RDD identity, so a
+    // label-cache clear/evict used to force a 5.6 s bank rebuild even
+    // with survivor content unchanged. The survivor set is a pure
+    // function of (docs corpus content, label recipe) — clusterLabels
+    // is deterministic — and the bank additionally of (embeddings
+    // content), so those signatures + the recipe constants ARE the
+    // bank identity. semDedupPairs appends its derived list count.
+    val contentKey = s"semsurv1|${corpusSignature(docs(s, d))}|" +
+      s"${graft.operators.CorpusStats.fileSignature(emb(s, d))}|" +
+      s"jt=$JaccardThreshold"
     val pairs =
       try Dedup.semDedupPairs(survEmb, "embedding", "vec_id",
-        threshold = NearDupCosine)
+        threshold = NearDupCosine, memoKey = Some(contentKey))
       finally survEmb.unpersist(false)
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")

@@ -1370,7 +1370,8 @@ object Dedup {
     */
   def semDedupPairs(df: DataFrame, vecCol: String, idCol: String,
       nLists: Int = 0, threshold: Double = 0.45,
-      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame = {
+      maxIndexBroadcastBytes: Long = 256L << 20,
+      memoKey: Option[String] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     val lists = if (nLists > 0) nLists
       else Similarity.ivfListsFor(CorpusStats.rowCount(df),
@@ -1382,8 +1383,16 @@ object Dedup {
     // IVF scan tier uses — the corpus-wide cell self-join never exists.
     // Over-budget and duplicate-id corpora keep the join tier below
     // (the 100 TB path).
+    //
+    // memoKey (r17 ask #3): a content key for the bank memos, supplied
+    // by callers whose `df` lineage crosses a checkpoint (plan-hash
+    // keys are identity-sensitive there — see bankBroadcastFor). The
+    // derived list count is appended: centroids and the inverted file
+    // are functions of (content, lists), and a caller overriding
+    // nLists must not alias the auto-sized bank.
     Similarity.semDedupScanPairs(df, idCol, vecCol, cents, threshold,
-      maxIndexBroadcastBytes).getOrElse {
+      maxIndexBroadcastBytes,
+      memoKey = memoKey.map(k => s"$k|lists=$lists")).getOrElse {
       val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         normSq(col(vecCol)).as("nsq"))
       val (assigned, _) = Similarity.assignAndProbe(withNorm, cents, 1, None)

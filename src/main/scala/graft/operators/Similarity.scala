@@ -833,14 +833,16 @@ object Similarity {
     */
   private[operators] def semDedupScanPairs(df: DataFrame, idCol: String,
       vecCol: String, centDf: DataFrame, threshold: Double,
-      maxIndexBroadcastBytes: Long): Option[DataFrame] = {
+      maxIndexBroadcastBytes: Long,
+      memoKey: Option[String] = None): Option[DataFrame] = {
     if (maxIndexBroadcastBytes <= 0) return None
     val n = CorpusStats.rowCount(df)
     if (n == 0) return None
     val dim = CorpusStats.vecDim(df, vecCol)
     if (ivfIndexBytes(n, dim) > maxIndexBroadcastBytes) return None
-    val cbank = bankBroadcastFor(centDf)
-    val ibankOpt = indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank)
+    val cbank = bankBroadcastFor(centDf, memoKey)
+    val ibankOpt =
+      indexBankBroadcastFor(df, idCol, vecCol, centDf, cbank, memoKey)
     if (ibankOpt.isEmpty) return None
     val ibank = ibankOpt.get
     val spark = df.sparkSession
@@ -1311,11 +1313,27 @@ object Similarity {
       }
     }
 
-  private def bankBroadcastFor(centDf: DataFrame)
+  /** `keyOverride`: a caller-supplied CONTENT key replacing the
+    * plan-hash portion of the memo key (r17 ask #3). The default
+    * plan-hash key is identity-sensitive when the frame's lineage
+    * crosses a checkpoint (a LogicalRDD hashes by RDD instance), so a
+    * recomputed-but-identical upstream — e.g. `clusterLabels` after a
+    * label-cache clear — would force a bank rebuild. A caller that can
+    * PROVE its frame is a pure function of durable inputs (file
+    * signatures + deterministic recipe) passes that proof as the key
+    * and memoizes through lineage churn. applicationId stays in the
+    * key — broadcast validity is per-SparkContext.
+    */
+  private def bankBroadcastFor(centDf: DataFrame,
+      keyOverride: Option[String] = None)
       : org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank] = {
     val sc = centDf.sparkSession.sparkContext
-    val key = s"cb|${sc.applicationId}|${System.identityHashCode(centDf.sparkSession)}|" +
-      s"${centDf.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(centDf)}"
+    val key = keyOverride match {
+      case Some(k) => s"cb|${sc.applicationId}|$k"
+      case None =>
+        s"cb|${sc.applicationId}|${System.identityHashCode(centDf.sparkSession)}|" +
+          s"${centDf.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(centDf)}"
+    }
     memoized(bankCache, key) {
       val bankRows = centDf.select(col("list_id").cast("int"), col("centroid"))
         .collect()
@@ -1351,13 +1369,20 @@ object Similarity {
     */
   private def indexBankBroadcastFor(df: DataFrame, idCol: String, vecCol: String,
       centDf: DataFrame,
-      cbank: org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank])
+      cbank: org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank],
+      keyOverride: Option[String] = None)
       : Option[org.apache.spark.broadcast.Broadcast[graft.plans.IvfIndexBank]] = {
     val sc = df.sparkSession.sparkContext
-    val key = s"ib|${sc.applicationId}|${System.identityHashCode(df.sparkSession)}|" +
-      s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
-      s"$idCol|$vecCol|" +
-      s"${centDf.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(centDf)}"
+    // keyOverride: see [[bankBroadcastFor]] — content key through
+    // checkpoint-lineage churn
+    val key = keyOverride match {
+      case Some(k) => s"ib|${sc.applicationId}|$k|$idCol|$vecCol"
+      case None =>
+        s"ib|${sc.applicationId}|${System.identityHashCode(df.sparkSession)}|" +
+          s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
+          s"$idCol|$vecCol|" +
+          s"${centDf.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(centDf)}"
+    }
     memoized(indexBankCache, key) {
       val rows = df
         .select(col(idCol).as("id"), col(vecCol).as("vec"))

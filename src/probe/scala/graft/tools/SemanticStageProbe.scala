@@ -35,13 +35,17 @@ object SemanticStageProbe {
     val q = graft.SparkEntry.queries("cu_dedup_semantic")
 
     // full cold → full warm → label-cold-only
+    // r17 ask #3: the survivor bank is now CONTENT-keyed (docs+emb file
+    // signatures + recipe), so the label-cold leg re-pays ONLY label
+    // production — the bank memo survives the label-frame churn. Before
+    // r17 this leg re-paid labels + the 5.6 s bank rebuild.
     coldCaches()
     timed("full cu_dedup_semantic (all cold)")(
       q(spark, sfDir).write.format("noop").mode("overwrite").save())
     timed("full cu_dedup_semantic (all warm)")(
       q(spark, sfDir).write.format("noop").mode("overwrite").save())
     QueriesExt.clearClusterLabelCache()
-    timed("full cu_dedup_semantic (label cache cleared only)")(
+    timed("full cu_dedup_semantic (label cold / bank warm)")(
       q(spark, sfDir).write.format("noop").mode("overwrite").save())
 
     // stage splits from cold

@@ -218,6 +218,30 @@ class ScaleOpsSpec extends SparkSuite {
     QueriesExt.clearClusterLabelCache()
   }
 
+  test("survivor bank memo is CONTENT-keyed: survives a label-cache clear (r17)") {
+    import graft.operators.Similarity
+    QueriesExt.clearClusterLabelCache()
+    Similarity.clearIndexBankCache()
+    Similarity.clearBankCache()
+    val first = QueriesExt.cuDedupSemantic(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(first.nonEmpty)
+    val banksAfterFirst = Similarity.indexBankCacheSize
+    val cbanksAfterFirst = Similarity.bankCacheSize
+    assert(banksAfterFirst >= 1, "scan tier must have admitted a bank at sf0.001")
+    // label churn: the labels recompute (new checkpoint identity) but the
+    // survivor CONTENT is unchanged — the bank memo key must hit
+    QueriesExt.clearClusterLabelCache()
+    val second = QueriesExt.cuDedupSemantic(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(second == first)
+    assert(Similarity.indexBankCacheSize == banksAfterFirst,
+      "label-cache clear must NOT force a survivor index-bank rebuild")
+    assert(Similarity.bankCacheSize == cbanksAfterFirst,
+      "label-cache clear must NOT force a survivor centroid-bank rebuild")
+    QueriesExt.clearClusterLabelCache()
+  }
+
   test("releaseDerived frees a composed result's checkpoints but not the shared labels") {
     import org.apache.spark.sql.GraftSqlShim
     QueriesExt.clearClusterLabelCache()
