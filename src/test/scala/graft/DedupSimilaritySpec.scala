@@ -25,6 +25,63 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 0L)
   }
 
+  test("substring dedup: shared >=k-token spans found, merged maximal, self-repeats ignored") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val shared = words("s", 8)            // 8-token shared region (> k)
+    val sharedShort = words("t", 4)       // 4-token region (< k): invisible
+    val d = Seq(
+      // doc 0: unique prefix + shared region + unique suffix
+      (0L, words("a", 6) + " " + shared + " " + words("b", 6)),
+      // doc 1: different unique context, same shared region
+      (1L, words("c", 3) + " " + shared + " " + words("d", 9)),
+      // doc 2: sub-k shared region with doc 3 only — must not mark
+      (2L, words("e", 10) + " " + sharedShort),
+      (3L, words("f", 10) + " " + sharedShort),
+      // doc 4: a k-token run REPEATED WITHIN ITSELF but in no other doc
+      (4L, words("g", 5) + " " + words("g", 5) + " " + words("h", 5)),
+      // doc 5: shorter than k tokens
+      (5L, "x1 x2 x3")).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // only docs 0 and 1 carry a shared span; the 8-token region yields ONE
+    // merged maximal span of len 8 with 8-5+1 = 4 constituent grams
+    assert(spans.toSeq == Seq((0L, 6L, 8L, 4L), (1L, 3L, 8L, 4L)),
+      s"got ${spans.toSeq}")
+    val stats = Dedup.substringDupStats(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(stats.toSeq == Seq((0L, 20L, 8L, 1L), (1L, 20L, 8L, 1L)),
+      s"got ${stats.toSeq}")
+  }
+
+  test("substring dedup: disjoint shared regions stay separate spans; gap <= k merges") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val r1 = words("p", 5); val r2 = words("q", 5)
+    val d = Seq(
+      // two shared regions separated by 7 unique tokens (> k gap: split),
+      (0L, r1 + " " + words("u", 7) + " " + r2),
+      (1L, r1 + " " + words("v", 7) + " " + r2),
+      // and the same two regions separated by 2 tokens in a third pair —
+      // marked positions gap by 2+5 = 7 > k, still split (the gap tokens
+      // are not shared, so the spans must not swallow them)... unless the
+      // bridge itself is shared: docs 4/5 share the FULL concatenation
+      (2L, r2 + " " + words("w", 2) + " " + r1),
+      (3L, r2 + " " + words("w", 2) + " " + r1)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+    // docs 0/1: spans at 0 (len 5) and 12 (len 5)
+    assert(spans(0L) == Seq((0L, 5L), (12L, 5L)), s"got $spans")
+    assert(spans(1L) == Seq((0L, 5L), (12L, 5L)), s"got $spans")
+    // docs 2/3 share their ENTIRE text (12 tokens): one maximal span
+    assert(spans(2L) == Seq((0L, 12L)) && spans(3L) == Seq((0L, 12L)), s"got $spans")
+  }
+
   test("minhash-LSH finds injected near-dups, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleLen = 8, numHashes = 32, bands = 16, threshold = 0.4)

@@ -125,6 +125,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dd_substring: semi-join dictionary marking, no pair join, per-doc windows (r17)") {
+    val plan = planOf("dd_substring")
+    // the whole point: dup-marking is a LINEAR dictionary semi-join —
+    // a hot boilerplate gram never pairs documents
+    assert(plan.contains("LeftSemi"), s"gram marking lost its semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never pair docs:\n$plan")
+    // span assembly parallelizes per document — no global window
+    assert(!plan.contains("Window [") ||
+      "hashpartitioning\\(doc_id".r.findFirstIn(plan).isDefined,
+      s"span windows must partition by doc_id:\n$plan")
+    // the gram TEXT never shuffles: every exchange carries the 16-char
+    // hash / positions, not __toks or a gram string column
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("__toks")),
+      s"token arrays must not cross an exchange:\n$plan")
+  }
+
   test("dd_semdedup: scan tier plans no pair join; over-budget keeps the cell-keyed join") {
     // budget-admitted (r14): the pair enumeration is a map-side scan of
     // the broadcast inverted file — no join node, no cartesian, and the
