@@ -293,13 +293,50 @@ object QueriesExt {
     */
   val SubstringK = 20
   val SubstringMinDocs = 2
-  private def substringCte(k: Int, minDocs: Int): String =
-    s"""toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
-       |pos AS (SELECT doc_id, ts, CAST(u AS INT) AS p
-       |  FROM toks, unnest(range(0, greatest(len(ts) - $k + 1, 0))) t(u)),
-       |grams AS (SELECT doc_id, p,
-       |    substr(md5(array_to_string(ts[p+1:p+$k], ' ')), 1, 16) AS h
-       |  FROM pos),
+
+  /** The exact [[graft.plans.TokenGramHashes]] arithmetic in DuckDB
+    * HUGEINT (the winnow-oracle Duck64 device): per-token Karp-Rabin
+    * over characters (ASCII corpus assumed — ord(char) = byte, same
+    * documented guard as the winnow oracle) → splitmix64 → k-term
+    * gram polynomial with Long-wrap coefficient constants → splitmix64.
+    * Token KR folds via list_reduce with a prepended 0 accumulator;
+    * acc·B stays under 2¹⁰⁵ (B ≈ 2⁴⁰), so no 32-bit splits needed
+    * there — the splitmix products use Duck64.mulmod as usual.
+    */
+  private def substringCte(k: Int, minDocs: Int): String = {
+    import Duck64._
+    val B = 0x100000001b3L
+    val bpow = Iterator.iterate(1L)(_ * B).take(k).toArray
+    val A = u(0x9e3779b97f4a7c15L)
+    val C1 = 0xbf58476d1ce4e5b9L
+    val C2 = 0x94d049bb133111ebL
+    val poly = (0 until k).map(j =>
+      mulmod(s"hs[p + ${1 + j}]", bpow(k - 1 - j)))
+      .mkString("(", "\n      + ", s") % $M")
+    s"""tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+       |tp AS (SELECT doc_id, CAST(u AS INT) AS tp, ts[CAST(u AS INT) + 1] AS t
+       |  FROM tok, unnest(range(0, len(ts))) x(u)),
+       |kr AS (SELECT doc_id, tp,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(t) + 1),
+       |        i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (a, c) -> (a * $B + c) % $M) AS kr
+       |  FROM tp),
+       |s0 AS (SELECT doc_id, tp, (kr + $A) % $M AS z0 FROM kr),
+       |s1 AS (SELECT doc_id, tp, ${mulmod(xorshr("z0", 30), C1)} AS z1 FROM s0),
+       |s2 AS (SELECT doc_id, tp, ${mulmod(xorshr("z1", 27), C2)} AS z2 FROM s1),
+       |th AS (SELECT doc_id, tp, ${xorshr("z2", 31)} AS th FROM s2),
+       |hl AS (SELECT doc_id, list(th ORDER BY tp) AS hs, COUNT(*) AS n
+       |  FROM th GROUP BY doc_id),
+       |gp AS (SELECT doc_id, hs, CAST(u AS INT) AS p
+       |  FROM hl, unnest(range(0, greatest(n - $k + 1, 0))) x(u)),
+       |g0 AS (SELECT doc_id, p,
+       |    $poly AS g
+       |  FROM gp),
+       |g1 AS (SELECT doc_id, p, (g + $A) % $M AS z0 FROM g0),
+       |g2 AS (SELECT doc_id, p, ${mulmod(xorshr("z0", 30), C1)} AS z1 FROM g1),
+       |g3 AS (SELECT doc_id, p, ${mulmod(xorshr("z1", 27), C2)} AS z2 FROM g2),
+       |grams AS (SELECT doc_id, p, ${xorshr("z2", 31)} AS h FROM g3),
        |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
        |  GROUP BY h HAVING COUNT(*) >= $minDocs),
        |m AS (SELECT doc_id, p FROM grams JOIN dup USING (h)),
@@ -313,6 +350,7 @@ object QueriesExt {
        |    CAST(MAX(p) + $k - MIN(p) AS BIGINT) AS span_len,
        |    CAST(COUNT(*) AS BIGINT) AS n_grams
        |  FROM seg GROUP BY doc_id, s)""".stripMargin
+  }
   val ddSubstring: Q = (s, d) =>
     Dedup.substringDupSpans(docs(s, d), "text", "doc_id",
       k = SubstringK, minDocFreq = SubstringMinDocs)

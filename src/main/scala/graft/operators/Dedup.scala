@@ -146,36 +146,40 @@ object Dedup {
     * shuffle-friendly equivalent (each repeat of length ≥ k contains
     * a length-k gram, and merging recovers maximality).
     *
-    * Scale shape — LINEAR, never all-pairs: grams carry a 64-bit hex
-    * md5 prefix (identical in SQL, so the oracle replays collisions if
-    * any), the duplicated-gram dictionary is one map-side-combined
-    * distinct + count, and marking is a SHUFFLE-HASH LEFT-SEMI join of
-    * the gram stream against that dictionary — a hot boilerplate gram
-    * in a million docs adds one dictionary row and never pairs
-    * documents (no quadratic blow-up to cap, unlike fingerprint-
-    * overlap pairing). Span assembly is two windows partitioned by
-    * doc_id (per-doc data, embarrassingly parallel). Total movement:
-    * two token-scale exchanges (dictionary grouping + semi-join) of
-    * (doc_id, pos, 16-char hash) rows — ~k× smaller than shuffling the
-    * gram TEXT, which never leaves the scan.
+    * Scale shape — LINEAR, never all-pairs: grams carry a 64-bit
+    * rolling token-KR hash computed in ONE byte scan per document
+    * ([[graft.plans.TokenGramHashes]] — no token array, no gram-string
+    * copies, no md5; exact mod-2⁶⁴ arithmetic the SQL oracle replays
+    * bit-for-bit), and dup-marking is a WINDOW pass over the gram
+    * stream partitioned by hash: dense_rank over doc_id + its max =
+    * distinct-doc count per gram, so the whole mark is one exchange of
+    * (doc_id, pos, hash64) rows — a hot boilerplate gram in a million
+    * docs lengthens one partition's run and never pairs documents (no
+    * quadratic blow-up to cap, unlike fingerprint-overlap pairing).
+    * The r17 probe attributed the first-cut formulation (md5 of joined
+    * gram strings, distinct+count dictionary, shuffle-hash semi-join —
+    * TWO gram passes and THREE corpus-scale exchanges carrying 16-char
+    * string keys): sf10 isolated 74 s; this shape replays the same
+    * semantics at one pass + one mark exchange on long keys. Span
+    * assembly is two windows partitioned by doc_id (per-doc data,
+    * embarrassingly parallel).
     */
   def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int, minDocFreq: Int = 2): DataFrame = {
     require(k >= 2, s"substring span width must be >= 2 tokens, got $k")
-    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val grams = df
-      .select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .filter(size(col("__toks")) >= k)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("__toks")) - k),
-          i => substring(
-            md5(array_join(slice(col("__toks"), i + lit(1), lit(k)), " ")
-              .cast("binary")), 1, 16))).as(Seq("pos", "h")))
-    val dupGrams = grams.select(col("h"), col("doc_id")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocFreq).select("h")
-    val marked = grams.join(dupGrams.hint("shuffle_hash"), Seq("h"), "left_semi")
+    val grams = df.select(col(idCol).as("doc_id"),
+      posexplode(graft.plans.GraftFunctions.tokenGramHashes(col(textCol), k))
+        .as(Seq("pos", "h")))
+    // distinct-doc count per gram WITHOUT a second exchange or a
+    // dictionary join: dense_rank over doc_id within the hash partition
+    // rises once per distinct doc, and its partition max is the count —
+    // both windows share one hashpartitioning(h) exchange
+    val byH = Window.partitionBy("h").orderBy("doc_id")
+    val marked = grams
+      .withColumn("__r", dense_rank().over(byH))
+      .withColumn("__nd", max(col("__r")).over(Window.partitionBy("h")))
+      .filter(col("__nd") >= minDocFreq)
+      .select(col("doc_id"), col("pos"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val spans = marked
       .withColumn("__gap",

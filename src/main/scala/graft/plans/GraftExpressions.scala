@@ -619,6 +619,70 @@ case class Winnow(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Rolling k-TOKEN-gram hashes for exact substring dedup
+  * ([[graft.operators.Dedup.substringDupSpans]]): element p is a
+  * 64-bit hash of the k whitespace-tokens starting at token position p
+  * (array length = numTokens − k + 1; empty below k tokens).
+  *
+  * ONE byte scan per document: tokens are maximal non-`\s` byte runs
+  * ([[TextScan]]'s ASCII `\s` contract — multi-byte UTF-8 bytes are
+  * all non-space, so boundaries equal the regex tokenizer's), each
+  * token hashes as splitmix64(Karp-Rabin over its bytes), and gram
+  * hashes ROLL over the token-hash sequence (g·B + tokenHash mod 2⁶⁴,
+  * de-rolled at the left edge) with a final splitmix64 — no token
+  * array, no gram-string materialization (the md5-of-joined-slice
+  * formulation this replaced copied every token ~k times and hashed
+  * ~150-byte strings: 10 s/pass at sf10 vs ~1 s for this scan, and it
+  * was paid once per plan branch). Exact mod-2⁶⁴ wraparound arithmetic
+  * by construction (Java semantics, no ANSI overflow), replayed
+  * bit-for-bit by the DuckDB oracle via the winnow HUGEINT device —
+  * ASCII corpus assumed there, same documented guard as the winnow
+  * oracle.
+  */
+case class TokenGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2, s"token gram width must be >= 2, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val B = 0x100000001b3L
+    // token hashes, single pass
+    val th = scala.collection.mutable.ArrayBuilder.make[Long]
+    th.sizeHint(bytes.length / 6 + 1)
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && TextScan.isSpacePublic(bytes(i))) i += 1
+      if (i < bytes.length) {
+        var h = 0L
+        while (i < bytes.length && !TextScan.isSpacePublic(bytes(i))) {
+          h = h * B + (bytes(i) & 0xffL)
+          i += 1
+        }
+        th += Hash64.splitmix64(h)
+      }
+    }
+    val hs = th.result()
+    val n = hs.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    var bk = 1L
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    val out = new Array[Long](n)
+    var g = 0L
+    j = 0
+    while (j < k) { g = g * B + hs(j); j += 1 }
+    out(0) = Hash64.splitmix64(g)
+    var p = 1
+    while (p < n) {
+      g = (g - hs(p - 1) * bk) * B + hs(p + k - 1)
+      out(p) = Hash64.splitmix64(g)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Bit-pool hyperplane LSH buckets: ONE `poolBits`-bit hyperplane
   * sketch per vector (the expensive part — `poolBits` signed
   * projections against a precomputed ±1 matrix), then `tables` bucket
@@ -1316,6 +1380,8 @@ object GraftFunctions {
     col(HyperplaneSig(e(vec), nBits, seed))
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
     col(Winnow(e(text), k, w))
+  def tokenGramHashes(text: Column, k: Int): Column =
+    col(TokenGramHashes(e(text), k))
   def hashedShingleSet(shingles: Column, seed: Long = DefaultSeed): Column =
     col(HashedShingleSet(e(shingles), seed))
   def hashedCharShingles(text: Column, n: Int, stride: Int = 1,

@@ -125,23 +125,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("dd_substring: semi-join dictionary marking, no pair join, per-doc windows (r17)") {
+  test("dd_substring: join-free window marking, one gram pass, per-doc spans (r17)") {
     val plan = planOf("dd_substring")
-    // the whole point: dup-marking is a LINEAR dictionary semi-join —
-    // a hot boilerplate gram never pairs documents
-    assert(plan.contains("LeftSemi"), s"gram marking lost its semi-join:\n$plan")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"substring dedup must never pair docs:\n$plan")
-    // span assembly parallelizes per document — no global window
-    assert(!plan.contains("Window [") ||
-      "hashpartitioning\\(doc_id".r.findFirstIn(plan).isDefined,
-      s"span windows must partition by doc_id:\n$plan")
-    // the gram TEXT never shuffles: every exchange carries the 16-char
-    // hash / positions, not __toks or a gram string column
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("__toks")),
-      s"token arrays must not cross an exchange:\n$plan")
+    // dup-marking is a WINDOW over the single gram pass — no join of
+    // any kind exists, so a hot boilerplate gram can never pair docs
+    // (the first-cut dictionary semi-join shape re-extracted grams per
+    // branch: 74 s sf10 isolated; this one-pass shape replaced it)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"substring dedup must be join-free:\n$plan")
+    // exactly one corpus-scale mark exchange (by gram hash) + the
+    // per-doc span exchange; grams are generated ONCE
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges (h mark + doc_id spans), got $hashEx:\n$plan")
+    assert("hashpartitioning\\(h#".r.findFirstIn(plan).isDefined &&
+      "hashpartitioning\\(doc_id#".r.findFirstIn(plan).isDefined,
+      s"exchanges must be the h mark and doc_id span partitionings:\n$plan")
+    val generates = "\\bGenerate\\b".r.findAllIn(plan).size
+    assert(generates == 1, s"gram stream must be generated once, got $generates:\n$plan")
   }
 
   test("dd_semdedup: scan tier plans no pair join; over-budget keeps the cell-keyed join") {

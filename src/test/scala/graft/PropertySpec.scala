@@ -106,6 +106,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("TokenGramHashes equals the naive tokenize->hash->poly reference (batched)") {
+    // the single-pass byte scan (token boundaries, per-token KR,
+    // rolling de-roll) against a direct reimplementation from the
+    // regex tokenizer — arbitrary ASCII incl. leading/trailing/multi
+    // whitespace, short docs, k-boundary lengths
+    val k = 4
+    def reference(s: String): Seq[Long] = {
+      val B = 0x100000001b3L
+      val th = "\\S+".r.findAllIn(s).toArray.map { t =>
+        Hash64.splitmix64(
+          t.getBytes("UTF-8").foldLeft(0L)((h, b) => h * B + (b & 0xffL)))
+      }
+      (0 to th.length - k).map { p =>
+        Hash64.splitmix64(
+          (0 until k).foldLeft(0L)((g, j) => g * B + th(p + j)))
+      }
+    }
+    val wsGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.choose(33, 126).map(_.toChar),
+      2 -> Gen.const(' '), 1 -> Gen.const('\t'), 1 -> Gen.const('\n')))
+      .map(_.mkString.take(120))
+    check(Prop.forAll(Gen.listOfN(20, wsGen)) { texts =>
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select($"id", graft.plans.GraftFunctions.tokenGramHashes($"text", k).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      texts.zipWithIndex.forall { case (t, i) => got(i.toLong) == reference(t) }
+    })
+  }
+
   test("Hash64 is deterministic, seed-sensitive, well-spread") {
     check(Prop.forAll(Gen.alphaNumStr, Gen.long) { (s, seed) =>
       Hash64.utf8(UTF8String.fromString(s), seed) ==
