@@ -359,6 +359,33 @@ object QueriesExt {
     s"""WITH ${substringCte(SubstringK, SubstringMinDocs)}
        |SELECT doc_id, span_start, span_len, n_grams
        |FROM spans ORDER BY doc_id, span_start""".stripMargin
+  /** The trim curation step over the same span machinery — duplicated
+    * spans excised corpus-wide ([[Dedup.substringTrim]] documents the
+    * policy choice and the scale shape).
+    */
+  val cuTrimSubstring: Q = (s, d) =>
+    Dedup.substringTrim(docs(s, d), "text", "doc_id",
+      k = SubstringK, minDocFreq = SubstringMinDocs)
+      .orderBy("doc_id")
+  lazy val cuTrimSubstringSql: String =
+    s"""WITH ${substringCte(SubstringK, SubstringMinDocs)},
+       |sl AS (SELECT doc_id, list(struct_pack(s := span_start, l := span_len)) AS sp
+       |  FROM spans GROUP BY doc_id),
+       |tr AS (SELECT t.doc_id, t.ts,
+       |    COALESCE(sl.sp, CAST([] AS STRUCT(s BIGINT, l BIGINT)[])) AS sp
+       |  FROM tok t LEFT JOIN sl USING (doc_id)),
+       |kp AS (SELECT doc_id,
+       |    list_transform(
+       |      list_filter(range(0, len(ts)),
+       |        i -> len(list_filter(sp, s -> i >= s.s AND i < s.s + s.l)) = 0),
+       |      i -> ts[CAST(i AS INT) + 1]) AS kept,
+       |    len(ts) AS nt
+       |  FROM tr)
+       |SELECT doc_id, array_to_string(kept, ' ') AS trimmed,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(nt - len(kept) AS BIGINT) AS n_removed
+       |FROM kp ORDER BY doc_id""".stripMargin
+
   val ddSubstringStats: Q = (s, d) =>
     Dedup.substringDupStats(docs(s, d), "text", "doc_id",
       k = SubstringK, minDocFreq = SubstringMinDocs)

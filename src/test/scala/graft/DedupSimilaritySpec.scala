@@ -82,6 +82,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(spans(2L) == Seq((0L, 12L)) && spans(3L) == Seq((0L, 12L)), s"got $spans")
   }
 
+  test("substring trim excises exactly the duplicated spans, corpus-wide") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val shared = words("s", 7)
+    val d = Seq(
+      (0L, words("a", 4) + " " + shared + " " + words("b", 3)),
+      (1L, shared + " " + words("c", 6)),
+      (2L, "untouched  doc   with\tweird   whitespace")).toDF("doc_id", "text")
+    val got = Dedup.substringTrim(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got(0) == ((0L, words("a", 4) + " " + words("b", 3), 7L, 7L)), s"got ${got(0)}")
+    assert(got(1) == ((1L, words("c", 6), 6L, 7L)), s"got ${got(1)}")
+    // no spans: tokens kept verbatim, whitespace normalized by contract
+    assert(got(2) == ((2L, "untouched doc with weird whitespace", 5L, 0L)), s"got ${got(2)}")
+  }
+
   test("minhash-LSH finds injected near-dups, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleLen = 8, numHashes = 32, bands = 16, threshold = 0.4)
