@@ -134,6 +134,90 @@ object QueriesExt {
       |    / nullif(CAST(len(bigrams) AS DOUBLE), 0.0) AS top_bigram_share
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Gopher-rule quality gate (Rae et al. 2021 §A1.1, the filter set
+    * FineWeb/Dolma-class pipelines reuse): per-doc metrics + per-rule
+    * booleans + the conjunction. The DOCUMENT-shape rules are graded
+    * (word count bounds, mean word length bounds, symbol-to-word
+    * ratio, alphabetic-word fraction, ≥2-of-8 stopword presence); the
+    * LINE-shape rules (bullet/ellipsis line fractions) are omitted —
+    * the graded corpus is single-line by construction, so they would
+    * gate nothing and grade a constant. Shuffle-free scan-side plan:
+    * every metric is a higher-order fold / regex count over the token
+    * array, no UDFs.
+    *
+    * Rule constants are the paper's: 50 ≤ words ≤ 100000,
+    * 3 ≤ mean word length ≤ 10, symbol ratio ('#' or '…'/'...')
+    * ≤ 0.1, ≥ 80% of words contain an alphabetic character, and ≥ 2
+    * distinct hits from the canonical 8-stopword list.
+    */
+  val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val txGopherQuality: Q = (s, d) => {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val base = docs(s, d).select(col("doc_id"), col("text"), toks.as("__toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(col("__toks"), lit(0L), (a, x) => a + length(x))
+          .as("__sum_len"),
+        size(filter(col("__toks"), x => x.rlike("[A-Za-z]")))
+          .cast("long").as("__alpha"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\.")))
+          .cast("long").as("__symbols"),
+        GopherStopwords.map(w =>
+          when(TextAnalysis.wordHits(col("text"), w) > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("stop_hits"))
+    base.select(col("doc_id"), col("n_words"),
+        (col("__sum_len").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        (col("__symbols").cast("double") / col("n_words").cast("double"))
+          .as("symbol_ratio"),
+        (col("__alpha").cast("double") / col("n_words").cast("double"))
+          .as("alpha_frac"),
+        col("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("stop_hits"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L).as("r_word_count"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .as("r_mean_len"),
+        (col("symbol_ratio") <= 0.1).as("r_symbols"),
+        (col("alpha_frac") >= 0.8).as("r_alpha"),
+        (col("stop_hits") >= 2L).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_symbols") &&
+          col("r_alpha") && col("r_stopwords"))
+      .filter(col("n_words") > 0)
+      .orderBy("doc_id")
+  }
+  lazy val txGopherQualitySql: String = {
+    val stopSum = GopherStopwords.map(w =>
+      s"CASE WHEN len(regexp_extract_all(lower(text), '\\b$w\\b')) > 0 THEN 1 ELSE 0 END")
+      .mkString("(", "\n    + ", ")")
+    s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS ts
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)
+       |      / CAST(len(ts) AS DOUBLE) AS mean_word_len,
+       |    CAST(len(regexp_extract_all(text, '#'))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |      / CAST(len(ts) AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |      / CAST(len(ts) AS DOUBLE) AS alpha_frac,
+       |    CAST($stopSum AS BIGINT) AS stop_hits
+       |  FROM t WHERE len(ts) > 0)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+       |  (symbol_ratio <= 0.1) AS r_symbols,
+       |  (alpha_frac >= 0.8) AS r_alpha,
+       |  (stop_hits >= 2) AS r_stopwords,
+       |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+       |    AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1
+       |    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val txFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp64"))

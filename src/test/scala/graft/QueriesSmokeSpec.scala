@@ -140,6 +140,34 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(mixW == 4L && mixS == 15L)
   }
 
+  test("tx_gopher_quality: each rule gates the doc crafted to fail it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val good = "the cat sat with all of and that have " + fifty
+    Seq(
+      (1L, good),                                        // passes all
+      (2L, "the of and " + (1 to 10).map(i => s"w$i").mkString(" ")), // too few words
+      (3L, good.replaceAll("\\bword(\\d+)\\b", "ww")),   // mean len < 3
+      (4L, good + " " + (1 to 12).map(_ => "#").mkString(" ")), // symbols > 0.1
+      (5L, good + " " + (1 to 99).map(_ => "123").mkString(" ")), // alpha < 0.8
+      (6L, fifty + " " + fifty))                         // no stopwords
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesExt.txGopherQuality(spark, dir)
+      .select("doc_id", "r_word_count", "r_mean_len", "r_symbols", "r_alpha",
+        "r_stopwords", "pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true)), s"got ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._6, s"word-count gate: ${got(2L)}")
+    assert(!got(3L)._2 && !got(3L)._6, s"mean-len gate: ${got(3L)}")
+    assert(!got(4L)._3 && !got(4L)._6, s"symbol gate: ${got(4L)}")
+    assert(!got(5L)._4 && !got(5L)._6, s"alpha gate: ${got(5L)}")
+    assert(!got(6L)._5 && !got(6L)._6, s"stopword gate: ${got(6L)}")
+  }
+
   test("all queries run at sf0.001 and are non-degenerate") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf001).count()
