@@ -387,7 +387,10 @@ object QueriesExt {
     * acc·B stays under 2¹⁰⁵ (B ≈ 2⁴⁰), so no 32-bit splits needed
     * there — the splitmix products use Duck64.mulmod as usual.
     */
-  private def substringCte(k: Int, minDocs: Int): String = {
+  /** The TokenGramHashes hash chain (tok → … → grams) alone — shared
+    * by the batch, stats, trim, and incremental substring oracles.
+    */
+  private def substringHashCte(k: Int): String = {
     import Duck64._
     val B = 0x100000001b3L
     val bpow = Iterator.iterate(1L)(_ * B).take(k).toArray
@@ -420,11 +423,14 @@ object QueriesExt {
        |g1 AS (SELECT doc_id, p, (g + $A) % $M AS z0 FROM g0),
        |g2 AS (SELECT doc_id, p, ${mulmod(xorshr("z0", 30), C1)} AS z1 FROM g1),
        |g3 AS (SELECT doc_id, p, ${mulmod(xorshr("z1", 27), C2)} AS z2 FROM g2),
-       |grams AS (SELECT doc_id, p, ${xorshr("z2", 31)} AS h FROM g3),
-       |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
-       |  GROUP BY h HAVING COUNT(*) >= $minDocs),
-       |m AS (SELECT doc_id, p FROM grams JOIN dup USING (h)),
-       |lg AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+       |grams AS (SELECT doc_id, p, ${xorshr("z2", 31)} AS h FROM g3)""".stripMargin
+  }
+
+  /** Marked positions (CTE `m`) → merged maximal spans — the shared
+    * tail of every substring-span oracle.
+    */
+  private def substringSpanTail(k: Int): String =
+    s"""lg AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
        |  FROM m),
        |seg AS (SELECT doc_id, p,
        |    SUM(CASE WHEN p - lp > $k THEN 1 ELSE 0 END)
@@ -434,7 +440,36 @@ object QueriesExt {
        |    CAST(MAX(p) + $k - MIN(p) AS BIGINT) AS span_len,
        |    CAST(COUNT(*) AS BIGINT) AS n_grams
        |  FROM seg GROUP BY doc_id, s)""".stripMargin
+
+  private def substringCte(k: Int, minDocs: Int): String =
+    s"""${substringHashCte(k)},
+       |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+       |  GROUP BY h HAVING COUNT(*) >= $minDocs),
+       |m AS (SELECT doc_id, p FROM grams JOIN dup USING (h)),
+       |${substringSpanTail(k)}""".stripMargin
+
+  /** Incremental/ingest-gate edition ([[Dedup.substringDupSpansAgainst]]):
+    * spans in NEW docs (the dd_incremental shard convention — every
+    * `IncrementalShardMod`-th doc) already present verbatim in the
+    * accepted corpus.
+    */
+  val ddSubstringIncremental: Q = (s, d) => {
+    val dd = docs(s, d)
+    Dedup.substringDupSpansAgainst(
+      dd.filter(col("doc_id") % IncrementalShardMod === 0),
+      dd.filter(col("doc_id") % IncrementalShardMod =!= 0),
+      "text", "doc_id", k = SubstringK)
+      .orderBy("doc_id", "span_start")
   }
+  lazy val ddSubstringIncrementalSql: String =
+    s"""WITH ${substringHashCte(SubstringK)},
+       |dup AS (SELECT DISTINCT h FROM grams
+       |  WHERE doc_id % $IncrementalShardMod <> 0),
+       |m AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)
+       |  WHERE g.doc_id % $IncrementalShardMod = 0),
+       |${substringSpanTail(SubstringK)}
+       |SELECT doc_id, span_start, span_len, n_grams
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
   val ddSubstring: Q = (s, d) =>
     Dedup.substringDupSpans(docs(s, d), "text", "doc_id",
       k = SubstringK, minDocFreq = SubstringMinDocs)

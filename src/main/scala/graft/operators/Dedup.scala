@@ -164,12 +164,36 @@ object Dedup {
     * assembly is two windows partitioned by doc_id (per-doc data,
     * embarrassingly parallel).
     */
+  /** The k-token gram stream of a corpus: (doc_id, pos, h). */
+  private def tokenGrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      posexplode(graft.plans.GraftFunctions.tokenGramHashes(col(textCol), k))
+        .as(Seq("pos", "h")))
+
+  /** Merge marked positions into maximal spans — shared by the batch
+    * and incremental substring operators. Two windows partitioned by
+    * doc_id over the (small) marked frame.
+    */
+  private def assembleSpans(marked: DataFrame, k: Int): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("__gap",
+        when(col("pos") - lag("pos", 1).over(byPos) > k, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__seg", sum(col("__gap")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__seg"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).cast("long").as("span_len"),
+        count(lit(1)).cast("long").as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"))
+  }
+
   def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int, minDocFreq: Int = 2): DataFrame = {
     require(k >= 2, s"substring span width must be >= 2 tokens, got $k")
-    val grams = df.select(col(idCol).as("doc_id"),
-      posexplode(graft.plans.GraftFunctions.tokenGramHashes(col(textCol), k))
-        .as(Seq("pos", "h")))
+    val grams = tokenGrams(df, textCol, idCol, k)
     // distinct-doc count per gram WITHOUT a second exchange or a
     // dictionary join: dense_rank over doc_id within the hash partition
     // rises once per distinct doc, and its partition max is the count —
@@ -180,19 +204,41 @@ object Dedup {
       .withColumn("__nd", max(col("__r")).over(Window.partitionBy("h")))
       .filter(col("__nd") >= minDocFreq)
       .select(col("doc_id"), col("pos"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = marked
-      .withColumn("__gap",
-        when(col("pos") - lag("pos", 1).over(byPos) > k, lit(1L))
-          .otherwise(lit(0L)))
-      .withColumn("__seg", sum(col("__gap")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("__seg"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + lit(k) - min(col("pos"))).cast("long").as("span_len"),
-        count(lit(1)).cast("long").as("n_grams"))
-      .drop("__seg")
-    spans.select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"))
+    assembleSpans(marked, k)
+  }
+
+  /** INCREMENTAL exact substring dedup — the ingest-gate shape
+    * (companion to [[minhashNearDupPairsAgainst]]): spans of ≥k tokens
+    * in NEW documents that already exist verbatim anywhere in the
+    * accepted CORPUS. Answers "which parts of this incoming batch are
+    * already in the training set" — both the incremental edition of
+    * [[substringDupSpans]] and a span-precise contamination/provenance
+    * probe (cu_decontaminate flags whole docs on any shared 8-gram;
+    * this localizes the overlap).
+    *
+    * Scale shape: the corpus contributes ONE distinct gram-hash
+    * dictionary — above [[ScaleFloorKey]] it is co-partitioned +
+    * sorted by hash and the mark is a merge left-semi that exchanges
+    * ONLY the shard's grams (ingest batches are bounded; the corpus
+    * dictionary exchange amortizes across the plan and, in a live
+    * pipeline, across ingests via the tracked scratch persist). Below
+    * the floor the plain semi-join broadcasts whichever side AQE
+    * finds small. Span assembly is shard-sized.
+    */
+  def substringDupSpansAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"substring span width must be >= 2 tokens, got $k")
+    val scale = scaleAttach(corpus)
+    val dictRaw = tokenGrams(corpus, textCol, idCol, k).select(col("h")).distinct()
+    val dict =
+      if (scale) persistScratch(
+        dictRaw.repartition(col("h")).sortWithinPartitions("h"))
+      else dictRaw
+    val ng = tokenGrams(newDocs, textCol, idCol, k)
+    val marked = ng
+      .join(if (scale) dict.hint("merge") else dict, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    assembleSpans(marked, k)
   }
 
   /** Per-document rollup of [[substringDupSpans]]: duplicated-token

@@ -82,6 +82,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(spans(2L) == Seq((0L, 12L)) && spans(3L) == Seq((0L, 12L)), s"got $spans")
   }
 
+  test("incremental substring: marks new-vs-corpus spans only, shard-internal ignored") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val inCorpus = words("s", 6)
+    val shardOnly = words("z", 6)
+    val corpus = Seq(
+      (10L, words("a", 8) + " " + inCorpus),
+      (11L, words("b", 8) + " " + words("c", 8))).toDF("doc_id", "text")
+    val fresh = Seq(
+      // new doc 1: repeats corpus content -> one span
+      (1L, words("d", 3) + " " + inCorpus + " " + words("e", 4)),
+      // new docs 2+3: share a 6-token run with EACH OTHER but not the
+      // corpus -> NOT an ingest-gate hit (batch dd_substring's job)
+      (2L, shardOnly + " " + words("f", 5)),
+      (3L, shardOnly + " " + words("g", 5))).toDF("doc_id", "text")
+    val got = Dedup.substringDupSpansAgainst(fresh, corpus, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 6L, 2L)), s"got ${got.toSeq}")
+    // corpus-internal duplication is likewise not this operator's output
+    val corpus2 = corpus.unionByName(
+      Seq((12L, words("a", 8) + " " + words("x", 3))).toDF("doc_id", "text"))
+    val got2 = Dedup.substringDupSpansAgainst(fresh, corpus2, "text", "doc_id", k = k)
+      .collect().map(_.getLong(0)).distinct.sorted
+    assert(got2.toSeq == Seq(1L), s"corpus-side spans leaked: ${got2.toSeq}")
+  }
+
   test("substring trim excises exactly the duplicated spans, corpus-wide") {
     def words(prefix: String, n: Int): String =
       (1 to n).map(i => s"$prefix$i").mkString(" ")
