@@ -1304,6 +1304,48 @@ object QueriesExt {
        |ORDER BY r.keep_rate""".stripMargin
   }
 
+  /** Quality-ranked data SELECTION under a per-language token budget —
+    * the "pick the best N tokens" step a curation pipeline runs after
+    * scoring (the greedy rank-and-take policy; importance-weighted
+    * selection would reweight the order, same machinery). Docs rank by
+    * quality (tie → lowest doc_id, a total order both engines
+    * replay), the running token sum accumulates per lang, and a doc is
+    * selected while the cumulative mass fits the budget. Emits every
+    * doc with its rank state so the graded row also certifies the
+    * non-selected tail.
+    *
+    * Scale: ONE window exchange partitioned by lang (add a shard
+    * column at 100 TB exactly as cu_pack documents); the quality scan
+    * is scan-side.
+    */
+  val SelectBudgetTokens = 2500L
+  val cuBudgetSelect: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("selected", col("cum_tokens") <= SelectBudgetTokens)
+      .orderBy("doc_id")
+  }
+  lazy val cuBudgetSelectSql: String =
+    s"""WITH $duckQualityCte,
+       |j AS (SELECT d.doc_id, d.lang, q.quality,
+       |    CAST($CountTokensSql AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN qual q USING (doc_id)),
+       |c AS (SELECT doc_id, lang, quality, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM j)
+       |SELECT doc_id, lang, quality, n_tokens, cum_tokens,
+       |  (cum_tokens <= $SelectBudgetTokens) AS selected
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Cluster KEEP-POLICY variant: keep each near-dup cluster's
     * HIGHEST-QUALITY document (quality tie → lowest doc_id) instead of
     * the minimum id — the policy real curation pipelines prefer, since

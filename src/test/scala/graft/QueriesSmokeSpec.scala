@@ -168,6 +168,35 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(!got(6L)._5 && !got(6L)._6, s"stopword gate: ${got(6L)}")
   }
 
+  test("cu_budget_select: greedy best-first under the per-lang token budget") {
+    val rows = QueriesExt.cuBudgetSelect(spark, sf001)
+      .select("lang", "quality", "doc_id", "n_tokens", "selected")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val sel = docs.filter(_._5)
+      val rej = docs.filterNot(_._5)
+      // budget respected
+      assert(sel.map(_._4).sum <= QueriesExt.SelectBudgetTokens,
+        s"$lang over budget: ${sel.map(_._4).sum}")
+      // greedy best-first: every selected doc ranks (quality desc, id asc)
+      // before every rejected doc
+      if (sel.nonEmpty && rej.nonEmpty) {
+        val worstSel = sel.map(d => (-d._2, d._3)).max
+        val bestRej = rej.map(d => (-d._2, d._3)).min
+        assert(worstSel._1 <= bestRej._1 ||
+          (worstSel._1 == bestRej._1 && worstSel._2 < bestRej._2),
+          s"$lang not best-first: worst selected $worstSel vs best rejected $bestRej")
+      }
+      // prefix-maximality: the first rejected doc (in rank order) is
+      // rejected exactly because it would overflow the running budget
+      rej.sortBy(d => (-d._2, d._3)).headOption.foreach { b =>
+        assert(sel.map(_._4).sum + b._4 > QueriesExt.SelectBudgetTokens,
+          s"$lang rejected a doc that still fit: $b")
+      }
+    }
+  }
+
   test("all queries run at sf0.001 and are non-degenerate") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf001).count()
