@@ -1346,6 +1346,55 @@ object QueriesExt {
        |  (cum_tokens <= $SelectBudgetTokens) AS selected
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Cluster-BALANCED sampling (the k-means-curation / SSL-prototypes
+    * class): assign each embedded document to its seeded embedding
+    * cell ([[Similarity.seededCellAssignments]] — same deterministic
+    * centroids and argmax as the whole seeded IVF family), then
+    * equalize TOKEN mass across cells with the cu_mix_sample device
+    * (rate = min(1, total/(k·cell_tokens)), md5-keyed deterministic
+    * keep). The topic-diversity counterpart of source-level mixing:
+    * over-represented semantic clusters are downsampled regardless of
+    * which source they came from. Operates on the embedded subset of
+    * the corpus (vec_id ⋈ doc_id), which is what a real pipeline has
+    * embeddings for.
+    *
+    * Scale: assignment is a map-side expression against the broadcast
+    * centroid bank; per-cell totals are one k-row aggregate; the keep
+    * decision is a scan-side filter — the corpus never shuffles.
+    */
+  val cuClusterSample: Q = (s, d) => {
+    val asg = Similarity.seededCellAssignments(emb(s, d), "vec_id", "embedding")
+    val dd = docs(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val j = dd.join(asg.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    val ct = j.groupBy("list_id").agg(sum(col("n_tokens")).as("ct"))
+    val tot = ct.agg(sum(col("ct")).as("tot"), count(lit(1)).as("k"))
+    val rates = ct.crossJoin(broadcast(tot)).select(col("list_id"),
+      least(lit(1.0), col("tot").cast("double") /
+        (col("k").cast("double") * col("ct").cast("double"))).as("rate"))
+    j.join(broadcast(rates), Seq("list_id"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") < col("rate") * lit(16777216.0))
+      .select(col("doc_id"), col("list_id"), col("n_tokens"), col("rate"))
+      .orderBy("doc_id")
+  }
+  lazy val cuClusterSampleSql: String =
+    s"""WITH ${seededCellCte(autoListsSqlExpr())},
+       |d AS (SELECT doc_id, CAST($CountTokensSql AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (SELECT d.doc_id, a.list_id, d.n_tokens
+       |  FROM d JOIN asg a ON a.vec_id = d.doc_id),
+       |s AS (SELECT list_id, SUM(n_tokens) AS ct FROM j GROUP BY 1),
+       |t AS (SELECT SUM(ct) AS tot, COUNT(*) AS k FROM s),
+       |rt AS (SELECT list_id,
+       |    least(1.0, CAST(tot AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(ct AS DOUBLE))) AS rate
+       |  FROM s CROSS JOIN t)
+       |SELECT j.doc_id, j.list_id, j.n_tokens, rt.rate
+       |FROM j JOIN rt USING (list_id)
+       |WHERE CAST(('0x' || substr(md5(CAST(j.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+       |  < rt.rate * 16777216.0
+       |ORDER BY j.doc_id""".stripMargin
+
   /** Cluster KEEP-POLICY variant: keep each near-dup cluster's
     * HIGHEST-QUALITY document (quality tie → lowest doc_id) instead of
     * the minimum id — the policy real curation pipelines prefer, since

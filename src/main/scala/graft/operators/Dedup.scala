@@ -288,7 +288,6 @@ object Dedup {
     val spanLists = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_len").as("l"))).as("__spans"))
-    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
     df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .join(spanLists, Seq("doc_id"), "left")
       .select(col("doc_id"),

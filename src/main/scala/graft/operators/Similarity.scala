@@ -1165,6 +1165,23 @@ object Similarity {
     (lists, probe)
   }
 
+  /** Per-vector seeded cell assignment: (id, list_id) under the same
+    * deterministic md5-seeded centroids and map-side argmax expression
+    * every seeded tier uses — the reusable "which cluster is this
+    * document in" surface (cluster-balanced sampling, topic audits).
+    * nLists ≤ 0 → production auto-sizing ([[ivfListsFor]]).
+    */
+  def seededCellAssignments(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val (lists, _) = seededGeometry(df, vecCol, nLists, 1)
+    val cents = seededCentroids(df, idCol, vecCol, lists)
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      normSq(col(vecCol)).as("nsq"))
+    val (assigned, _) = assignAndProbe(withNorm, cents, 1, None)
+    assigned.select(col("id").as(idCol), col("list_id"))
+  }
+
   private def seededPairs(df: DataFrame, idCol: String, vecCol: String,
       nLists: Int, nProbe: Int,
       queryFilter: Option[Column => Column]): DataFrame = {
