@@ -61,6 +61,13 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
+# SPARK_BENCH_PRETOUCH=on: pre-fault the whole heap at JVM startup
+# (-Xms=$MEM -XX:+AlwaysPreTouch) so a memory-degraded hypervisor's
+# page-supply cost lands in untimed startup instead of pass 1 (r17:
+# ~12 MB/s host page-zeroing measured — 66 min of sys time for 48 GB,
+# so only enable with a smaller SPARK_DRIVER_MEM or on a healthy host).
+PRETOUCH=""
+[ "${SPARK_BENCH_PRETOUCH:-off}" = "on" ] && PRETOUCH="-Xms$MEM -XX:+AlwaysPreTouch"
 
 TMP=$(mktemp -d)
 FAILED=0
@@ -72,7 +79,7 @@ for q in "${QUERIES[@]}"; do
   SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_BENCH_PASSES="$PASSES" SPARK_GRAFT_BENCH_GC=on \
   SPARK_GRAFT_BENCH_OUT="$TMP/$q.json" \
-    java -Xmx"$MEM" $OPENS \
+    java -Xmx"$MEM" $PRETOUCH $OPENS \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$CP" graft.Bench "$q" > /dev/null 2> "$TMP/$q.err" \
     || { echo "[isolated] FAIL $q (errors kept at $TMP/$q.err)" >&2
@@ -94,7 +101,7 @@ sys.exit(0 if '$q' in json.load(open('$TMP/$q.json')).get('label_cold', []) else
     SPARK_GRAFT_BENCH_PASSES="$PASSES" SPARK_GRAFT_BENCH_GC=on \
     SPARK_GRAFT_BENCH_LABELS=warm \
     SPARK_GRAFT_BENCH_OUT="$TMP/warm__$q.json" \
-      java -Xmx"$MEM" $OPENS \
+      java -Xmx"$MEM" $PRETOUCH $OPENS \
         -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
         -cp "$CP" graft.Bench "$q" > /dev/null 2> "$TMP/warm__$q.err" \
       || { echo "[isolated] FAIL $q warm leg (errors kept at $TMP/warm__$q.err)" >&2
