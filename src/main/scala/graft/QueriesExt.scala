@@ -162,7 +162,7 @@ object QueriesExt {
         size(filter(col("__toks"), x => x.rlike("[A-Za-z]")))
           .cast("long").as("__alpha"),
         (regexp_count(col("text"), lit("#")) +
-          regexp_count(col("text"), lit("\\.\\.\\.")))
+          regexp_count(col("text"), lit("\\.\\.\\.|…")))
           .cast("long").as("__symbols"),
         GopherStopwords.map(w =>
           when(TextAnalysis.wordHits(col("text"), w) > 0, 1L).otherwise(0L))
@@ -200,7 +200,7 @@ object QueriesExt {
        |    CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)
        |      / CAST(len(ts) AS DOUBLE) AS mean_word_len,
        |    CAST(len(regexp_extract_all(text, '#'))
-       |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |      + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
        |      / CAST(len(ts) AS DOUBLE) AS symbol_ratio,
        |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
        |      / CAST(len(ts) AS DOUBLE) AS alpha_frac,
@@ -448,6 +448,19 @@ object QueriesExt {
        |m AS (SELECT doc_id, p FROM grams JOIN dup USING (h)),
        |${substringSpanTail(k)}""".stripMargin
 
+  /** Keep-one edition: each duplicated gram elects MIN(doc_id) as its
+    * canonical owner; only non-canonical occurrences are marked —
+    * replays [[Dedup.substringDupSpansKeep1]]'s election exactly.
+    */
+  private def substringKeep1Cte(k: Int, minDocs: Int): String =
+    s"""${substringHashCte(k)},
+       |dup AS (SELECT h, MIN(doc_id) AS canon
+       |  FROM (SELECT DISTINCT h, doc_id FROM grams)
+       |  GROUP BY h HAVING COUNT(*) >= $minDocs),
+       |m AS (SELECT g.doc_id, g.p FROM grams g JOIN dup d USING (h)
+       |  WHERE g.doc_id <> d.canon),
+       |${substringSpanTail(k)}""".stripMargin
+
   /** Incremental/ingest-gate edition ([[Dedup.substringDupSpansAgainst]]):
     * spans in NEW docs (the dd_incremental shard convention — every
     * `IncrementalShardMod`-th doc) already present verbatim in the
@@ -488,6 +501,35 @@ object QueriesExt {
       .orderBy("doc_id")
   lazy val cuTrimSubstringSql: String =
     s"""WITH ${substringCte(SubstringK, SubstringMinDocs)},
+       |sl AS (SELECT doc_id, list(struct_pack(s := span_start, l := span_len)) AS sp
+       |  FROM spans GROUP BY doc_id),
+       |tr AS (SELECT t.doc_id, t.ts,
+       |    COALESCE(sl.sp, CAST([] AS STRUCT(s BIGINT, l BIGINT)[])) AS sp
+       |  FROM tok t LEFT JOIN sl USING (doc_id)),
+       |kp AS (SELECT doc_id,
+       |    list_transform(
+       |      list_filter(range(0, len(ts)),
+       |        i -> len(list_filter(sp, s -> i >= s.s AND i < s.s + s.l)) = 0),
+       |      i -> ts[CAST(i AS INT) + 1]) AS kept,
+       |    len(ts) AS nt
+       |  FROM tr)
+       |SELECT doc_id, array_to_string(kept, ' ') AS trimmed,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(nt - len(kept) AS BIGINT) AS n_removed
+       |FROM kp ORDER BY doc_id""".stripMargin
+
+  /** Keep-one trim (r17 ask #2 — the paper's primary policy): trim
+    * duplicated spans from every doc EXCEPT each gram's canonical
+    * (min doc_id) owner. Same output contract as cu_trim_substring;
+    * canonical docs emit with n_removed = 0 unless they are
+    * non-canonical for some OTHER duplicated gram.
+    */
+  val cuTrimSubstringKeep1: Q = (s, d) =>
+    Dedup.substringTrimKeep1(docs(s, d), "text", "doc_id",
+      k = SubstringK, minDocFreq = SubstringMinDocs)
+      .orderBy("doc_id")
+  lazy val cuTrimSubstringKeep1Sql: String =
+    s"""WITH ${substringKeep1Cte(SubstringK, SubstringMinDocs)},
        |sl AS (SELECT doc_id, list(struct_pack(s := span_start, l := span_len)) AS sp
        |  FROM spans GROUP BY doc_id),
        |tr AS (SELECT t.doc_id, t.ts,
@@ -1071,23 +1113,8 @@ object QueriesExt {
     * a path-only hash would alias to the stale entry. Falls back to
     * path-only hashing for non-file-based plans.
     */
-  private def corpusSignature(dd: DataFrame): Int = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
-    val files: Seq[(String, Long, Long)] = dd.queryExecution.analyzed.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation => h.location match {
-          case p: PartitioningAwareFileIndex =>
-            p.allFiles().map(f =>
-              (f.getPath.toString, f.getLen, f.getModificationTime))
-          case _ => Nil
-        }
-        case _ => Nil
-      }
-    }.flatten
-    if (files.isEmpty)
-      java.util.Arrays.hashCode(dd.inputFiles.sorted.map(_.hashCode): Array[Int])
-    else files.sortBy(_._1).hashCode()
-  }
+  private def corpusSignature(dd: DataFrame): String =
+    graft.operators.CorpusStats.contentSignature64(dd)
 
   /** Eviction contract: frames returned here are backed by truncated-
     * lineage checkpoints and are INVALIDATED when their cache entry is
@@ -1534,8 +1561,12 @@ object QueriesExt {
     // is deterministic — and the bank additionally of (embeddings
     // content), so those signatures + the recipe constants ARE the
     // bank identity. semDedupPairs appends its derived list count.
-    val contentKey = s"semsurv1|${corpusSignature(docs(s, d))}|" +
-      s"${graft.operators.CorpusStats.fileSignature(emb(s, d))}|" +
+    // 64-bit-class signatures (r17 ADVICE): file count + total bytes +
+    // 64-bit fold per corpus, with a plan-hash fallback for non-file-
+    // backed frames instead of the old hash(Nil) constant.
+    val contentKey = "semsurv2|" +
+      s"${graft.operators.CorpusStats.contentSignature64(docs(s, d))}|" +
+      s"${graft.operators.CorpusStats.contentSignature64(emb(s, d))}|" +
       s"jt=$JaccardThreshold"
     val pairs =
       try Dedup.semDedupPairs(survEmb, "embedding", "vec_id",

@@ -22,6 +22,15 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.findFirstIn(name).isDefined) }
+    // fail fast on a no-match filter: an empty outDir + '{}' oracle map
+    // with exit 0 would read downstream as a vacuous all-green run
+    if (selected.isEmpty) {
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")} " +
+        s"matched 0 of ${SparkEntry.queries.size} query keys — refusing to " +
+        "write an empty (vacuously green) dump")
+      spark.stop()
+      sys.exit(2)
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

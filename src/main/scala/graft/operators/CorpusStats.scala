@@ -60,8 +60,15 @@ object CorpusStats {
     * relation exposes no file index.
     */
   def fileSignature(df: DataFrame): Int = {
+    val files = fileList(df)
+    if (files.isEmpty)
+      java.util.Arrays.hashCode(df.inputFiles.sorted.map(_.hashCode): Array[Int])
+    else files.sortBy(_._1).hashCode()
+  }
+
+  private def fileList(df: DataFrame): Seq[(String, Long, Long)] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
-    val files: Seq[(String, Long, Long)] = df.queryExecution.analyzed.collect {
+    df.queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation => h.location match {
           case p: PartitioningAwareFileIndex =>
@@ -72,9 +79,29 @@ object CorpusStats {
         case _ => Nil
       }
     }.flatten
-    if (files.isEmpty)
-      java.util.Arrays.hashCode(df.inputFiles.sorted.map(_.hashCode): Array[Int])
-    else files.sortBy(_._1).hashCode()
+  }
+
+  /** 64-bit-class content signature for MEMO KEYS that outlive a single
+    * corpus (broadcast survivor banks, label caches): a string carrying
+    * file count, total bytes, and a 64-bit multiplicative fold over the
+    * sorted (path, len, mtime) list. A 32-bit `fileSignature` aliases at
+    * ~2⁻³² per corpus pair over a long-lived application; here a
+    * collision additionally needs matching file count AND total bytes.
+    * Frames with no file listing (in-memory relations, views) fall back
+    * to the analyzed plan's semanticHash — NOT a hash of the empty list,
+    * which would alias every such corpus to one constant key.
+    */
+  def contentSignature64(df: DataFrame): String = {
+    val files = fileList(df)
+    if (files.isEmpty) s"plan:${df.queryExecution.analyzed.semanticHash()}"
+    else {
+      val sorted = files.sortBy(_._1)
+      var h = 1125899906842597L
+      sorted.foreach { case (p, l, m) =>
+        h = h * 31 + p.hashCode; h = h * 31 + l; h = h * 31 + m
+      }
+      s"f:${sorted.size}:${sorted.map(_._2).sum}:$h"
+    }
   }
 
   private def sessionKey(df: DataFrame): String = {

@@ -207,6 +207,43 @@ object Dedup {
     assembleSpans(marked, k)
   }
 
+  /** KEEP-ONE edition of [[substringDupSpans]] (Lee et al. 2022's
+    * primary policy: retain one canonical occurrence of each repeated
+    * span, trim the rest — vs the remove-from-all conservative policy
+    * above): a position is marked iff its k-gram occurs in
+    * ≥ minDocFreq distinct docs AND this doc is NOT the gram's
+    * canonical owner. Election is deterministic MIN doc_id per gram —
+    * the same convention as [[exactDupGroups]]' keep_id (a
+    * quality-elected canonical would compose
+    * [[graft.functions.TextAnalysis.qualityScore]] the way
+    * cu_dedup_keep_best does, at the cost of joining a quality column
+    * into the gram stream; the id election needs nothing beyond what
+    * the mark exchange already carries).
+    *
+    * Gram-level election: when overlapping shared regions have
+    * DIFFERENT doc sets (doc A shares gram g1 with B, gram g2 with C),
+    * each gram elects its own canonical, so one doc's emitted spans
+    * cover exactly its non-canonical positions — the canonical-overlap
+    * boundary case is spec-pinned. Same scale shape as the base
+    * operator: the min(doc_id) window shares the one
+    * hashpartitioning(h) exchange with the mark windows — no new
+    * exchange class, still join-free and linear.
+    */
+  def substringDupSpansKeep1(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocFreq: Int = 2): DataFrame = {
+    require(k >= 2, s"substring span width must be >= 2 tokens, got $k")
+    val grams = tokenGrams(df, textCol, idCol, k)
+    val byH = Window.partitionBy("h").orderBy("doc_id")
+    val unordered = Window.partitionBy("h")
+    val marked = grams
+      .withColumn("__r", dense_rank().over(byH))
+      .withColumn("__nd", max(col("__r")).over(unordered))
+      .withColumn("__canon", min(col("doc_id")).over(unordered))
+      .filter(col("__nd") >= minDocFreq && col("doc_id") =!= col("__canon"))
+      .select(col("doc_id"), col("pos"))
+    assembleSpans(marked, k)
+  }
+
   /** INCREMENTAL exact substring dedup — the ingest-gate shape
     * (companion to [[minhashNearDupPairsAgainst]]): spans of ≥k tokens
     * in NEW documents that already exist verbatim anywhere in the
@@ -283,8 +320,24 @@ object Dedup {
     * list): no token array crosses the exchange.
     */
   def substringTrim(df: DataFrame, textCol: String, idCol: String,
-      k: Int, minDocFreq: Int = 2): DataFrame = {
-    val spans = substringDupSpans(df, textCol, idCol, k, minDocFreq)
+      k: Int, minDocFreq: Int = 2): DataFrame =
+    trimWithSpans(df, textCol, idCol,
+      substringDupSpans(df, textCol, idCol, k, minDocFreq))
+
+  /** Keep-one trim ([[substringDupSpansKeep1]] policy): duplicated
+    * spans excised from every NON-canonical document; the min-doc_id
+    * owner of each duplicated gram keeps its copy, so the corpus
+    * retains exactly one occurrence of each repeated region (per gram
+    * election — see the span operator's boundary note). Emits the same
+    * (doc_id, trimmed, n_kept, n_removed) contract as [[substringTrim]].
+    */
+  def substringTrimKeep1(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocFreq: Int = 2): DataFrame =
+    trimWithSpans(df, textCol, idCol,
+      substringDupSpansKeep1(df, textCol, idCol, k, minDocFreq))
+
+  private def trimWithSpans(df: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
     val spanLists = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_len").as("l"))).as("__spans"))

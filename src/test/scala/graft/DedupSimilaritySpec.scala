@@ -127,6 +127,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(2) == ((2L, "untouched doc with weird whitespace", 5L, 0L)), s"got ${got(2)}")
   }
 
+  test("substring keep1: min-doc canonical keeps its copy; non-canonical doc carries two spans") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val r1 = words("p", 5); val r2 = words("q", 5)
+    val d = Seq(
+      (0L, r1 + " " + words("u", 7) + " " + r2), // min doc: canonical for both regions
+      (1L, r1 + " " + words("v", 7) + " " + r2), // non-canonical -> TWO spans
+      (2L, words("x", 3) + " " + r2))            // non-canonical for r2 only
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpansKeep1(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq((1L, 0L, 5L), (1L, 12L, 5L), (2L, 3L, 5L)),
+      s"got ${spans.toSeq}")
+    // remove-from-all policy marks doc 0 too — the two must differ
+    val all = Dedup.substringDupSpans(d, "text", "doc_id", k = k)
+      .filter($"doc_id" === 0L).count()
+    assert(all == 2L, s"expected base policy to mark the canonical doc, got $all")
+  }
+
+  test("substring keep1: per-gram election — doc canonical for one region, trimmed for another") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val sh1 = words("p", 5); val sh2 = words("q", 5)
+    val d = Seq(
+      (0L, words("x", 3) + " " + sh2),                // canonical for sh2
+      (1L, sh1 + " " + words("y", 2) + " " + sh2),    // canonical for sh1, NON-canonical for sh2
+      (2L, sh1 + " " + words("z", 4)))                // non-canonical for sh1
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpansKeep1(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq((1L, 7L, 5L), (2L, 0L, 5L)), s"got ${spans.toSeq}")
+    val got = Dedup.substringTrimKeep1(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // canonical owner keeps its copy verbatim (whitespace-normalized)
+    assert(got(0) == ((0L, words("x", 3) + " " + sh2, 8L, 0L)), s"got ${got(0)}")
+    // doc 1 keeps the sh1 region it owns, loses sh2
+    assert(got(1) == ((1L, sh1 + " " + words("y", 2), 7L, 5L)), s"got ${got(1)}")
+    assert(got(2) == ((2L, words("z", 4), 4L, 5L)), s"got ${got(2)}")
+  }
+
   test("minhash-LSH finds injected near-dups, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleLen = 8, numHashes = 32, bands = 16, threshold = 0.4)

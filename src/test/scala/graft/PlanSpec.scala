@@ -144,6 +144,21 @@ class PlanSpec extends SparkSuite {
     assert(generates == 1, s"gram stream must be generated once, got $generates:\n$plan")
   }
 
+  test("substring keep1 spans: same join-free one-pass shape as the base policy (r18)") {
+    // the canonical election is one more window function over the SAME
+    // hashpartitioning(h) exchange — keep1 must not add a join or a
+    // third corpus-scale exchange
+    val df = graft.operators.Dedup.substringDupSpansKeep1(
+      graft.sources.Tables.documents(spark, sf001), "text", "doc_id", k = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"keep1 substring spans must stay join-free:\n$plan")
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges (h mark + doc_id spans), got $hashEx:\n$plan")
+    val generates = "\\bGenerate\\b".r.findAllIn(plan).size
+    assert(generates == 1, s"gram stream must be generated once, got $generates:\n$plan")
+  }
+
   test("dd_semdedup: scan tier plans no pair join; over-budget keeps the cell-keyed join") {
     // budget-admitted (r14): the pair enumeration is a map-side scan of
     // the broadcast inverted file — no join node, no cartesian, and the
