@@ -42,6 +42,20 @@ object Bench {
     "sim_cosine_topk", "sim_cosine_neardup", "sim_ann_recall",
     "sim_ann_lsh_cand", "sim_ann_ivf_cand")
 
+  /** Keys whose GRADED OUTPUT is materialized text: under the default
+    * `count()` action Catalyst legitimately prunes the text-producing
+    * projection (and for cu_trim_substring eliminates the span join
+    * entirely — the whole dup-marking pipeline never ran, in-suite
+    * ~0.5 s vs 11.3 s warm real at sf10; SCALE_SOAK r17). These keys
+    * time a NOOP WRITE instead — every output row is fully computed
+    * and handed to a sink that discards it, so the suite total carries
+    * the operator's real cost without disk variance. Everything else
+    * keeps `count()` for round-over-round comparability. The artifact
+    * names the override keys in `"noop_write"`.
+    */
+  val NoopWriteKeys: Set[String] = Set(
+    "cu_trim_substring", "cu_trim_substring_keep1", "tx_redact", "cu_chunk")
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -182,7 +196,13 @@ object Bench {
         if (!warmed) -1.0
         else {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          try {
+            val df = fn(spark, sfDir)
+            if (NoopWriteKeys.contains(name))
+              df.write.format("noop").mode("overwrite").save()
+            else df.count()
+            (System.nanoTime() - t0) / 1e9
+          }
           catch { case _: Throwable => -1.0 }
         }
       }
@@ -263,8 +283,10 @@ object Bench {
     val labelWarm = (if (args.nonEmpty && LabelWarmMode)
       results.map(_._1).filter(LabelConsumers)
       else Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val noopWrite = results.map(_._1).filter(NoopWriteKeys)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"passes_by_query":$passesByQuery,"label_cold":$labelCold,"label_warm":$labelWarm,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"passes_by_query":$passesByQuery,"label_cold":$labelCold,"label_warm":$labelWarm,"noop_write":$noopWrite,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     // The harness captures only the LAST ~2000 chars of the build log
