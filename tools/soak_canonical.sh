@@ -56,6 +56,11 @@ SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=target/testdata/sf10 SPARK_GRAFT_CPUS=32
 # because of exactly this ordering)
 PREV_BASELINE=$(mktemp)
 cp BENCH_sf10_isolated.json "$PREV_BASELINE" 2>/dev/null || PREV_BASELINE=/dev/null
+# SOAK_ISOLATED_BASELINE: override which committed artifact the isolated
+# stage diffs against — used when the last committed artifact is known-
+# contaminated (r17: degraded-host draws; the r18 re-baseline diffs
+# against the preserved r16 quiet bands instead)
+PREV_BASELINE="${SOAK_ISOLATED_BASELINE:-$PREV_BASELINE}"
 
 echo "[soak] sf10 isolated top-10 medians" >&2
 SPARK_DRIVER_MEM=48g BASELINE_ARTIFACT="$PREV_BASELINE" \
