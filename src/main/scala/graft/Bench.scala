@@ -138,7 +138,13 @@ object Bench {
       "SPARK_GRAFT_BENCH_EXCLUDE cannot be combined with positional query args")
     if (excluded.nonEmpty)
       System.err.println(s"[bench] excluding ${excluded.size}: ${excluded.toSeq.sorted.mkString(", ")}")
-    val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // SPARK_GRAFT_BENCH_STREAMING=only: skip the batch suite and run the
+    // streaming section alone — the quiet-window A-B tool for streaming
+    // throughput disputes (r17: neardup docs/s draws were unfalsifiable
+    // because each sample cost a full 40+ s batch suite)
+    val streamingOnly = sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("only")
+    val selected = if (streamingOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toMap
     // SPARK_GRAFT_BENCH_ORDER=reverse runs the suite in reverse
     // alphabetical order — a diagnosis tool for in-run session aging:
@@ -285,8 +291,34 @@ object Bench {
       else Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")
     val noopWrite = results.map(_._1).filter(NoopWriteKeys)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // packing-waste readout (r17 ask #4): FFD trades padding for
+    // no-cross-doc-bleed; concat-then-chunk pads only each lang's tail
+    // pack. Both fractions = padded positions / total positions, so the
+    // artifact carries the trade-off the two cu_pack policies make.
+    // Untimed (one aggregate each), skipped for arg-filtered dev runs
+    // that didn't select the FFD key.
+    val packWaste: String =
+      if (!results.exists(_._1 == "cu_pack_ffd")) ""
+      else try {
+        import org.apache.spark.sql.functions._
+        val b = QueriesExt.PackBudget.toDouble
+        val ffdBins = SparkEntry.queries("cu_pack_ffd")(spark, sfDir)
+          .select(col("lang"), col("shard"), col("seq_id"), col("pad_fraction"))
+          .distinct()
+          .agg(avg(col("pad_fraction")).as("w")).head.getDouble(0)
+        val concat = graft.sources.Tables.documents(spark, sfDir)
+          .groupBy(col("lang"))
+          .agg(sum(graft.functions.TextAnalysis.tokenCount(col("text"))).as("t"))
+          .select(((lit(QueriesExt.PackBudget) - col("t") % QueriesExt.PackBudget)
+              % QueriesExt.PackBudget).as("pad"),
+            (ceil(col("t") / b) * b).as("slots"))
+          .agg((sum(col("pad")) / sum(col("slots"))).as("w")).head.getDouble(0)
+        s""""pack_waste":{"ffd_pad_fraction":${fmt(ffdBins, 4)},"concat_pad_fraction":${fmt(concat, 4)}},"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pack_waste readout failed: ${e.getMessage}"); ""
+      }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"passes_by_query":$passesByQuery,"label_cold":$labelCold,"label_warm":$labelWarm,"noop_write":$noopWrite,"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$Passes,"stat":"median","queries":$qs,"passes_by_query":$passesByQuery,"label_cold":$labelCold,"label_warm":$labelWarm,"noop_write":$noopWrite,${packWaste}"grading_companions":$companions,"streaming":$streamJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     // The harness captures only the LAST ~2000 chars of the build log

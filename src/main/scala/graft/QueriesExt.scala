@@ -2367,6 +2367,191 @@ object QueriesExt {
   val cuPackSubword: Q = packSw._1
   val cuPackSubwordSql: String = packSw._2
 
+  /** First-fit-decreasing sequence packing (r17 ask #4 — the
+    * no-cross-doc-bleed alternative to [[cuPack]]'s concat-then-chunk):
+    * real pretraining packers also bin-pack whole documents into
+    * context-length sequences, trading padding waste for attention
+    * hygiene (no document attends across a pack boundary). Within each
+    * (lang, shard) group, documents sorted by (truncated token count
+    * DESC, doc_id ASC) place greedily into the FIRST open sequence
+    * with enough remaining capacity, else open a new one. Documents
+    * longer than the budget are TRUNCATED to it (policy note: compose
+    * [[cuChunk]] first to pre-split long documents instead of losing
+    * tokens). Emits per doc: its sequence id within the group, the
+    * token offset where it lands, and the sequence's final pad
+    * fraction — the loader index plus the waste readout.
+    *
+    * Scale shape: ONE exchange on (lang, shard) and per-group state
+    * bounded by [[FfdShardSize]] docs (first-fit is inherently
+    * sequential, so the shard column is what makes it embarrassingly
+    * parallel at 100 TB — FFD quality degrades only across shard
+    * boundaries). The fold is typed flatMapGroups — the same measured
+    * per-partition kernel tier as the dedup/similarity kernels; a
+    * Catalyst-HOF formulation needs a list-of-structs accumulator that
+    * neither engine evaluates efficiently. The DuckDB oracle replays
+    * the identical greedy fold as a recursive CTE (list_reduce over a
+    * STRUCT accumulator mis-propagates state in DuckDB 1.0 — measured,
+    * hence the recursion).
+    */
+  val FfdShardSize = 256L
+  def ffdPack(df: DataFrame, budget: Long, shardSize: Long,
+      tokens: Column => Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col("lang"),
+      expr(s"doc_id div $shardSize").as("shard"),
+      col("doc_id"),
+      least(tokens(col("text")), lit(budget)).as("t"))
+      .as[(String, Long, Long, Long)]
+    base.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val (lang, shard) = key
+        val docs = it.map { case (_, _, id, t) => (t, id) }.toArray
+          .sortBy { case (t, id) => (-t, id) }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val placed = docs.map { case (t, id) =>
+          val i = bins.indexWhere(u => budget - u >= t)
+          if (i < 0) { bins += t; (id, bins.length.toLong, 0L) }
+          else { val off = bins(i); bins(i) += t; (id, (i + 1).toLong, off) }
+        }
+        placed.iterator.map { case (id, seq, off) =>
+          (id, lang, shard, seq, off,
+            (budget - bins((seq - 1).toInt)).toDouble / budget.toDouble)
+        }
+      }
+      .toDF("doc_id", "lang", "shard", "seq_id", "seq_offset", "pad_fraction")
+  }
+  val cuPackFfd: Q = (s, d) =>
+    ffdPack(docs(s, d), PackBudget, FfdShardSize, TextAnalysis.tokenCount)
+      .orderBy("doc_id")
+  lazy val cuPackFfdSql: String = {
+    val B = PackBudget
+    val fit = s"COALESCE(list_position(list_transform(f.bins, u -> $B - u >= d.t), true), 0)"
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, lang, doc_id // $FfdShardSize AS shard,
+       |    least(CAST($CountTokensSql AS BIGINT), $B) AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, lang, shard, t,
+       |    CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY t DESC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM base),
+       |ffd AS (
+       |  SELECT lang, shard, CAST(0 AS BIGINT) AS rk, CAST(NULL AS BIGINT) AS doc_id,
+       |         CAST(NULL AS BIGINT) AS seq, CAST(NULL AS BIGINT) AS off,
+       |         CAST([] AS BIGINT[]) AS bins
+       |  FROM (SELECT DISTINCT lang, shard FROM d)
+       |  UNION ALL
+       |  SELECT f.lang, f.shard, f.rk + 1, d.doc_id,
+       |    CASE WHEN $fit = 0 THEN CAST(len(f.bins) + 1 AS BIGINT) ELSE CAST($fit AS BIGINT) END,
+       |    CASE WHEN $fit = 0 THEN CAST(0 AS BIGINT) ELSE f.bins[$fit] END,
+       |    CASE WHEN $fit = 0 THEN list_append(f.bins, d.t)
+       |         ELSE f.bins[1:$fit - 1] || [f.bins[$fit] + d.t] || f.bins[$fit + 1:] END
+       |  FROM ffd f JOIN d ON d.lang = f.lang AND d.shard = f.shard AND d.rk = f.rk + 1),
+       |fin AS (SELECT lang, shard, bins FROM (
+       |    SELECT lang, shard, bins, row_number() OVER (PARTITION BY lang, shard ORDER BY rk DESC) AS rn
+       |    FROM ffd) WHERE rn = 1)
+       |SELECT p.doc_id, p.lang, p.shard, p.seq AS seq_id, p.off AS seq_offset,
+       |  CAST($B - fin.bins[CAST(p.seq AS INT)] AS DOUBLE) / $B AS pad_fraction
+       |FROM ffd p JOIN fin ON fin.lang = p.lang AND fin.shard = p.shard
+       |WHERE p.rk >= 1 ORDER BY p.doc_id""".stripMargin
+  }
+
+  /** Repeat-epoch token budgeting (r17 ask #3; Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models" — the ≤4-epoch
+    * guidance): given a total token budget split UNIFORMLY across the
+    * per-`groupCol` sources, how many epochs must each source repeat,
+    * where does the 4-epoch cap bind, and what are the effective
+    * tokens under a documented value decay? All arithmetic is
+    * integer/rational so the oracle is bit-exact:
+    *  - target  = (multiplier · corpus_total) div n_groups
+    *  - needed  = ceil(target / available)  (integer ceil-div)
+    *  - epochs  = min(needed, maxEpochs)
+    *  - served  = min(target, available · epochs)   (cap shortfall shows
+    *    here: a capped source serves fewer tokens than its target)
+    *  - unique  = min(available, target); repeated = served − unique
+    *  - effective = Σⱼ floor(cⱼ / 2^(j−1)), cⱼ the tokens drawn in
+    *    epoch j — a dyadic half-per-epoch value decay standing in for
+    *    the paper's fitted exponential (exp is not correctly-rounded
+    *    IEEE, so a literal replay could flip last-ulp grading; the
+    *    dyadic decay keeps every term integer, same device as the
+    *    temperature-α sqrt grid).
+    * Scale: one partial-agg shuffle to k group rows; everything after
+    * is arithmetic over the broadcast k-row frame — the corpus never
+    * shuffles.
+    */
+  val EpochBudgetMultiplier = 3L
+  val EpochMaxRepeats = 4L
+  def epochBudget(df: DataFrame, groupCol: String, tokens: Column => Column,
+      multiplier: Long = EpochBudgetMultiplier,
+      maxEpochs: Long = EpochMaxRepeats): DataFrame = {
+    val st = df.groupBy(col(groupCol))
+      .agg(sum(tokens(col("text"))).cast("long").as("available_tokens"))
+    val tot = st.agg(sum(col("available_tokens")).cast("long").as("tot"),
+      count(lit(1)).cast("long").as("k"))
+    val maxE = lit(maxEpochs)
+    st.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(s"($multiplier * tot) div k"))
+      .withColumn("epochs_needed", when(col("available_tokens") > 0L,
+        expr("(target_tokens + available_tokens - 1) div available_tokens"))
+        .otherwise(lit(0L)))
+      .withColumn("epochs", least(col("epochs_needed"), maxE))
+      .withColumn("unique_tokens",
+        least(col("available_tokens"), col("target_tokens")))
+      .withColumn("served_tokens",
+        least(col("target_tokens"), col("available_tokens") * col("epochs")))
+      .withColumn("repeated_tokens", col("served_tokens") - col("unique_tokens"))
+      .withColumn("repeated_share", when(col("served_tokens") > 0L,
+        col("repeated_tokens").cast("double") / col("served_tokens").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("effective_tokens",
+        (0L until maxEpochs).map(j =>
+          expr(s"least(available_tokens, greatest(CAST(0 AS BIGINT), " +
+            s"served_tokens - $j * available_tokens)) div ${1L << j}"))
+          .reduce(_ + _))
+      .select(col(groupCol), col("available_tokens"), col("target_tokens"),
+        col("epochs_needed"), col("epochs"), col("unique_tokens"),
+        col("served_tokens"), col("repeated_tokens"), col("repeated_share"),
+        col("effective_tokens"))
+      .orderBy(groupCol)
+  }
+  private def cuEpochBudgetWith(tokens: Column => Column, tokensSql: String)
+      : (Q, String) = {
+    val q: Q = (s, d) => epochBudget(docs(s, d), "lang", tokens)
+    val effSql = (0L until EpochMaxRepeats).map(j =>
+      s"least(available_tokens, greatest(CAST(0 AS BIGINT), served_tokens - $j * available_tokens)) // ${1L << j}")
+      .mkString("(", "\n  + ", ")")
+    val sql =
+      s"""WITH d AS (SELECT lang, CAST($tokensSql AS BIGINT) AS nt FROM documents),
+         |s AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS available_tokens FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(available_tokens) AS BIGINT) AS tot,
+         |    CAST(COUNT(*) AS BIGINT) AS k FROM s),
+         |e AS (SELECT lang, available_tokens,
+         |    ($EpochBudgetMultiplier * tot) // k AS target_tokens,
+         |    CASE WHEN available_tokens > 0
+         |      THEN (($EpochBudgetMultiplier * tot) // k + available_tokens - 1) // available_tokens
+         |      ELSE CAST(0 AS BIGINT) END AS epochs_needed
+         |  FROM s CROSS JOIN t),
+         |f AS (SELECT lang, available_tokens, target_tokens, epochs_needed,
+         |    least(epochs_needed, $EpochMaxRepeats) AS epochs,
+         |    least(available_tokens, target_tokens) AS unique_tokens,
+         |    least(target_tokens, available_tokens * least(epochs_needed, $EpochMaxRepeats)) AS served_tokens
+         |  FROM e)
+         |SELECT lang, available_tokens, target_tokens, epochs_needed, epochs,
+         |  unique_tokens, served_tokens,
+         |  served_tokens - unique_tokens AS repeated_tokens,
+         |  CASE WHEN served_tokens > 0
+         |    THEN CAST(served_tokens - unique_tokens AS DOUBLE) / CAST(served_tokens AS DOUBLE)
+         |    ELSE 0.0 END AS repeated_share,
+         |  $effSql AS effective_tokens
+         |FROM f ORDER BY lang""".stripMargin
+    (q, sql)
+  }
+  private val epochWs = cuEpochBudgetWith(TextAnalysis.tokenCount, CountTokensSql)
+  private val epochSw = cuEpochBudgetWith(TextAnalysis.subwordCount, CountSubwordsSql)
+  val cuEpochBudget: Q = epochWs._1
+  val cuEpochBudgetSql: String = epochWs._2
+  val cuEpochBudgetSubword: Q = epochSw._1
+  val cuEpochBudgetSubwordSql: String = epochSw._2
+
   /** Chunk geometry: fixed token windows every `ChunkStride` tokens
     * (8-token overlap) — the context-window packing shape a training
     * pipeline emits. One pair of constants drives Spark and oracle.

@@ -172,6 +172,68 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("cu_pack_ffd: first-fit-decreasing placement, truncation, shard and lang isolation") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // budget 10, one shard: sizes 7,6,4,3 -> FFD: 7->bin1@0, 6->bin2@0,
+    // 4->bin2@6 (first fit skips bin1: 10-7=3 < 4), 3->bin1@7; both full
+    val d1 = Seq((0L, doc(7)), (1L, doc(6)), (2L, doc(4)), (3L, doc(3)))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got1 = QueriesExt.ffdPack(d1, budget = 10L, shardSize = 100L,
+        graft.functions.TextAnalysis.tokenCount)
+      .select("doc_id", "seq_id", "seq_offset", "pad_fraction")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got1 == List((0L, 1L, 0L, 0.0), (1L, 2L, 0L, 0.0),
+      (2L, 2L, 6L, 0.0), (3L, 1L, 7L, 0.0)), s"got $got1")
+    // oversized doc truncates to the budget and fills its own sequence
+    val d2 = Seq((0L, doc(25)), (1L, doc(4))).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val got2 = QueriesExt.ffdPack(d2, budget = 10L, shardSize = 100L,
+        graft.functions.TextAnalysis.tokenCount)
+      .select("doc_id", "seq_id", "seq_offset", "pad_fraction")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got2 == List((0L, 1L, 0L, 0.0), (1L, 2L, 0L, 0.6)), s"got $got2")
+    // shard boundary: ids 0,1 vs 2,3 pack independently (seq ids restart),
+    // and languages never share a sequence
+    val d3 = Seq((0L, doc(6), "en"), (1L, doc(4), "en"),
+      (2L, doc(6), "en"), (3L, doc(4), "fr")).toDF("doc_id", "text", "lang")
+    val got3 = QueriesExt.ffdPack(d3, budget = 10L, shardSize = 2L,
+        graft.functions.TextAnalysis.tokenCount)
+      .select("doc_id", "shard", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got3 == List((0L, 0L, 1L, 0L), (1L, 0L, 1L, 6L),
+      (2L, 1L, 1L, 0L), (3L, 1L, 1L, 0L)), s"got $got3")
+  }
+
+  test("cu_epoch_budget: cap binds, plain repeat, no-repeat, and zero-token source") {
+    val df = Seq(
+      (0L, (1 to 80).map(i => s"a$i").mkString(" "), "A"),
+      (1L, (1 to 10).map(i => s"b$i").mkString(" "), "B"),
+      (2L, "", "C")).toDF("doc_id", "text", "lang")
+    val got = QueriesExt.epochBudget(df, "lang",
+        graft.functions.TextAnalysis.tokenCount)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Double, Long)]
+      .collect().toList
+    // T=90, k=3, multiplier 3 -> target 90 each
+    assert(got == List(
+      // A: U=80, needed 2, served min(90,160)=90, eff 80 + 10/2
+      ("A", 80L, 90L, 2L, 2L, 80L, 90L, 10L, 10.0 / 90.0, 85L),
+      // B: U=10, needed 9 -> CAPPED at 4; served 40 < target (shortfall)
+      ("B", 10L, 90L, 9L, 4L, 10L, 40L, 30L, 0.75, 18L),
+      // C: zero tokens -> all zero, share 0 (no NaN/div-zero)
+      ("C", 0L, 90L, 0L, 0L, 0L, 0L, 0L, 0.0, 0L)), s"got $got")
+    // no-repeat regime: multiplier 1 with an abundant source
+    val df2 = Seq(
+      (0L, (1 to 80).map(i => s"a$i").mkString(" "), "A"),
+      (1L, (1 to 200).map(i => s"d$i").mkString(" "), "D")).toDF("doc_id", "text", "lang")
+    val got2 = QueriesExt.epochBudget(df2, "lang",
+        graft.functions.TextAnalysis.tokenCount, multiplier = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Double, Long)]
+      .collect().toList
+    // T=280, target 140: D needs no repetition at all
+    assert(got2(1) == (("D", 200L, 140L, 1L, 1L, 140L, 140L, 0L, 0.0, 140L)),
+      s"got ${got2(1)}")
+  }
+
   test("cu_chunk: stride windows with overlap, exact boundaries, short docs") {
     val toks50 = (1 to 50).map(i => s"t$i")
     withDocs(Seq(1L -> toks50.mkString(" "), 2L -> "a b")) { dir =>
