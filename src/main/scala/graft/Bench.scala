@@ -54,7 +54,8 @@ object Bench {
     * names the override keys in `"noop_write"`.
     */
   val NoopWriteKeys: Set[String] = Set(
-    "cu_trim_substring", "cu_trim_substring_keep1", "tx_redact", "cu_chunk")
+    "cu_trim_substring", "cu_trim_substring_keep1", "cu_trim_substring_keep1q",
+    "tx_redact", "cu_chunk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -461,6 +461,24 @@ object QueriesExt {
        |  WHERE g.doc_id <> d.canon),
        |${substringSpanTail(k)}""".stripMargin
 
+  /** Quality-elected keep-one: canonical = best tx_quality doc per
+    * duplicated gram, min doc_id on exact-quality ties — replays
+    * [[Dedup.substringDupSpansKeep1Quality]]. quality is pure-double
+    * and bit-identical cross-engine (tx_quality is hash-graded), so
+    * the DESC ordering agrees row-for-row.
+    */
+  private def substringKeep1QualityCte(k: Int, minDocs: Int): String =
+    s"""${substringHashCte(k)},
+       |$duckQualityCte,
+       |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams)
+       |  GROUP BY h HAVING COUNT(*) >= $minDocs),
+       |canon AS (SELECT DISTINCT h,
+       |    first_value(g.doc_id) OVER (PARTITION BY h ORDER BY q.quality DESC, g.doc_id ASC) AS cdoc
+       |  FROM grams g JOIN qual q USING (doc_id)),
+       |m AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)
+       |  JOIN canon c USING (h) WHERE g.doc_id <> c.cdoc),
+       |${substringSpanTail(k)}""".stripMargin
+
   /** Incremental/ingest-gate edition ([[Dedup.substringDupSpansAgainst]]):
     * spans in NEW docs (the dd_incremental shard convention — every
     * `IncrementalShardMod`-th doc) already present verbatim in the
@@ -530,6 +548,33 @@ object QueriesExt {
       .orderBy("doc_id")
   lazy val cuTrimSubstringKeep1Sql: String =
     s"""WITH ${substringKeep1Cte(SubstringK, SubstringMinDocs)},
+       |sl AS (SELECT doc_id, list(struct_pack(s := span_start, l := span_len)) AS sp
+       |  FROM spans GROUP BY doc_id),
+       |tr AS (SELECT t.doc_id, t.ts,
+       |    COALESCE(sl.sp, CAST([] AS STRUCT(s BIGINT, l BIGINT)[])) AS sp
+       |  FROM tok t LEFT JOIN sl USING (doc_id)),
+       |kp AS (SELECT doc_id,
+       |    list_transform(
+       |      list_filter(range(0, len(ts)),
+       |        i -> len(list_filter(sp, s -> i >= s.s AND i < s.s + s.l)) = 0),
+       |      i -> ts[CAST(i AS INT) + 1]) AS kept,
+       |    len(ts) AS nt
+       |  FROM tr)
+       |SELECT doc_id, array_to_string(kept, ' ') AS trimmed,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(nt - len(kept) AS BIGINT) AS n_removed
+       |FROM kp ORDER BY doc_id""".stripMargin
+
+  /** Quality-elected keep-one trim: the other election on the same
+    * span machinery — keep the BEST copy (tx_quality) of each
+    * duplicated region rather than the earliest id.
+    */
+  val cuTrimSubstringKeep1q: Q = (s, d) =>
+    Dedup.substringTrimKeep1Quality(docs(s, d), "text", "doc_id",
+      k = SubstringK, minDocFreq = SubstringMinDocs)
+      .orderBy("doc_id")
+  lazy val cuTrimSubstringKeep1qSql: String =
+    s"""WITH ${substringKeep1QualityCte(SubstringK, SubstringMinDocs)},
        |sl AS (SELECT doc_id, list(struct_pack(s := span_start, l := span_len)) AS sp
        |  FROM spans GROUP BY doc_id),
        |tr AS (SELECT t.doc_id, t.ts,
@@ -1665,6 +1710,91 @@ object QueriesExt {
       |         (CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * scale))),
       |    (acc, v) -> acc + v) AS sq_err
       |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Product quantization (PQ — Jégou et al. 2011): the compression
+    * tier a 100 TB embedding store actually ships (int8 keeps 1 B/dim;
+    * PQ at m=4, k=16 keeps 4 codes for the whole vector — 64× here).
+    * The codebook is the seeded md5-ranked pick
+    * ([[Similarity.seededCentroids]] — the same deterministic stand-in
+    * for trained centroids every hash-graded ANN tier uses; a trained
+    * k-means codebook drops in without touching the assignment), split
+    * into m per-subspace codebooks. Per vector and subspace:
+    * code = argmin over the k entries of the squared L2 distance
+    * (sequential fold over dims — bit-exact cross-engine), min code id
+    * on ties (strict `<` keeps the earliest). Graded: the code CSV and
+    * the reconstruction MSE (per-subspace best distances folded in
+    * subspace order, / dim).
+    *
+    * Scale shape: the 16-row codebook collects to the driver and
+    * embeds as a LITERAL in a scan-side expression — zero joins, zero
+    * shuffles, the assignment is pure per-row compute (m·k·dim
+    * multiply-adds ≈ 4 k flops/vector). The oracle replays the pick,
+    * both folds, and the tie-break in SQL.
+    */
+  val PqSubspaces = 4
+  val PqCodebookSize = 16
+  val simQuantizePq: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = Similarity.seededCentroids(e, "vec_id", "embedding", PqCodebookSize)
+      .orderBy("list_id").collect()
+    val dim = cents.head.getAs[scala.collection.Seq[Float]]("centroid").size
+    require(dim % PqSubspaces == 0,
+      s"embedding dim $dim not divisible into $PqSubspaces subspaces")
+    val sub = dim / PqSubspaces
+    val cb: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(j =>
+      cents.toSeq.map(_.getAs[scala.collection.Seq[Float]]("centroid")
+        .slice(j * sub, (j + 1) * sub).map(_.toDouble).toSeq))
+    val cbLit = typedLit(cb)
+    val best = transform(sequence(lit(0), lit(PqSubspaces - 1)), j => {
+      val subv = slice(col("__v"), j * lit(sub) + lit(1), lit(sub))
+      aggregate(sequence(lit(1), lit(PqCodebookSize)),
+        struct(lit(Double.MaxValue).as("d"), lit(0).as("i")),
+        (acc, i) => {
+          val c = element_at(element_at(cbLit, j + lit(1)), i)
+          val dd = aggregate(zip_with(subv, c, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (a2, x2) => a2 + x2)
+          when(dd < acc.getField("d"), struct(dd.as("d"), i.as("i"))).otherwise(acc)
+        })
+    })
+    e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("__v"))
+      .select(col("vec_id"), best.as("__b"))
+      .select(col("vec_id"),
+        array_join(transform(col("__b"), b => b.getField("i").cast("string")), ",")
+          .as("pq_codes"),
+        (aggregate(col("__b"), lit(0.0), (a, b) => a + b.getField("d")) /
+          lit(dim.toDouble)).as("mse"))
+      .orderBy("vec_id")
+  }
+  lazy val simQuantizePqSql: String = {
+    val M = PqSubspaces; val K = PqCodebookSize
+    s"""WITH seeds AS (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cb AS (SELECT embedding AS cvec,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INT) AS cid
+       |  FROM seeds QUALIFY cid <= $K),
+       |sd AS (SELECT CAST(len(embedding) // $M AS INT) AS sub FROM embeddings LIMIT 1),
+       |pd AS (SELECT e.vec_id, j.j, c.cid,
+       |    list_reduce(list_transform(list_zip(
+       |        e.embedding[(j.j-1)*sd.sub+1 : j.j*sd.sub],
+       |        c.cvec[(j.j-1)*sd.sub+1 : j.j*sd.sub]),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+       |      (acc, v) -> acc + v) AS dist
+       |  FROM embeddings e CROSS JOIN cb c
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, $M + 1)) AS INT) AS j) j
+       |  CROSS JOIN sd
+       |  WHERE e.embedding IS NOT NULL),
+       |best AS (SELECT vec_id, j, cid, dist FROM pd
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cid ASC) = 1),
+       |agg AS (SELECT vec_id,
+       |    string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS pq_codes,
+       |    list_reduce(list(dist ORDER BY j), (a, x) -> a + x) AS tot
+       |  FROM best GROUP BY vec_id),
+       |dim AS (SELECT CAST(len(embedding) AS DOUBLE) AS dd FROM embeddings LIMIT 1)
+       |SELECT vec_id, pq_codes, tot / dim.dd AS mse
+       |FROM agg CROSS JOIN dim ORDER BY vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- similarity
 

@@ -244,6 +244,49 @@ object Dedup {
     assembleSpans(marked, k)
   }
 
+  /** QUALITY-ELECTED keep-one ([[substringDupSpansKeep1]]'s other
+    * election, which the id-election scaladoc names): the canonical
+    * owner of each duplicated gram is the doc with the HIGHEST
+    * [[graft.functions.TextAnalysis.qualityScore]] (min doc_id breaks
+    * exact-quality ties) — keep the best copy of a boilerplate
+    * paragraph, not the earliest-ingested one, the same policy axis
+    * as cu_dedup_keep_best vs cu_dedup_pipeline at doc level.
+    *
+    * Cost vs the id election: quality is computed SCAN-SIDE in the
+    * gram projection (no join — the score rides the same posexplode),
+    * widening the mark exchange by one double per gram row; the
+    * election is a first_value over a second in-partition ordering of
+    * the SAME hashpartitioning(h) exchange (one extra sort, no new
+    * exchange — plan-guarded). Quality's pure-double arithmetic is
+    * bit-identical across engines (tx_quality is hash-graded), so the
+    * election replays exactly in SQL.
+    */
+  def substringDupSpansKeep1Quality(df: DataFrame, textCol: String,
+      idCol: String, k: Int, minDocFreq: Int = 2): DataFrame = {
+    require(k >= 2, s"substring span width must be >= 2 tokens, got $k")
+    val grams = df.select(col(idCol).as("doc_id"),
+      graft.functions.TextAnalysis.qualityScore(col(textCol)).as("__q"),
+      posexplode(graft.plans.GraftFunctions.tokenGramHashes(col(textCol), k))
+        .as(Seq("pos", "h")))
+    val byH = Window.partitionBy("h").orderBy("doc_id")
+    val byQual = Window.partitionBy("h").orderBy(col("__q").desc, col("doc_id").asc)
+    val marked = grams
+      .withColumn("__r", dense_rank().over(byH))
+      .withColumn("__nd", max(col("__r")).over(Window.partitionBy("h")))
+      .withColumn("__canon", first(col("doc_id")).over(byQual))
+      .filter(col("__nd") >= minDocFreq && col("doc_id") =!= col("__canon"))
+      .select(col("doc_id"), col("pos"))
+    assembleSpans(marked, k)
+  }
+
+  /** Quality-elected keep-one trim: [[substringTrimKeep1]] with the
+    * [[substringDupSpansKeep1Quality]] election.
+    */
+  def substringTrimKeep1Quality(df: DataFrame, textCol: String,
+      idCol: String, k: Int, minDocFreq: Int = 2): DataFrame =
+    trimWithSpans(df, textCol, idCol,
+      substringDupSpansKeep1Quality(df, textCol, idCol, k, minDocFreq))
+
   /** INCREMENTAL exact substring dedup — the ingest-gate shape
     * (companion to [[minhashNearDupPairsAgainst]]): spans of ≥k tokens
     * in NEW documents that already exist verbatim anywhere in the

@@ -172,6 +172,69 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(2) == ((2L, words("z", 4), 4L, 5L)), s"got ${got(2)}")
   }
 
+  test("substring keep1q: quality election keeps the BEST copy, not the earliest id") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val shared = words("s", 6)
+    // doc 0 (min id): junk context — short, no stopwords, low quality.
+    // doc 1: long English-ish context around the same shared region —
+    // higher tx_quality, higher id.
+    val filler = ("the model and the data with the " * 12).trim
+    val d = Seq(
+      (0L, shared + " zz@@ ##"),
+      (1L, filler + " " + shared + " " + filler)).toDF("doc_id", "text")
+    val q = d.select($"doc_id",
+      graft.functions.TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(0L), s"fixture broken: quality $q")
+    // id election trims doc 1 (canonical = min id 0)...
+    val keep1 = Dedup.substringDupSpansKeep1(d, "text", "doc_id", k = k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep1 == Set(1L), s"got $keep1")
+    // ...quality election trims doc 0 (canonical = best-quality doc 1)
+    val keep1q = Dedup.substringDupSpansKeep1Quality(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(keep1q == List((0L, 0L, 6L)), s"got $keep1q")
+    val trimmed = Dedup.substringTrimKeep1Quality(d, "text", "doc_id", k = k)
+      .filter($"doc_id" === 0L).select("trimmed", "n_removed")
+      .as[(String, Long)].collect().head
+    assert(trimmed == (("zz@@ ##", 6L)), s"got $trimmed")
+  }
+
+  test("sim_quantize_pq: codebook seeds reconstruct exactly; codes stay in range") {
+    val dir = tmpDirPq()
+    val out = QueriesExt.simQuantizePq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.length == 40)
+    // every vector that IS a codebook seed reconstructs with mse 0 —
+    // its own subvectors are codebook entries at distance 0
+    val seeds = graft.operators.Similarity.seededCentroids(
+      graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding",
+      QueriesExt.PqCodebookSize)
+    assert(seeds.count() == QueriesExt.PqCodebookSize.toLong)
+    val seedRows = out.filter(_._3 == 0.0)
+    assert(seedRows.length >= QueriesExt.PqCodebookSize,
+      s"expected >= 16 zero-mse rows (the seeds), got ${seedRows.length}")
+    // codes are m comma-separated 1-based ids within the codebook
+    out.foreach { case (_, codes, mse) =>
+      val cs = codes.split(',').map(_.toInt)
+      assert(cs.length == QueriesExt.PqSubspaces)
+      assert(cs.forall(c => c >= 1 && c <= QueriesExt.PqCodebookSize), codes)
+      assert(mse >= 0.0)
+    }
+  }
+
+  private def tmpDirPq(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    val r = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(64)(r.nextFloat() * 2f - 1f)))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   test("minhash-LSH finds injected near-dups, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleLen = 8, numHashes = 32, bands = 16, threshold = 0.4)

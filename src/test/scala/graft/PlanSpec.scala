@@ -159,6 +159,23 @@ class PlanSpec extends SparkSuite {
     assert(generates == 1, s"gram stream must be generated once, got $generates:\n$plan")
   }
 
+  test("keep1q spans keep the join-free 2-exchange shape; sim_quantize_pq is shuffle-free (r18)") {
+    // quality election = scan-side score + a second in-partition sort,
+    // never a join or a third corpus exchange
+    val df = graft.operators.Dedup.substringDupSpansKeep1Quality(
+      graft.sources.Tables.documents(spark, sf001), "text", "doc_id", k = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"keep1q spans must stay join-free:\n$plan")
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$plan")
+    // PQ: the codebook embeds as a literal — pure per-row compute
+    val pq = SparkEntry.queries("sim_quantize_pq")(spark, sf001)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(!pqPlan.contains("Join") && !pqPlan.contains("Exchange hashpartitioning"),
+      s"PQ assignment must be scan-side (literal codebook, no join/shuffle):\n$pqPlan")
+  }
+
   test("dd_semdedup: scan tier plans no pair join; over-budget keeps the cell-keyed join") {
     // budget-admitted (r14): the pair enumeration is a map-side scan of
     // the broadcast inverted file — no join node, no cartesian, and the
