@@ -218,6 +218,42 @@ object QueriesExt {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE merge-candidate counting (Sennrich et al. 2016's first
+    * training iteration — the tokenizer-fit query a corpus engine
+    * answers before training a vocab): count adjacent CHARACTER pairs
+    * within whitespace tokens, top-[[BpePairsK]] by count with a
+    * deterministic (count DESC, pair ASC) tie-break. Scale shape =
+    * txVocab's: pair generation is scan-side (explode, no data
+    * movement), the count is ONE map-side-combined shuffle over the
+    * (tiny, ≤ alphabet²) pair space, and ranking happens after a
+    * top-K, never sorting the pair table globally.
+    */
+  val BpePairsK = 50
+  val txBpePairs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val pairs = docs(s, d).select(toks.as("__toks"))
+      .select(explode(col("__toks")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(BpePairsK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair").asc)).cast("long"))
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy("rank")
+  }
+  val txBpePairsSql: String =
+    s"""WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |w AS (SELECT unnest(toks) AS w FROM t),
+       |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+       |  FROM w, unnest(range(1, length(w))) u(i) WHERE length(w) >= 2),
+       |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank,
+       |  pair, n
+       |FROM c ORDER BY n DESC, pair ASC LIMIT $BpePairsK""".stripMargin
+
   val txFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp64"))
@@ -2762,6 +2798,81 @@ object QueriesExt {
        |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
        |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
        |WHERE t.doc_id % $DecontamEvalMod != 0 ORDER BY t.doc_id""".stripMargin
+
+  /** BLOOM-FILTER decontamination — the 100 TB shape of
+    * [[cuDecontaminate]]: the eval set's gram hashes build a Bloom
+    * filter ONCE (driver-side; eval benchmarks are bounded — ~10⁵–10⁶
+    * grams, ≤ 10 MB of distinct 64-bit hashes, the same size class the
+    * exact op broadcasts), and the corpus check becomes a pure
+    * SCAN-SIDE bit probe — zero joins, zero shuffles on the corpus,
+    * at the cost of DETERMINISTIC false positives (no false
+    * negatives). Gram identity is the 64-bit
+    * [[graft.plans.TokenGramHashes]] rolling hash (vs the exact op's
+    * joined gram STRINGS — hash-collision grams are ~2⁻⁶⁴,
+    * deterministic, and shared with the substring-dedup oracles).
+    * Positions are 3 disjoint 20-bit slices of the splitmix-mixed
+    * hash into 2²⁰ bits; both the build and the probe replay exactly
+    * in SQL, so the GRADED output includes the filter's false
+    * positives — they are part of the operator's contract, not noise.
+    * Production sizing note: a real deployment sizes the bit array
+    * from approx_count_distinct(eval grams) at ~10 bits/gram; the
+    * graded key pins [[DecontamBloomBits]] so the oracle replays
+    * bit-for-bit (at sf10 the pinned filter saturates and flags
+    * everything — the documented failure mode of an under-sized BF,
+    * not of the operator).
+    */
+  val DecontamBloomBits = 1 << 20
+  val DecontamBloomSlices = 3 // disjoint 20-bit slices at bit offsets 0/20/40
+  val cuDecontaminateBloom: Q = (s, d) => {
+    val n = DecontamNgram
+    val grams = docs(s, d).select(col("doc_id"),
+      explode(graft.plans.GraftFunctions.tokenGramHashes(col("text"), n)).as("h"))
+    val mask = (DecontamBloomBits - 1).toLong
+    def posOf(h: Column, j: Int): Column =
+      (if (j == 0) h else shiftrightunsigned(h, 20 * j)).bitwiseAND(lit(mask))
+    // driver-side build: distinct eval-gram hashes -> 3 positions each
+    val evalHs = grams.filter(isEval(col("doc_id"))).select("h")
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](DecontamBloomBits / 64)
+    evalHs.foreach { h =>
+      (0 until DecontamBloomSlices).foreach { j =>
+        val p = ((h >>> (20 * j)) & mask).toInt
+        words(p >> 6) |= (1L << (p & 63))
+      }
+    }
+    val bf = typedLit(words.toSeq)
+    def bitSet(pos: Column): Column =
+      call_function("shiftright",
+        element_at(bf, call_function("shiftright", pos, lit(6)).cast("int") + 1),
+        pos.cast("int").bitwiseAND(lit(63)))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    val flagged = grams.filter(!isEval(col("doc_id")))
+      .filter((0 until DecontamBloomSlices)
+        .map(j => bitSet(posOf(col("h"), j))).reduce(_ && _))
+      .select("doc_id").distinct()
+    docs(s, d).filter(!isEval(col("doc_id")))
+      .join(broadcast(flagged.withColumn("__hit", lit(1))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__hit").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+  lazy val cuDecontaminateBloomSql: String = {
+    val M = DecontamBloomBits
+    val divs = (0 until DecontamBloomSlices).map(j => BigInt(2).pow(20 * j))
+    val posExprs = divs.map(dv => s"CAST((h // $dv) % $M AS BIGINT)")
+    val epUnion = posExprs.map(pe =>
+      s"SELECT DISTINCT $pe AS p FROM grams WHERE doc_id % $DecontamEvalMod = 0")
+      .mkString("\n  UNION\n  ")
+    val probe = posExprs.map(pe => s"$pe IN (SELECT p FROM ep)").mkString("\n    AND ")
+    s"""WITH ${substringHashCte(DecontamNgram)},
+       |ep AS (
+       |  $epUnion),
+       |c AS (SELECT DISTINCT doc_id FROM grams
+       |  WHERE doc_id % $DecontamEvalMod <> 0
+       |    AND $probe)
+       |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+       |FROM documents d LEFT JOIN c USING (doc_id)
+       |WHERE d.doc_id % $DecontamEvalMod <> 0 ORDER BY d.doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- multimodal
 

@@ -176,6 +176,18 @@ class PlanSpec extends SparkSuite {
       s"PQ assignment must be scan-side (literal codebook, no join/shuffle):\n$pqPlan")
   }
 
+  test("bloom decontamination probes scan-side; bpe pairs rank after a top-k (r18)") {
+    // the contamination probe is a literal-bitmap filter — the only
+    // joins are the broadcast flag attach; no gram-keyed shuffle join
+    val plan = planOf("cu_decontaminate_bloom")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bloom probe must not shuffle-join the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"flag attach should broadcast:\n$plan")
+    val bpe = planOf("tx_bpe_pairs")
+    assert(bpe.contains("TakeOrderedAndProject"),
+      s"bpe ranking must follow a top-k, not a global sort:\n${bpe.linesIterator.take(12).mkString("\n")}")
+  }
+
   test("dd_semdedup: scan tier plans no pair join; over-budget keeps the cell-keyed join") {
     // budget-admitted (r14): the pair enumeration is a map-side scan of
     // the broadcast inverted file — no join node, no cartesian, and the

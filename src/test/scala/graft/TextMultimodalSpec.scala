@@ -234,6 +234,40 @@ class CurationSpec extends SparkSuite {
       s"got ${got2(1)}")
   }
 
+  test("tx_bpe_pairs: within-token char pairs, deterministic tie-break, single-char tokens skipped") {
+    withDocs(Seq(1L -> "abab x", 2L -> "cc cc")) { dir =>
+      // "abab" -> ab, ba, ab; "x" skipped (<2 chars); "cc" x2 -> cc x2
+      val got = QueriesExt.txBpePairs(spark, dir)
+        .as[(Long, String, Long)].collect().toList
+      assert(got == List((1L, "ab", 2L), (2L, "cc", 2L), (3L, "ba", 1L)),
+        s"got $got")
+    }
+    // cross-token pairs must NOT count: "ab" + "cd" has no "bc"
+    withDocs(Seq(1L -> "ab cd")) { dir =>
+      val pairs = QueriesExt.txBpePairs(spark, dir)
+        .select("pair").as[String].collect().toSet
+      assert(pairs == Set("ab", "cd"), s"got $pairs")
+    }
+  }
+
+  test("cu_decontaminate_bloom: no false negatives vs the exact op; flags propagate") {
+    // same eval-mod convention, sf0.001: the bloom verdicts must be a
+    // SUPERSET of the exact gram-string verdicts (FPs allowed by
+    // contract, FNs never)
+    val exact = SparkEntry.queries("cu_decontaminate")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bloom = SparkEntry.queries("cu_decontaminate_bloom")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(bloom.keySet == exact.keySet, "row sets must agree")
+    val falseNeg = exact.filter { case (id, c) => c && !bloom(id) }
+    assert(falseNeg.isEmpty, s"bloom missed contaminated docs: ${falseNeg.keys}")
+    // at this scale the 2^20-bit filter is ~0.3% full: verdicts agree
+    assert(bloom == exact, {
+      val fps = bloom.filter { case (id, c) => c && !exact(id) }
+      s"unexpected FPs at tiny fill: ${fps.keys}"
+    })
+  }
+
   test("cu_chunk: stride windows with overlap, exact boundaries, short docs") {
     val toks50 = (1 to 50).map(i => s"t$i")
     withDocs(Seq(1L -> toks50.mkString(" "), 2L -> "a b")) { dir =>
