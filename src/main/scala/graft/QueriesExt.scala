@@ -2590,12 +2590,20 @@ object QueriesExt {
   val cuPackFfd: Q = (s, d) =>
     ffdPack(docs(s, d), PackBudget, FfdShardSize, TextAnalysis.tokenCount)
       .orderBy("doc_id")
-  lazy val cuPackFfdSql: String = {
+  /** Subword-currency edition — the budget a real context window is
+    * written in (same currency thread as cu_pack_subword).
+    */
+  val cuPackFfdSubword: Q = (s, d) =>
+    ffdPack(docs(s, d), PackBudget, FfdShardSize, TextAnalysis.subwordCount)
+      .orderBy("doc_id")
+  lazy val cuPackFfdSql: String = ffdPackSqlWith(CountTokensSql)
+  lazy val cuPackFfdSubwordSql: String = ffdPackSqlWith(CountSubwordsSql)
+  private def ffdPackSqlWith(tokensSql: String): String = {
     val B = PackBudget
     val fit = s"COALESCE(list_position(list_transform(f.bins, u -> $B - u >= d.t), true), 0)"
     s"""WITH RECURSIVE
        |base AS (SELECT doc_id, lang, doc_id // $FfdShardSize AS shard,
-       |    least(CAST($CountTokensSql AS BIGINT), $B) AS t
+       |    least(CAST($tokensSql AS BIGINT), $B) AS t
        |  FROM documents),
        |d AS (SELECT doc_id, lang, shard, t,
        |    CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY t DESC, doc_id ASC) AS BIGINT) AS rk
@@ -2717,6 +2725,93 @@ object QueriesExt {
   val cuEpochBudgetSql: String = epochWs._2
   val cuEpochBudgetSubword: Q = epochSw._1
   val cuEpochBudgetSubwordSql: String = epochSw._2
+
+  /** Temperature-mixed epoch budgeting — [[cuEpochBudget]] composed
+    * with [[cuTemperatureSample]]'s α=1/2 share rule: instead of a
+    * uniform split, each language's target is its temperature-smoothed
+    * share qᵢ ∝ √pᵢ of the β·T budget, then the same ≤4-epoch
+    * repeat/cap/effective accounting runs on the (now fractional)
+    * targets. This answers the REAL planning question the two tiers
+    * only answer separately: "under this mixture policy AND a total
+    * token budget, which languages repeat, where does the cap bind,
+    * and what do effective tokens look like." Bit-exact device mix:
+    * correctly-rounded sqrt weights + the source-ordered wsum fold
+    * (the temperature devices) + ceil of a correctly-rounded double
+    * division (exact cross-engine) + the dyadic decay on doubles
+    * (divisions by 2^j are exact). Same k-row-aggregate scale shape —
+    * the corpus never shuffles.
+    */
+  val cuEpochMix: Q = (s, d) => {
+    val dd = docs(s, d).select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    val st = dd.groupBy("lang").agg(sum(col("nt")).cast("long").as("available_tokens"))
+    val tot = st.agg(sum(col("available_tokens")).cast("long").as("tot"))
+    val w = st.crossJoin(broadcast(tot))
+      .select(col("lang"), col("available_tokens"), col("tot"),
+        sqrt(col("available_tokens").cast("double") / col("tot").cast("double")).as("w"))
+    val wsum = w.agg(
+      aggregate(sort_array(collect_list(struct(col("lang"), col("w")))),
+        lit(0.0), (acc, e) => acc + e.getField("w")).as("wsum"))
+    val u = col("available_tokens").cast("double")
+    w.crossJoin(broadcast(wsum))
+      .withColumn("share", col("w") / col("wsum"))
+      .withColumn("target_tokens",
+        col("share") * lit(EpochBudgetMultiplier.toDouble) * col("tot").cast("double"))
+      .withColumn("epochs_needed", when(col("available_tokens") > 0L,
+        ceil(col("target_tokens") / u)).otherwise(lit(0L)))
+      .withColumn("epochs", least(col("epochs_needed"), lit(EpochMaxRepeats)))
+      .withColumn("unique_tokens", least(u, col("target_tokens")))
+      .withColumn("served_tokens",
+        least(col("target_tokens"), u * col("epochs").cast("double")))
+      .withColumn("repeated_tokens", col("served_tokens") - col("unique_tokens"))
+      .withColumn("repeated_share", when(col("served_tokens") > 0.0,
+        col("repeated_tokens") / col("served_tokens")).otherwise(lit(0.0)))
+      .withColumn("effective_tokens",
+        (0L until EpochMaxRepeats).map(j =>
+          least(u, greatest(lit(0.0), col("served_tokens") - lit(j.toDouble) * u)) /
+            lit((1L << j).toDouble)).reduce(_ + _))
+      .select(col("lang"), col("available_tokens"), col("share"),
+        col("target_tokens"), col("epochs_needed"), col("epochs"),
+        col("unique_tokens"), col("served_tokens"), col("repeated_tokens"),
+        col("repeated_share"), col("effective_tokens"))
+      .orderBy("lang")
+  }
+  lazy val cuEpochMixSql: String = {
+    val m = EpochBudgetMultiplier
+    val eff = (0L until EpochMaxRepeats).map(j =>
+      s"least(CAST(available_tokens AS DOUBLE), greatest(0.0, served_tokens - $j.0 * CAST(available_tokens AS DOUBLE))) / ${1L << j}.0")
+      .mkString("(", "\n  + ", ")")
+    s"""WITH d AS (SELECT lang, CAST($CountTokensSql AS BIGINT) AS nt FROM documents),
+       |s AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS available_tokens FROM d GROUP BY 1),
+       |t AS (SELECT CAST(SUM(available_tokens) AS BIGINT) AS tot FROM s),
+       |w AS (SELECT lang, available_tokens, tot,
+       |    sqrt(CAST(available_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS w
+       |  FROM s CROSS JOIN t),
+       |ws AS (SELECT list_reduce(list(w ORDER BY lang), (a, x) -> a + x) AS wsum
+       |  FROM w),
+       |e AS (SELECT lang, available_tokens, w / wsum AS share,
+       |    w / wsum * $m.0 * CAST(tot AS DOUBLE) AS target_tokens
+       |  FROM w CROSS JOIN ws),
+       |f AS (SELECT lang, available_tokens, share, target_tokens,
+       |    CASE WHEN available_tokens > 0
+       |      THEN CAST(ceil(target_tokens / CAST(available_tokens AS DOUBLE)) AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS epochs_needed
+       |  FROM e),
+       |g AS (SELECT lang, available_tokens, share, target_tokens, epochs_needed,
+       |    least(epochs_needed, $EpochMaxRepeats) AS epochs
+       |  FROM f),
+       |h AS (SELECT lang, available_tokens, share, target_tokens, epochs_needed, epochs,
+       |    least(CAST(available_tokens AS DOUBLE), target_tokens) AS unique_tokens,
+       |    least(target_tokens, CAST(available_tokens AS DOUBLE) * CAST(epochs AS DOUBLE)) AS served_tokens
+       |  FROM g)
+       |SELECT lang, available_tokens, share, target_tokens, epochs_needed, epochs,
+       |  unique_tokens, served_tokens,
+       |  served_tokens - unique_tokens AS repeated_tokens,
+       |  CASE WHEN served_tokens > 0.0
+       |    THEN (served_tokens - unique_tokens) / served_tokens ELSE 0.0 END AS repeated_share,
+       |  $eff AS effective_tokens
+       |FROM h ORDER BY lang""".stripMargin
+  }
 
   /** Chunk geometry: fixed token windows every `ChunkStride` tokens
     * (8-token overlap) — the context-window packing shape a training

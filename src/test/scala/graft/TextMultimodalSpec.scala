@@ -234,6 +234,25 @@ class CurationSpec extends SparkSuite {
       s"got ${got2(1)}")
   }
 
+  test("cu_epoch_mix: temperature shares sum to 1 and shift epochs vs the uniform split") {
+    val mix = QueriesExt.cuEpochMix(spark, sf001).collect()
+    val shares = mix.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-12, s"shares sum ${shares.sum}")
+    // temperature FLATTENS: the largest language's share is below its
+    // raw token proportion, small languages above — so targets (and
+    // therefore epochs) shift vs cu_epoch_budget's uniform split
+    val uni = QueriesExt.cuEpochBudget(spark, sf001).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("epochs")).toMap
+    val mx = mix.map(r => r.getAs[String]("lang") -> r.getAs[Long]("epochs")).toMap
+    assert(uni.keySet == mx.keySet)
+    assert(uni != mx, s"mixture must shift at least one language's epochs: $mx")
+    mix.foreach { r =>
+      assert(r.getAs[Long]("epochs") <= QueriesExt.EpochMaxRepeats)
+      assert(r.getAs[Double]("served_tokens") <=
+        r.getAs[Double]("target_tokens") + 1e-9)
+    }
+  }
+
   test("tx_bpe_pairs: within-token char pairs, deterministic tie-break, single-char tokens skipped") {
     withDocs(Seq(1L -> "abab x", 2L -> "cc cc")) { dir =>
       // "abab" -> ab, ba, ab; "x" skipped (<2 chars); "cc" x2 -> cc x2
