@@ -364,7 +364,8 @@ object Bench {
       case m if m.isEmpty => ""
       case m =>
         val pick = Seq("cdc_events_per_sec", "propagation_ms",
-          "stateful_latest_events_per_sec", "neardup_docs_per_sec", "failed")
+          "stateful_latest_events_per_sec", "neardup_docs_per_sec",
+          "substring_gate_docs_per_sec", "failed")
           .flatMap(k => m.get(k).map(v => s""""$k":${fmt(v, 0)}"""))
         s""""streaming":{${pick.mkString(",")}},"""
     }

@@ -149,6 +149,23 @@ object BenchStreaming {
     }.toSeq
     ndq.stop()
 
+    // ---- substring_gate: foreachBatch span-precise ingest gate —
+    // the second half of the doc sample streams against the first
+    // half as the accepted corpus (the live-admission shape; the
+    // corpus gram dictionary amortizes across micro-batches)
+    val half = docs.length / 2
+    val sgCorpus = docs.take(half).toIndexedSeq.toDF("doc_id", "text")
+    val sgDocs = docs.drop(half)
+    val sgStream = MemoryStream[(Long, String)]
+    val sgq = graft.streaming.StreamSubstringGate.start(
+      sgStream.toDF().toDF("doc_id", "text"), sgCorpus, "text", "doc_id",
+      k = QueriesExt.SubstringK, s"$tmp/ckpt_sg", s"$tmp/audit_sg")
+    val sgMs = sgDocs.grouped(math.max(1, sgDocs.length / 5)).map { chunk =>
+      sgStream.addData(chunk.toIndexedSeq)
+      timeMs(sgq.processAllAvailable())._2
+    }.toSeq
+    sgq.stop()
+
     Seq(
       "cdc_events" -> nEvents.toDouble,
       "cdc_events_per_sec" -> (if (cdcSecs > 0) nEvents / cdcSecs else -1.0),
@@ -158,6 +175,8 @@ object BenchStreaming {
       "stateful_latest_events_per_sec" ->
         (nEvents / math.max(1e-9, slMs.sum / 1e3)),
       "neardup_docs" -> nDocs.toDouble,
-      "neardup_docs_per_sec" -> (nDocs / math.max(1e-9, ndMs.sum / 1e3)))
+      "neardup_docs_per_sec" -> (nDocs / math.max(1e-9, ndMs.sum / 1e3)),
+      "substring_gate_docs_per_sec" ->
+        (sgDocs.length / math.max(1e-9, sgMs.sum / 1e3)))
   }
 }

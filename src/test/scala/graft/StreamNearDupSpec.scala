@@ -50,6 +50,48 @@ class StreamNearDupSpec extends SparkSuite {
       s"stream missed batch pairs: ${batch -- pairs}")
   }
 
+  test("streaming substring gate: per-batch spans equal the batch operator; shard-internal ignored") {
+    import graft.streaming.StreamSubstringGate
+    implicit val sqlCtx = spark.sqlContext
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val inCorpus = words("s", 6)
+    val corpus = Seq(
+      (100L, words("a", 8) + " " + inCorpus),
+      (101L, words("b", 8))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ssgate").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamSubstringGate.start(
+      stream.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id",
+      k = k, checkpoint = s"$tmp/ckpt", auditDir = s"$tmp/audit")
+    // batch 1: one contaminated doc + one clean
+    stream.addData(1L -> (words("d", 3) + " " + inCorpus + " " + words("e", 4)),
+      2L -> words("z", 12))
+    q.processAllAvailable()
+    // batch 2: two docs sharing a run with EACH OTHER but not the corpus
+    val shardOnly = words("y", 6)
+    stream.addData(3L -> (shardOnly + " " + words("f", 5)),
+      4L -> (shardOnly + " " + words("g", 5)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$tmp/audit")
+      .select("doc_id", "span_start", "span_len", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // only doc 1's corpus-shared span; the shard-internal y-run is the
+    // BATCH dd_substring operator's job, not the ingest gate's
+    assert(got == Set((1L, 3L, 6L, 2L)), s"got $got")
+    // parity: the union of streamed batches through the batch operator
+    val allNew = Seq(
+      1L -> (words("d", 3) + " " + inCorpus + " " + words("e", 4)),
+      2L -> words("z", 12),
+      3L -> (shardOnly + " " + words("f", 5)),
+      4L -> (shardOnly + " " + words("g", 5))).toDF("doc_id", "text")
+    val batch = Dedup.substringDupSpansAgainst(allNew, corpus, "text", "doc_id", k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"stream/batch divergence: got $got vs $batch")
+  }
+
   test("streamed candidates + stored-shingle exact verify equal the batch operator") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
