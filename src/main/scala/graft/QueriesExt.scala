@@ -2988,6 +2988,19 @@ object QueriesExt {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Payload-level exact dedup over the media frame — decode-free
+    * digest grouping ([[Multimodal.dedupExact]]); the mm edition of
+    * dd_exact_groups.
+    */
+  val mmDedupExact: Q = (s, d) =>
+    Multimodal.dedupExact(mediaFrom(docs(s, d))).orderBy("content_md5")
+  val mmDedupExactSql: String =
+    """SELECT md5(text) AS content_md5,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val mmFrameSample: Q = (s, d) =>
     Multimodal.sampleFrames(mediaFrom(docs(s, d)), stride = 10)
       .orderBy("media_id", "frame_idx")

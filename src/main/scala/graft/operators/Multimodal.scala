@@ -155,6 +155,20 @@ object Multimodal {
       octet_length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("content_md5"))
 
+  /** Exact payload-level dedup: the binary-column edition of
+    * [[graft.operators.Dedup.exactDupGroups]] — media assets dedup by
+    * content fingerprint BEFORE any decode (the cheap first pass a
+    * 100 TB media lake runs; frame- or embedding-level near-dup then
+    * only touches the survivors). One map-side-combined groupBy on the
+    * 128-bit digest; payload bytes never shuffle — only (digest, id,
+    * length) rows do.
+    */
+  def dedupExact(df: DataFrame): DataFrame =
+    df.groupBy(md5(col("payload")).as("content_md5"))
+      .agg(min(col("media_id")).cast("long").as("keep_id"),
+        count(lit(1)).cast("long").as("n_copies"),
+        min(octet_length(col("payload"))).cast("long").as("n_bytes"))
+
   /** Frame sampling for video rows: one output row per sampled frame
     * index (the real impl would slice the payload per frame).
     */
