@@ -1773,6 +1773,19 @@ object QueriesExt {
     val e = emb(s, d)
     val cents = Similarity.seededCentroids(e, "vec_id", "embedding", PqCodebookSize)
       .orderBy("list_id").collect()
+    // empty / all-null corpus: no codebook exists — empty result with
+    // the output schema, not a head-of-empty crash
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      e.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("pq_codes", StringType),
+          StructField("mse", DoubleType))))
+    } else pqAssign(e, cents)
+  }
+  private def pqAssign(e: DataFrame,
+      cents: Array[org.apache.spark.sql.Row]): DataFrame = {
     val dim = cents.head.getAs[scala.collection.Seq[Float]]("centroid").size
     require(dim % PqSubspaces == 0,
       s"embedding dim $dim not divisible into $PqSubspaces subspaces")
