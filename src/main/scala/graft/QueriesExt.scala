@@ -632,6 +632,25 @@ object QueriesExt {
     Dedup.substringDupStats(docs(s, d), "text", "doc_id",
       k = SubstringK, minDocFreq = SubstringMinDocs)
       .orderBy("doc_id")
+  /** Keep-one rollup: duplicated-token mass each NON-canonical doc
+    * would lose under the keep1 trim — completes the policy × surface
+    * matrix (spans/stats/trim × remove-all/keep1/keep1q).
+    */
+  val ddSubstringStatsKeep1: Q = (s, d) =>
+    Dedup.substringDupStatsKeep1(docs(s, d), "text", "doc_id",
+      k = SubstringK, minDocFreq = SubstringMinDocs)
+      .orderBy("doc_id")
+  lazy val ddSubstringStatsKeep1Sql: String =
+    s"""WITH ${substringKeep1Cte(SubstringK, SubstringMinDocs)},
+       |pd AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_spans
+       |  FROM spans GROUP BY doc_id)
+       |SELECT pd.doc_id,
+       |  CAST($CountTokensSql AS BIGINT) AS n_tokens,
+       |  pd.dup_tokens, pd.n_spans,
+       |  CAST(pd.dup_tokens AS DOUBLE) / CAST($CountTokensSql AS DOUBLE) AS dup_share
+       |FROM pd JOIN documents USING (doc_id)
+       |ORDER BY pd.doc_id""".stripMargin
   lazy val ddSubstringStatsSql: String =
     s"""WITH ${substringCte(SubstringK, SubstringMinDocs)},
        |pd AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
@@ -1427,32 +1446,42 @@ object QueriesExt {
     * is scan-side.
     */
   val SelectBudgetTokens = 2500L
-  val cuBudgetSelect: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang")
-      .orderBy(col("quality").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, d).select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
-      .withColumn("selected", col("cum_tokens") <= SelectBudgetTokens)
-      .orderBy("doc_id")
+  private def cuBudgetSelectWith(tokens: Column => Column, tokensSql: String)
+      : (Q, String) = {
+    val q: Q = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          tokens(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+        .withColumn("selected", col("cum_tokens") <= SelectBudgetTokens)
+        .orderBy("doc_id")
+    }
+    val sql =
+      s"""WITH $duckQualityCte,
+         |j AS (SELECT d.doc_id, d.lang, q.quality,
+         |    CAST($tokensSql AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN qual q USING (doc_id)),
+         |c AS (SELECT doc_id, lang, quality, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM j)
+         |SELECT doc_id, lang, quality, n_tokens, cum_tokens,
+         |  (cum_tokens <= $SelectBudgetTokens) AS selected
+         |FROM c ORDER BY doc_id""".stripMargin
+    (q, sql)
   }
-  lazy val cuBudgetSelectSql: String =
-    s"""WITH $duckQualityCte,
-       |j AS (SELECT d.doc_id, d.lang, q.quality,
-       |    CAST($CountTokensSql AS BIGINT) AS n_tokens
-       |  FROM documents d JOIN qual q USING (doc_id)),
-       |c AS (SELECT doc_id, lang, quality, n_tokens,
-       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
-       |      ORDER BY quality DESC, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |      AS cum_tokens
-       |  FROM j)
-       |SELECT doc_id, lang, quality, n_tokens, cum_tokens,
-       |  (cum_tokens <= $SelectBudgetTokens) AS selected
-       |FROM c ORDER BY doc_id""".stripMargin
+  private lazy val budgetWs = cuBudgetSelectWith(TextAnalysis.tokenCount, CountTokensSql)
+  private lazy val budgetSw = cuBudgetSelectWith(TextAnalysis.subwordCount, CountSubwordsSql)
+  val cuBudgetSelect: Q = (s, d) => budgetWs._1(s, d)
+  lazy val cuBudgetSelectSql: String = budgetWs._2
+  val cuBudgetSelectSubword: Q = (s, d) => budgetSw._1(s, d)
+  lazy val cuBudgetSelectSubwordSql: String = budgetSw._2
 
   /** Cluster-BALANCED sampling (the k-means-curation / SSL-prototypes
     * class): assign each embedded document to its seeded embedding

@@ -330,8 +330,21 @@ object Dedup {
     * HAVE a duplicated span.
     */
   def substringDupStats(df: DataFrame, textCol: String, idCol: String,
-      k: Int, minDocFreq: Int = 2): DataFrame = {
-    val spans = substringDupSpans(df, textCol, idCol, k, minDocFreq)
+      k: Int, minDocFreq: Int = 2): DataFrame =
+    statsOverSpans(df, textCol, idCol,
+      substringDupSpans(df, textCol, idCol, k, minDocFreq))
+
+  /** Per-doc rollup under the KEEP-ONE policy — what each NON-canonical
+    * doc would lose; canonical owners carry no row (their spans are
+    * kept). The readout that prices the keep1 trim before running it.
+    */
+  def substringDupStatsKeep1(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocFreq: Int = 2): DataFrame =
+    statsOverSpans(df, textCol, idCol,
+      substringDupSpansKeep1(df, textCol, idCol, k, minDocFreq))
+
+  private def statsOverSpans(df: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy("doc_id")
       .agg(sum(col("span_len")).cast("long").as("dup_tokens"),
         count(lit(1)).cast("long").as("n_spans"))

@@ -172,6 +172,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(2) == ((2L, words("z", 4), 4L, 5L)), s"got ${got(2)}")
   }
 
+  test("substring keep1 stats: canonical doc carries no row; losses equal the trim") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val k = 5
+    val shared = words("s", 7)
+    val d = Seq(
+      (0L, words("a", 4) + " " + shared),          // canonical owner
+      (1L, shared + " " + words("c", 6)),
+      (2L, words("d", 2) + " " + shared)).toDF("doc_id", "text")
+    val stats = Dedup.substringDupStatsKeep1(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toList
+    assert(stats == List((1L, 7L), (2L, 7L)), s"got $stats")
+    val trim = Dedup.substringTrimKeep1(d, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    stats.foreach { case (id, dup) => assert(trim(id) == dup,
+      s"stats/trim disagree for doc $id") }
+    assert(trim(0L) == 0L, "canonical owner must lose nothing")
+  }
+
   test("substring keep1q: quality election keeps the BEST copy, not the earliest id") {
     def words(prefix: String, n: Int): String =
       (1 to n).map(i => s"$prefix$i").mkString(" ")
