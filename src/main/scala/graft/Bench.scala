@@ -144,6 +144,11 @@ object Bench {
     // throughput disputes (r17: neardup docs/s draws were unfalsifiable
     // because each sample cost a full 40+ s batch suite)
     val streamingOnly = sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("only")
+    // streaming-only + positional args would produce an EMPTY artifact
+    // (args skip the streaming section, the flag skips the batch suite)
+    // — refuse, same as the EXCLUDE+args conflict above
+    require(args.isEmpty || !streamingOnly,
+      "SPARK_GRAFT_BENCH_STREAMING=only cannot be combined with positional query args")
     val selected = if (streamingOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
       else if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toMap

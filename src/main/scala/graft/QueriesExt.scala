@@ -1823,9 +1823,14 @@ object QueriesExt {
       cents.toSeq.map(_.getAs[scala.collection.Seq[Float]]("centroid")
         .slice(j * sub, (j + 1) * sub).map(_.toDouble).toSeq))
     val cbLit = typedLit(cb)
+    // probe only the codebook entries that EXIST: a 1..15-vector corpus
+    // yields a partial codebook, and indexing element_at past its end
+    // throws under ANSI mode (the oracle's QUALIFY cid <= K handles the
+    // partial case natively — this keeps the engines in lockstep)
+    val kEff = math.min(PqCodebookSize, cents.length)
     val best = transform(sequence(lit(0), lit(PqSubspaces - 1)), j => {
       val subv = slice(col("__v"), j * lit(sub) + lit(1), lit(sub))
-      aggregate(sequence(lit(1), lit(PqCodebookSize)),
+      aggregate(sequence(lit(1), lit(kEff)),
         struct(lit(Double.MaxValue).as("d"), lit(0).as("i")),
         (acc, i) => {
           val c = element_at(element_at(cbLit, j + lit(1)), i)

@@ -255,11 +255,18 @@ object Dedup {
     * Cost vs the id election: quality is computed SCAN-SIDE in the
     * gram projection (no join — the score rides the same posexplode),
     * widening the mark exchange by one double per gram row; the
-    * election is a first_value over a second in-partition ordering of
-    * the SAME hashpartitioning(h) exchange (one extra sort, no new
-    * exchange — plan-guarded). Quality's pure-double arithmetic is
-    * bit-identical across engines (tx_quality is hash-graded), so the
-    * election replays exactly in SQL.
+    * election is an ORDER-FREE `min(struct(-quality, doc_id))` over
+    * the unordered h window — struct ordering is field-wise, and
+    * double negation is a strict order reversal (including ±0.0 and
+    * exact ties), so the min elects exactly the (quality DESC, doc_id
+    * ASC) winner WITHOUT a second in-partition sort of the gram
+    * exchange (r19, VERDICT r18 ask #3: the prior `first_value` over
+    * `orderBy(__q desc, doc_id)` forced a second full sort of the
+    * widest exchange in the engine — A-B in SCALE_SOAK r19; the
+    * unordered-window aggregates collapse into the dense_rank
+    * WindowExec's (h, doc_id) sort). Quality's pure-double arithmetic
+    * is bit-identical across engines (tx_quality is hash-graded), so
+    * the election replays exactly in SQL.
     */
   def substringDupSpansKeep1Quality(df: DataFrame, textCol: String,
       idCol: String, k: Int, minDocFreq: Int = 2): DataFrame = {
@@ -269,11 +276,13 @@ object Dedup {
       posexplode(graft.plans.GraftFunctions.tokenGramHashes(col(textCol), k))
         .as(Seq("pos", "h")))
     val byH = Window.partitionBy("h").orderBy("doc_id")
-    val byQual = Window.partitionBy("h").orderBy(col("__q").desc, col("doc_id").asc)
+    val unordered = Window.partitionBy("h")
     val marked = grams
       .withColumn("__r", dense_rank().over(byH))
-      .withColumn("__nd", max(col("__r")).over(Window.partitionBy("h")))
-      .withColumn("__canon", first(col("doc_id")).over(byQual))
+      .withColumn("__nd", max(col("__r")).over(unordered))
+      .withColumn("__canon",
+        min(struct((-col("__q")).as("nq"), col("doc_id").as("d")))
+          .over(unordered).getField("d"))
       .filter(col("__nd") >= minDocFreq && col("doc_id") =!= col("__canon"))
       .select(col("doc_id"), col("pos"))
     assembleSpans(marked, k)

@@ -160,8 +160,9 @@ class PlanSpec extends SparkSuite {
   }
 
   test("keep1q spans keep the join-free 2-exchange shape; sim_quantize_pq is shuffle-free (r18)") {
-    // quality election = scan-side score + a second in-partition sort,
-    // never a join or a third corpus exchange
+    // quality election = scan-side score + an ORDER-FREE min(struct)
+    // window (r19): never a join, a third corpus exchange, or more
+    // sorts than the id election itself plans
     val df = graft.operators.Dedup.substringDupSpansKeep1Quality(
       graft.sources.Tables.documents(spark, sf001), "text", "doc_id", k = 8)
     val plan = df.queryExecution.executedPlan.toString
@@ -169,6 +170,16 @@ class PlanSpec extends SparkSuite {
       s"keep1q spans must stay join-free:\n$plan")
     val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$plan")
+    // r19 (VERDICT ask #3): the quality election must NOT re-sort the
+    // gram exchange — keep1q plans exactly as many Sort nodes as keep1
+    val keep1Plan = graft.operators.Dedup.substringDupSpansKeep1(
+      graft.sources.Tables.documents(spark, sf001), "text", "doc_id", k = 8)
+      .queryExecution.executedPlan.toString
+    assert("\\bSort\\b".r.findAllIn(plan).size ==
+      "\\bSort\\b".r.findAllIn(keep1Plan).size,
+      s"keep1q must plan the same sorts as keep1 (order-free election), " +
+        s"got keep1q=${"\\bSort\\b".r.findAllIn(plan).size} vs " +
+        s"keep1=${"\\bSort\\b".r.findAllIn(keep1Plan).size}:\n$plan")
     // PQ: the codebook embeds as a literal — pure per-row compute
     val pq = SparkEntry.queries("sim_quantize_pq")(spark, sf001)
     val pqPlan = pq.queryExecution.executedPlan.toString
