@@ -164,8 +164,9 @@ object Dedup {
     * assembly is two windows partitioned by doc_id (per-doc data,
     * embarrassingly parallel).
     */
-  /** The k-token gram stream of a corpus: (doc_id, pos, h). */
-  private def tokenGrams(df: DataFrame, textCol: String, idCol: String,
+  /** The k-token gram stream of a corpus: (doc_id, pos, h).
+    * (graft-visible for the src/probe A-B harnesses.) */
+  private[graft] def tokenGrams(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
       posexplode(graft.plans.GraftFunctions.tokenGramHashes(col(textCol), k))
@@ -174,8 +175,8 @@ object Dedup {
   /** Merge marked positions into maximal spans — shared by the batch
     * and incremental substring operators. Two windows partitioned by
     * doc_id over the (small) marked frame.
-    */
-  private def assembleSpans(marked: DataFrame, k: Int): DataFrame = {
+    * (graft-visible for the src/probe A-B harnesses.) */
+  private[graft] def assembleSpans(marked: DataFrame, k: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     marked
       .withColumn("__gap",
