@@ -723,6 +723,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** PARAGRAPH-granularity near-dup rollup (r19 — the RefinedWeb/CCNet
+    * tier between whole-doc minhash and exact-span substring dedup):
+    * split each document into non-overlapping `paraTokens`-token
+    * paragraphs (the synthetic corpus has no blank-line structure, so
+    * fixed token windows stand in for paragraph boundaries — a real
+    * corpus swaps the splitter, nothing downstream changes), minhash-
+    * band the PARAGRAPHS with the same lossless-at-threshold machinery
+    * as [[minhashNearDupPairs]], keep pairs that cross documents, and
+    * roll up per document: how many of its paragraphs duplicate
+    * another document's content, the duplicated share, and the
+    * curation action (`drop` at ≥ `dropShare`, `trim` for any cross-doc
+    * duplication, `keep` otherwise — RefinedWeb trims duplicated
+    * passages, CCNet drops heavily-duplicated docs).
+    *
+    * Paragraph ids pack as doc_id·2²⁰ + chunk_id (fail-loud under ANSI
+    * if a doc_id exceeds 2⁴³ or a doc 2²⁰ paragraphs — far past any
+    * real id scheme). Scale shape: the split is a pure scan-side
+    * Generate (no exchange); the pair stage is [[minhashNearDupPairs]]
+    * verbatim — one banding exchange, hot-key caps, exact verify — at
+    * ~len/paraTokens× the row count and ~1× the total bytes; the
+    * rollup is two skinny aggregates + a broadcast-able flag join.
+    * Reference analog: duplicate forensics at sub-row granularity,
+    * `/root/reference/tests/drift_analysis.py:141-157`.
+    */
+  def paragraphDupStats(df: DataFrame, textCol: String, idCol: String,
+      paraTokens: Int = 32, shingleLen: Int = 8, threshold: Double = 0.5,
+      dropShare: Double = 0.5): DataFrame = {
+    val ParaIdShift = 20
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val starts = sequence(lit(0),
+      greatest(size(col("__toks")), lit(1)) - 1, lit(paraTokens))
+    val paras = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(
+        // multiply (not shiftleft): ANSI overflow THROWS past 2^43 ids
+        // instead of silently aliasing paragraphs across documents
+        (col("doc_id") * lit(1L << ParaIdShift) + col("chunk_id")).as("para_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(paraTokens)), " ")
+          .as("para_text"))
+    val pairs = minhashNearDupPairs(paras, "para_text", "para_id",
+      shingleLen = shingleLen, threshold = threshold)
+    val crossDoc = pairs.filter(
+      shiftrightunsigned(col("id_a"), ParaIdShift) =!=
+        shiftrightunsigned(col("id_b"), ParaIdShift))
+    val dupParas = crossDoc.select(col("id_a").as("pid"))
+      .union(crossDoc.select(col("id_b").as("pid"))).distinct()
+      .groupBy(shiftrightunsigned(col("pid"), ParaIdShift).as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("dup_paras"))
+    val perDoc = df.select(col(idCol).as("doc_id"),
+      size(sequence(lit(0), greatest(size(toks), lit(1)) - 1, lit(paraTokens)))
+        .cast("long").as("n_paras"))
+    perDoc.join(dupParas, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("dup_paras"), lit(0L)).as("dup_paras"))
+      .withColumn("dup_share",
+        col("dup_paras").cast("double") / col("n_paras").cast("double"))
+      .withColumn("action",
+        when(col("dup_share") >= dropShare, lit("drop"))
+          .when(col("dup_paras") > 0, lit("trim"))
+          .otherwise(lit("keep")))
+  }
+
   /** SimHash (64-bit) near-dup: docs whose token-level simhash differs in
     * ≤ maxHammingDistance bits. Banding on 4×16-bit chunks bounds the
     * join (a pair within Hamming distance 3 shares ≥1 exact chunk).

@@ -1239,6 +1239,178 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ with asymmetric distance (ADC) — Jégou et al. 2011 §III,
+    * the composition of the two tiers that shipped separately
+    * ([[ivfSeededTopK]]'s coarse quantizer + the PQ codebooks of
+    * `sim_quantize_pq`), i.e. the production billion-vector index
+    * shape (r19, VERDICT r18 ask #2):
+    *
+    *  1. coarse: every vector assigns to its nearest seeded centroid
+    *     (same bank expression / tie-break as every seeded tier);
+    *  2. encode: the RESIDUAL (vec − centroid) splits into `m`
+    *     subspaces, each quantized to the nearest of `codebookK`
+    *     codebook entries (strict `<` fold keeps the earliest id on
+    *     ties — the `sim_quantize_pq` device). The codebook is the
+    *     residuals of the `codebookK` vectors with smallest
+    *     md5(id·"pq") — a deterministic SQL-replayable stand-in for
+    *     trained per-subspace k-means, disjoint from the centroid
+    *     seeds (whose own residuals are ~0); a trained codebook drops
+    *     in without touching the plan;
+    *  3. search (ADC): each query probes its `probe` nearest lists and
+    *     precomputes, per probed list, the m×k lookup table of squared
+    *     distances between ITS residual in that cell and every
+    *     codebook entry; candidate distance is then m table lookups —
+    *     the candidate join ships (id, list_id, m codes) rows, never
+    *     vectors;
+    *  4. rerank: the top-`rerankC` ADC candidates per query rejoin the
+    *     original vectors for exact cosine, ranked (cosine desc, id).
+    *
+    * Every stage is double folds in index order + argmin tie-breaks,
+    * so DuckDB replays the FINAL ranked output bit-for-bit
+    * (`sim_ann_ivfpq`). Scale shape: centroids and the m·k·(dim/m)
+    * codebook are literal/broadcast state; the only corpus-keyed
+    * exchange is the list_id candidate join (merge-pinned like
+    * [[ivfTopK]]), carrying codes (m bytes of information per vector
+    * — the 64× compression that makes a 10⁹-vector index RAM-resident)
+    * instead of `dim` floats; the rerank joins move only the
+    * rerankC·|queries| candidate ids.
+    */
+  def ivfPqSeededTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, rerankC: Int = 32, nLists: Int = 0, nProbe: Int = 0,
+      m: Int = 4, codebookK: Int = 16,
+      queryFilter: Option[Column => Column] = None): DataFrame =
+    ivfPqFrames(df, idCol, vecCol, k, rerankC, nLists, nProbe, m,
+      codebookK, queryFilter) match {
+      case Some(f) => f.topk
+      case None => df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), ivfPqOutSchema)
+    }
+
+  private[graft] val ivfPqOutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("neighbor_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cosine",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("rank",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Stage frames of [[ivfPqSeededTopK]] (probe/attribution surface):
+    * None when the corpus is empty / has no codebook seeds.
+    */
+  private[graft] case class IvfPqFrames(assigned: DataFrame,
+    probesLut: DataFrame, adc: DataFrame, cand: DataFrame, topk: DataFrame)
+
+  private[graft] def ivfPqFrames(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, rerankC: Int = 32, nLists: Int = 0, nProbe: Int = 0,
+      m: Int = 4, codebookK: Int = 16,
+      queryFilter: Option[Column => Column] = None): Option[IvfPqFrames] = {
+    import graft.functions.VectorFunctions._
+    val spark = df.sparkSession
+    val n = CorpusStats.rowCount(df)
+    if (n == 0) return None
+    val (lists, probe) = seededGeometry(df, vecCol, nLists, nProbe)
+    annScaleAdvisory(n, lists, probe,
+      spark.sparkContext.defaultParallelism,
+      spark.conf.get(AnnRegimeModeKey, "advise"),
+      queryRows = queryFilter.fold(-1L)(f => CorpusStats.rowCount(
+        df.filter(f(col(idCol)) && col(vecCol).isNotNull))))
+    val dim = CorpusStats.vecDim(df, vecCol)
+    require(dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cents = seededCentroids(df, idCol, vecCol, lists)
+    val bank = bankBroadcastFor(cents)
+    val nn = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    def assignTop(d: DataFrame, vc: String, top: Int): DataFrame = d
+      .withColumn("__l",
+        graft.plans.GraftFunctions.nearestCentroidLists(col(vc), bank, top))
+      .filter(size(col("__l")) > 0)
+
+    // centroid attach (metadata-sized broadcast) + residual in doubles
+    def withResidual(d: DataFrame, vc: String): DataFrame = d
+      .join(broadcast(cents), Seq("list_id"))
+      .withColumn("__res", zip_with(col(vc), col("centroid"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .drop("centroid")
+
+    // PQ codebook: residuals of the codebookK md5(id||'pq')-ranked
+    // vectors w.r.t. their own coarse cell — collected once (m·k·sub
+    // doubles), embedded as a literal like sim_quantize_pq's codebook
+    val seedRows = withResidual(
+      assignTop(nn.withColumn("__hq",
+          md5(concat(col("id").cast("string"), lit("pq"))))
+        .orderBy(col("__hq"), col("id")).limit(codebookK), "vec", 1)
+        .withColumn("list_id", element_at(col("__l"), 1)),
+      "vec")
+      .select(col("__hq"), col("id"), col("__res"))
+      .collect()
+      .sortBy(r => (r.getString(0), r.getLong(1)))
+    val kEff = seedRows.length
+    if (kEff == 0) return None
+    // the codebook is an expression CONSTANT of the two PQ kernels
+    // below (m·k·sub doubles — the NearestCentroidLists bank device):
+    // the encode/LUT loops run as ONE primitive-loop eval per row
+    // instead of m·k interpreted higher-order lambdas (the HOF form
+    // measured as the hot stage of this query: 512 k lambda evals at
+    // sf0.1 — see IvfPqStageProbe); fold order and the strict-< tie
+    // break are bit-identical to sim_quantize_pq's folds and the
+    // oracle's list_reduce replay.
+    val cbArr: Array[Array[Array[Double]]] = (0 until m).map(j =>
+      seedRows.map(_.getAs[scala.collection.Seq[Double]]("__res")
+        .slice(j * sub, (j + 1) * sub).toArray).toArray).toArray
+
+    // corpus side: (id, list_id, m codes) — vectors never enter the join
+    val assigned = withResidual(
+      assignTop(nn, "vec", 1)
+        .withColumn("list_id", element_at(col("__l"), 1)), "vec")
+      .withColumn("codes",
+        graft.plans.GraftFunctions.pqCodes(col("__res"), cbArr))
+      .select(col("id"), col("list_id"), col("codes"))
+
+    // query side: probe lists + per-(query, list) ADC lookup table
+    val probesLut = withResidual(
+      queryFilter.fold(nn)(f => nn.filter(f(col("id"))))
+        .withColumn("__ls",
+          graft.plans.GraftFunctions.nearestCentroidLists(col("vec"), bank, probe))
+        .select(col("id").as("query_id"), col("vec").as("qv"),
+          explode(col("__ls")).as("list_id")),
+      "qv")
+      .withColumn("__lut",
+        graft.plans.GraftFunctions.pqSubspaceDists(col("__res"), cbArr))
+      .select(col("query_id"), col("list_id"), col("__lut"))
+
+    // ADC = m lookups summed in subspace order. UNROLLED (not an
+    // `aggregate` fold): this projection runs per CANDIDATE PAIR — the
+    // widest stream in the plan — and higher-order functions evaluate
+    // interpreted per row, while the unrolled element_at chain stays
+    // inside whole-stage codegen; left-assoc `+` keeps the exact fold
+    // order the oracle replays (lit(0.0) + t1 + t2 + …).
+    val adcSum = (1 to m).map(j =>
+      element_at(element_at(col("__lut"), j), element_at(col("codes"), j)))
+      .foldLeft(lit(0.0))(_ + _)
+    val adc = probesLut.join(assigned.hint("merge"), Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adcSum.as("adc"))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val cand = adc.withColumn("__crn", row_number().over(candW))
+      .filter(col("__crn") <= rerankC)
+      .select("query_id", "neighbor_id")
+    val r = nn.select(col("id"), col("vec"), normSq(col("vec")).as("nsq"))
+    val scored = cand
+      .join(r.select(col("id").as("query_id"), col("vec").as("qv"),
+        col("nsq").as("qn")), Seq("query_id"))
+      .join(r.select(col("id").as("neighbor_id"), col("vec"), col("nsq")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromParts(dot(col("qv"), col("vec")), col("qn"), col("nsq"))
+          .as("cosine"))
+    Some(IvfPqFrames(assigned, probesLut, adc, cand, rankTopK(scored, k)))
+  }
+
   /** Per-corpus-version centroid cache: keyed on the analyzed plan's
     * semantic hash + the corpus's file-listing signature + training
     * params, so the same corpus reuses trained centroids across calls

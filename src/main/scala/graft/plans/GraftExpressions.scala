@@ -560,6 +560,95 @@ case class NearestCentroidLists(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-subspace PQ squared distances (the IVF-PQ ADC lookup-table /
+  * encode kernel — r19): for residual `child` (array<double>, length
+  * m·sub) and codebook `cb` (m × k × sub doubles, an expression
+  * CONSTANT like [[NearestCentroidLists]]' bank), emits the m×k array
+  * of Σ_d (res[j·sub+d] − cb[j][i][d])², accumulated in d-ascending
+  * order — the identical operation sequence as the
+  * zip_with+aggregate HOF form it replaces (the HOFs evaluate
+  * interpreted per (row, j, i): 512 k lambda evals at sf0.1 made the
+  * LUT projection the hot stage of sim_ann_ivfpq; this is one
+  * primitive-loop eval per row) and as the oracle's
+  * list_reduce(list_transform(list_zip(…))) left fold.
+  */
+case class PqSubspaceDists(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(cb.nonEmpty && cb.head.nonEmpty, "codebook must be non-empty")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val res = v.asInstanceOf[ArrayData].toDoubleArray()
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val out = new Array[ArrayData](m)
+    var j = 0
+    while (j < m) {
+      val kN = cb(j).length
+      val dists = new Array[Double](kN)
+      var i = 0
+      while (i < kN) {
+        val c = cb(j)(i)
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = res(j * sub + d) - c(d)
+          acc += diff * diff
+          d += 1
+        }
+        dists(i) = acc
+        i += 1
+      }
+      out(j) = new GenericArrayData(dists)
+      j += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ code assignment from a residual (the encode half of the ADC
+  * kernel): per subspace j, the 1-BASED index of the codebook entry
+  * with the smallest squared distance — strict `<` over an
+  * i-ascending scan keeps the EARLIEST entry on exact ties, the same
+  * election as sim_quantize_pq's fold and the oracle's
+  * ROW_NUMBER() OVER (ORDER BY dist ASC, cidx ASC) = 1.
+  */
+case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(cb.nonEmpty && cb.head.nonEmpty, "codebook must be non-empty")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val res = v.asInstanceOf[ArrayData].toDoubleArray()
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val kN = cb(j).length
+      var best = Double.MaxValue
+      var bestI = 0
+      var i = 0
+      while (i < kN) {
+        val c = cb(j)(i)
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = res(j * sub + d) - c(d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < best) { best = acc; bestI = i + 1 }
+        i += 1
+      }
+      codes(j) = bestI
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's MOSS
   * algorithm): Karp-Rabin ROLLING hash over character k-grams, then the
   * minimum hash of every window of `w` consecutive k-gram hashes
@@ -1411,6 +1500,10 @@ object GraftFunctions {
     col(NearestCentroidLists(e(vec), bank, probe))
   def topKNeighbors(score: Column, id: Column, k: Int): Column =
     col(TopKNeighbors(e(score), e(id), k).toAggregateExpression())
+  def pqSubspaceDists(res: Column, cb: Array[Array[Array[Double]]]): Column =
+    col(PqSubspaceDists(e(res), cb))
+  def pqCodes(res: Column, cb: Array[Array[Array[Double]]]): Column =
+    col(PqCodes(e(res), cb))
   def hammingWithinCheckpoints(a: Column, b: Column, cps: Array[Int]): Column =
     col(HammingWithinCheckpoints(e(a), e(b), cps))
   def stopwordCount(text: Column, words: Seq[String]): Column =

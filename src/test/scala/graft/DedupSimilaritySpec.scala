@@ -221,6 +221,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(trimmed == (("zz@@ ##", 6L)), s"got $trimmed")
   }
 
+  test("paragraph near-dup rollup: cross-doc duplication only; drop/trim/keep actions (r19)") {
+    // 4-token paragraphs: doc0 shares its first paragraph with doc1
+    // (1/3 dup -> trim); doc1's share is 1/2 >= dropShare -> drop;
+    // doc2 is unique -> keep; doc3 repeats a paragraph WITHIN itself
+    // only — the pair exists but is same-doc, so it must NOT count
+    val d = Seq(
+      0L -> "alpha bravo charlie delta echo fox golf hotel india juliet kilo lima",
+      1L -> "alpha bravo charlie delta mike november oscar papa",
+      2L -> "quebec romeo sierra tango uniform victor whiskey xray",
+      3L -> "yankee zulu apple banana yankee zulu apple banana").toDF("doc_id", "text")
+    val out = Dedup.paragraphDupStats(d, "text", "doc_id", paraTokens = 4)
+      .select($"doc_id", $"n_paras", $"dup_paras", $"action")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 3L, 1L, "trim")), s"got ${out(0)}")
+    assert(out(1) == ((1L, 2L, 1L, "drop")), s"got ${out(1)}")
+    assert(out(2) == ((2L, 2L, 0L, "keep")), s"got ${out(2)}")
+    assert(out(3) == ((3L, 2L, 0L, "keep")),
+      s"within-doc duplicate paragraphs counted as cross-doc: ${out(3)}")
+  }
+
   test("sim_quantize_pq: codebook seeds reconstruct exactly; codes stay in range") {
     val dir = tmpDirPq()
     val out = QueriesExt.simQuantizePq(spark, dir)

@@ -118,7 +118,7 @@ class PlanSpec extends SparkSuite {
     // sim_cosine_topk/neardup are the exact baselines and legitimately
     // cross-join; every blocked variant must stay bucket-local
     for (q <- Seq("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
-        "dd_embed_neardup", "sim_ann_lsh")) {
+        "dd_embed_neardup", "sim_ann_lsh", "dd_paragraph")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
@@ -185,6 +185,39 @@ class PlanSpec extends SparkSuite {
     val pqPlan = pq.queryExecution.executedPlan.toString
     assert(!pqPlan.contains("Join") && !pqPlan.contains("Exchange hashpartitioning"),
       s"PQ assignment must be scan-side (literal codebook, no join/shuffle):\n$pqPlan")
+  }
+
+  test("sim_ann_ivfpq: one list_id candidate join, codes not vectors, literal codebook (r19)") {
+    val plan = planOf("sim_ann_ivfpq")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ivfpq must stay list-blocked, never all-pairs:\n$plan")
+    // exactly ONE corpus-scale candidate join, keyed on list_id and
+    // merge-pinned like the ivf tier (centroid attaches broadcast)
+    val smjList = "SortMergeJoin \\[list_id".r.findAllIn(plan).size
+    assert(smjList == 1,
+      s"expected exactly 1 merge-pinned list_id candidate join, got $smjList:\n$plan")
+    // the candidate join ships codes, not vectors: no exchange row may
+    // carry the embedding column alongside codes
+    assert(plan.contains("codes"), s"PQ codes column missing from the plan:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("codes") && l.contains("vec")),
+      s"candidate exchange carries vectors next to codes:\n$plan")
+  }
+
+  test("mm_dedup_near: banded chunk join, payload bytes never enter the exchange (r19)") {
+    val plan = planOf("mm_dedup_near")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"perceptual near-dup must stay banded, not all-pairs:\n$plan")
+    // the pair join keys on the 4x16-bit chunk values
+    assert("join.*chunk".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"expected a chunk-keyed banding join:\n$plan")
+    // only (id, 16-hex ph) rows shuffle — the binary payload column
+    // must be projected away before every exchange
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("payload")),
+      s"payload bytes entered an exchange:\n$plan")
   }
 
   test("bloom decontamination probes scan-side; bpe pairs rank after a top-k (r18)") {

@@ -91,6 +91,37 @@ class TextMultimodalSpec extends SparkSuite {
     assert(frames == Seq((1L, 0), (1L, 10), (1L, 20)))
   }
 
+  test("mm_dedup_near: hexHamming64 arithmetic; identical payloads pair at 0; rollup counts (r19)") {
+    // nibble-fold Hamming on crafted signatures
+    val hamDf = Seq(
+      ("0000000000000000", "0000000000000000"), // 0
+      ("0000000000000000", "0000000000000001"), // 1
+      ("0000000000000000", "000000000000000f"), // 4
+      ("ffffffffffffffff", "0000000000000000")) // 64
+      .toDF("a", "b")
+      .select(graft.operators.Multimodal.hexHamming64($"a", $"b").as("h"))
+      .as[Int].collect().toSeq
+    assert(hamDf == Seq(0, 1, 4, 64), s"got $hamDf")
+    // signature == the codec's block-0 entropy prefix (the mm_features chain)
+    val payload = "same bytes".getBytes("UTF-8")
+    val expectedPh = graft.operators.Multimodal.StubCodec
+      .featureBlocksHex(payload, 1).substring(0, 16)
+    val media = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "same bytes"),
+      (4L, "other data")).toDF("media_id", "s")
+      .select($"media_id", lit("image").as("kind"),
+        $"s".cast("binary").as("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames"), lit("m").as("mime")).as("meta"))
+    val pairs = graft.operators.Multimodal.dedupNear(media)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)), s"got $pairs")
+    val stats = graft.operators.Multimodal.dedupNearStats(media)
+      .orderBy("media_id").as[(Long, String, Long)].collect().toSeq
+    assert(stats.map(_._3) == Seq(2L, 2L, 2L, 0L), s"got $stats")
+    assert(stats.head._2 == expectedPh,
+      s"graded ph ${stats.head._2} != codec chain $expectedPh")
+  }
+
   test("StubCodec resize and frame positions") {
     assert(Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4), 2).toSeq == Seq[Byte](1, 2))
     assert(Multimodal.StubCodec.framePositions(7, 3).toSeq == Seq(0, 3, 6))
@@ -285,6 +316,30 @@ class CurationSpec extends SparkSuite {
       val fps = bloom.filter { case (id, c) => c && !exact(id) }
       s"unexpected FPs at tiny fill: ${fps.keys}"
     })
+  }
+
+  test("decontamBloomWords: distributed bit_or build == per-hash driver build (r19)") {
+    // the distributed build (explode positions -> bit_or per word,
+    // <=16,384 rows to the driver) must produce the IDENTICAL bitmap
+    // as setting each gram hash's 3 slice bits one by one
+    import org.apache.spark.sql.functions.{col, explode}
+    val grams = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.tokenGramHashes(col("text"), 8)).as("h"))
+      .filter(col("doc_id") % 20 === 0)
+    val distributed = QueriesExt.decontamBloomWords(grams)
+    val mask = (QueriesExt.DecontamBloomBits - 1).toLong
+    val reference = new Array[Long](QueriesExt.DecontamBloomBits / 64)
+    grams.select("h").distinct().collect().map(_.getLong(0)).foreach { h =>
+      (0 until QueriesExt.DecontamBloomSlices).foreach { j =>
+        val p = ((h >>> (20 * j)) & mask).toInt
+        reference(p >> 6) |= (1L << (p & 63))
+      }
+    }
+    assert(distributed.length == reference.length)
+    val diff = distributed.indices.filter(i => distributed(i) != reference(i))
+    assert(diff.isEmpty, s"bitmap words differ at indexes ${diff.take(5)}")
+    assert(distributed.count(_ != 0L) > 0, "fixture produced an empty filter")
   }
 
   test("cu_chunk: stride windows with overlap, exact boundaries, short docs") {
