@@ -479,6 +479,13 @@ object Similarity {
     */
   def ivfIndexBytes(n: Long, dim: Int): Long = n * (8L + 4L * dim + 8L + 48L)
 
+  /** Bytes of the ENCODED (PQ) inverted-file bank: 8B id + m code
+    * ints + CSR overhead per member — dim-independent, ~20x smaller
+    * than [[ivfIndexBytes]] at m=4/dim=64, which is how far IVFADC
+    * extends the RAM-resident tier (Jégou et al. 2011).
+    */
+  def pqIndexBytes(n: Long, m: Int): Long = n * (8L + 4L * m + 8L)
+
   /** UNIFORM projection of the probed-member mass one IVF top-k run
     * scores: every query scans `probe` lists of ~n/lists members. The
     * REAL mass under md5-seeded centroids runs up to ~5× this (measured
@@ -1267,20 +1274,27 @@ object Similarity {
     *
     * Every stage is double folds in index order + argmin tie-breaks,
     * so DuckDB replays the FINAL ranked output bit-for-bit
-    * (`sim_ann_ivfpq`). Scale shape: centroids and the m·k·(dim/m)
-    * codebook are literal/broadcast state; the only corpus-keyed
-    * exchange is the list_id candidate join (merge-pinned like
-    * [[ivfTopK]]), carrying codes (m bytes of information per vector
-    * — the 64× compression that makes a 10⁹-vector index RAM-resident)
-    * instead of `dim` floats; the rerank joins move only the
-    * rerankC·|queries| candidate ids.
+    * (`sim_ann_ivfpq`). TWO TIERS, parity-pinned (spec + oracle):
+    * under `maxIndexBroadcastBytes` the ENCODED index — ids + m codes
+    * per member, NO vectors ([[graft.plans.PqIndexBank]],
+    * [[pqIndexBytes]]: dim-independent, ~20× more corpus than the raw
+    * IVF scan bank) — broadcasts, and search is one map-side kernel
+    * per query (probe → LUT → m lookups per member → bounded heap):
+    * zero candidate shuffle, sf10 isolated 6.3 s vs the join tier's
+    * 244 s. Past the budget, the join tier: the list_id candidate
+    * join (merge-pinned like [[ivfTopK]]) ships codes instead of
+    * `dim` floats and the top-c election is the rankTopK heap
+    * aggregate (its row_number predecessor full-sorted the ~2·10⁹
+    * sf10 pair stream: 603 s). The rerank joins move only the
+    * rerankC·|queries| candidate ids in both tiers.
     */
   def ivfPqSeededTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, rerankC: Int = 32, nLists: Int = 0, nProbe: Int = 0,
       m: Int = 4, codebookK: Int = 16,
-      queryFilter: Option[Column => Column] = None): DataFrame =
+      queryFilter: Option[Column => Column] = None,
+      maxIndexBroadcastBytes: Long = 256L << 20): DataFrame =
     ivfPqFrames(df, idCol, vecCol, k, rerankC, nLists, nProbe, m,
-      codebookK, queryFilter) match {
+      codebookK, queryFilter, maxIndexBroadcastBytes) match {
       case Some(f) => f.topk
       case None => df.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), ivfPqOutSchema)
@@ -1305,7 +1319,8 @@ object Similarity {
   private[graft] def ivfPqFrames(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, rerankC: Int = 32, nLists: Int = 0, nProbe: Int = 0,
       m: Int = 4, codebookK: Int = 16,
-      queryFilter: Option[Column => Column] = None): Option[IvfPqFrames] = {
+      queryFilter: Option[Column => Column] = None,
+      maxIndexBroadcastBytes: Long = 256L << 20): Option[IvfPqFrames] = {
     import graft.functions.VectorFunctions._
     val spark = df.sparkSession
     val n = CorpusStats.rowCount(df)
@@ -1382,6 +1397,24 @@ object Similarity {
         graft.plans.GraftFunctions.pqSubspaceDists(col("__res"), cbArr))
       .select(col("query_id"), col("list_id"), col("__lut"))
 
+    // scan-tier admission: the ENCODED index (ids + m codes per
+    // member — no vectors) under the broadcast budget -> map-side
+    // probed-list ADC scan, zero candidate shuffle. ~20x more corpus
+    // fits than the raw-vector IVF scan tier (pqIndexBytes); past the
+    // budget the join tier below is the 100 TB path. None from the
+    // bank build = duplicate corpus ids -> join tier (parity rule).
+    val scanCand: Option[DataFrame] =
+      if (pqIndexBytes(n, m) <= maxIndexBroadcastBytes) {
+        val srcKey = s"${System.identityHashCode(spark)}|" +
+          s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
+          s"$idCol|$vecCol|$lists|$probe|$m|$codebookK|$rerankC"
+        pqIndexBankBroadcastFor(srcKey, assigned, m).map { ibank =>
+          val queries = queryFilter.fold(nn)(f => nn.filter(f(col("id"))))
+            .select(col("id").as("query_id"), col("vec"))
+          scanAdcCandidates(queries, bank, ibank, cbArr, sub, probe, rerankC)
+        }
+      } else None
+
     // ADC = m lookups summed in subspace order. UNROLLED (not an
     // `aggregate` fold): this projection runs per CANDIDATE PAIR — the
     // widest stream in the plan — and higher-order functions evaluate
@@ -1394,11 +1427,20 @@ object Similarity {
     val adc = probesLut.join(assigned.hint("merge"), Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"), adcSum.as("adc"))
-    val candW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    val cand = adc.withColumn("__crn", row_number().over(candW))
-      .filter(col("__crn") <= rerankC)
-      .select("query_id", "neighbor_id")
+    // top-c election via the bounded-heap aggregate, NOT a row_number
+    // window: at sf10 the candidate stream is ~2·10⁹ pairs and the
+    // window's partition sort was the entire cost of this query
+    // (603 s single-pass; the heap form kills candidates map-side —
+    // the same rankTopK device every ANN ranker uses). Ordering
+    // parity: the heap's (score desc, id asc) total order over
+    // score = −adc IS (adc asc, neighbor_id asc) — double negation is
+    // exact — matching the oracle's ROW_NUMBER ORDER BY adcd, id.
+    val joinCand = adc.groupBy(col("query_id"))
+      .agg(graft.plans.GraftFunctions.topKNeighbors(
+        -col("adc"), col("neighbor_id"), rerankC).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"))
+    val cand = scanCand.getOrElse(joinCand)
     val r = nn.select(col("id"), col("vec"), normSq(col("vec")).as("nsq"))
     val scored = cand
       .join(r.select(col("id").as("query_id"), col("vec").as("qv"),
@@ -1603,6 +1645,150 @@ object Similarity {
     indexBankCache.synchronized(indexBankCache.size())
   private[graft] def clearIndexBankCache(): Unit =
     clearBroadcastCache(indexBankCache)(v => v)
+
+  private val MaxCachedPqIndexBanks = 4
+  private val pqIndexBankCache = boundedBroadcastCache[
+    Option[org.apache.spark.broadcast.Broadcast[graft.plans.PqIndexBank]]](
+    MaxCachedPqIndexBanks)(v => v)
+
+  /** Memoized broadcast ENCODED index for the IVF-PQ scan tier: the
+    * `assigned` frame's (list_id, id, codes) rows — the SAME rows the
+    * join tier ships through its candidate join — collected into a
+    * [[graft.plans.PqIndexBank]]. Keyed on the SOURCE corpus plan +
+    * geometry params (the assigned frame is a pure function of them;
+    * its own analyzed plan embeds identity-hashed bank/codebook
+    * constants that would defeat memoization). None on duplicate ids
+    * (the join tier merges duplicate-id query rows per query_id,
+    * which per-row heaps cannot replicate — same rule as
+    * [[indexBankBroadcastFor]]).
+    */
+  private def pqIndexBankBroadcastFor(srcKey: String, assigned: DataFrame,
+      m: Int): Option[org.apache.spark.broadcast.Broadcast[graft.plans.PqIndexBank]] = {
+    val sc = assigned.sparkSession.sparkContext
+    val key = s"pqib|${sc.applicationId}|$srcKey"
+    memoized(pqIndexBankCache, key) {
+      val rows = assigned
+        .select(col("list_id"), col("id"), col("codes"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toArray))
+      val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
+      val unique = rows.forall(r => seen.add(r._2))
+      if (unique) Some(sc.broadcast(graft.plans.PqIndexBank(rows, m))) else None
+    }
+  }
+
+  private[graft] def pqIndexBankCacheSize: Int =
+    pqIndexBankCache.synchronized(pqIndexBankCache.size())
+  private[graft] def clearPqIndexBankCache(): Unit =
+    clearBroadcastCache(pqIndexBankCache)(v => v)
+
+  /** IVF-PQ ADC scan tier: per query, ONE map-side kernel assigns the
+    * probe lists (the [[graft.plans.NearestCentroidLists]] loop
+    * verbatim — strict Double.compare insertion over the bank's
+    * list_id-ascending order), builds the per-list residual LUT (the
+    * [[graft.plans.PqSubspaceDists]] folds verbatim), streams the
+    * list's ENCODED members through m table lookups each, and keeps
+    * top-`rerankC` in a bounded heap under the identical
+    * (−adc desc, id asc) total order as the join tier's election —
+    * tier-parity spec + the hash-graded oracle pin the equivalence.
+    * The ~N·probe·listSize candidate stream never exists; the only
+    * exchange is one round-robin repartition of the compact query
+    * frame (the scanTopKWithBank split-inheritance lesson).
+    */
+  private def scanAdcCandidates(queries: DataFrame,
+      cbank: org.apache.spark.broadcast.Broadcast[graft.plans.CentroidBank],
+      ibank: org.apache.spark.broadcast.Broadcast[graft.plans.PqIndexBank],
+      cb: Array[Array[Array[Double]]], sub: Int, probe: Int,
+      rerankC: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val mM = cb.length
+    val cC = rerankC
+    val pP = probe
+    queries.repartition(par).as[(Long, Array[Float])].mapPartitions { rows =>
+      val b = cbank.value
+      val ix = ibank.value
+      rows.flatMap { case (qid, qv) =>
+        // --- probe selection: the NearestCentroidLists loop ---
+        val nLists = b.listIds.length
+        val dim = qv.length
+        var nsq = 0.0
+        var i = 0
+        while (i < dim) { val x = qv(i).toDouble; nsq += x * x; i += 1 }
+        val p = math.min(pP, nLists)
+        val lut = Array.ofDim[Double](mM, if (cb(0).isEmpty) 0 else cb(0).length)
+        val heap = new graft.plans.TopKHeap(cC)
+        if (p > 0) {
+          val topSim = Array.fill(p)(Double.NegativeInfinity)
+          val topIdx = Array.fill(p)(-1)
+          var c = 0
+          while (c < nLists) {
+            val cv = b.vecs(c)
+            val lim = math.min(dim, cv.length)
+            var d = 0.0
+            var k2 = 0
+            while (k2 < lim) { d += qv(k2).toDouble * cv(k2).toDouble; k2 += 1 }
+            val nn = math.sqrt(nsq) * math.sqrt(b.norms(c))
+            val csim = if (nn == 0.0) 0.0 else d / nn
+            if (java.lang.Double.compare(csim, topSim(p - 1)) > 0) {
+              var j = p - 1
+              while (j > 0 && java.lang.Double.compare(csim, topSim(j - 1)) > 0) {
+                topSim(j) = topSim(j - 1); topIdx(j) = topIdx(j - 1); j -= 1
+              }
+              topSim(j) = csim; topIdx(j) = c
+            }
+            c += 1
+          }
+          // --- per probed list: residual LUT + encoded member scan ---
+          var t = 0
+          while (t < p && topIdx(t) >= 0) {
+            val pos = topIdx(t)
+            val listId = b.listIds(pos)
+            val cv = b.vecs(pos)
+            // LUT over the query residual in this cell (PqSubspaceDists
+            // fold order: d-ascending per (j, i))
+            var j = 0
+            while (j < mM) {
+              val kN = cb(j).length
+              var ii = 0
+              while (ii < kN) {
+                val ce = cb(j)(ii)
+                var acc = 0.0
+                var d2 = 0
+                while (d2 < sub) {
+                  val diff = (qv(j * sub + d2).toDouble - cv(j * sub + d2).toDouble) - ce(d2)
+                  acc += diff * diff
+                  d2 += 1
+                }
+                lut(j)(ii) = acc
+                ii += 1
+              }
+              j += 1
+            }
+            val range = ix.listRange(listId)
+            var mIdx = (range >> 32).toInt
+            val end = range.toInt
+            while (mIdx < end) {
+              val id = ix.ids(mIdx)
+              if (id != qid) {
+                var adc = 0.0
+                var j2 = 0
+                while (j2 < mM) {
+                  adc += lut(j2)(ix.codes(mIdx * mM + j2) - 1)
+                  j2 += 1
+                }
+                heap.offer(-adc, id)
+              }
+              mIdx += 1
+            }
+            t += 1
+          }
+        }
+        heap.rankedIndices.iterator.map(x => (qid, heap.ids(x)))
+      }
+    }.toDF("query_id", "neighbor_id")
+  }
 
   private val MaxCachedCentroids = 8
   private val centroidCache =

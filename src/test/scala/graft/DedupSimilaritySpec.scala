@@ -1021,6 +1021,35 @@ class DedupSimilaritySpec extends SparkSuite {
     * Spark comparison edge cases (NaN ≥ threshold, zero-norm → 0.0) —
     * and fall back to the join tier on duplicate ids.
     */
+  test("ivfpq scan tier matches the join tier exactly; dup ids fall back (r19)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+      df.collect().toSet[org.apache.spark.sql.Row].map(r => (r.getLong(0),
+        r.getLong(1), java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        r.getInt(3)))
+    val scan = Similarity.ivfPqSeededTopK(emb, "vec_id", "embedding",
+      k = 5, rerankC = 32)
+    val join = Similarity.ivfPqSeededTopK(emb, "vec_id", "embedding",
+      k = 5, rerankC = 32, maxIndexBroadcastBytes = 0L)
+    val s = rows(scan)
+    assert(s.nonEmpty)
+    assert(s == rows(join), "scan-tier ADC must equal the join tier bit-for-bit")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!"Join \\[list_id".r.findFirstIn(plan).isDefined, plan)
+    // duplicate corpus ids: the scan tier must refuse (per-row heaps
+    // cannot replicate the join tier's per-query_id merge) — both
+    // calls must agree because BOTH take the join tier
+    val dup = emb.limit(8).unionAll(emb.limit(3))
+    val dScan = Similarity.ivfPqSeededTopK(dup, "vec_id", "embedding",
+      k = 3, rerankC = 8, nLists = 2, nProbe = 2)
+    assert(dScan.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "duplicate ids must fall back to the join tier")
+    val dJoin = Similarity.ivfPqSeededTopK(dup, "vec_id", "embedding",
+      k = 3, rerankC = 8, nLists = 2, nProbe = 2, maxIndexBroadcastBytes = 0L)
+    assert(rows(dScan) == rows(dJoin))
+  }
+
   test("semdedup scan tier matches the join tier exactly (full, NaN, zero-norm, dup-id)") {
     val emb = Tables.embeddings(spark, sf001)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =

@@ -187,22 +187,34 @@ class PlanSpec extends SparkSuite {
       s"PQ assignment must be scan-side (literal codebook, no join/shuffle):\n$pqPlan")
   }
 
-  test("sim_ann_ivfpq: one list_id candidate join, codes not vectors, literal codebook (r19)") {
+  test("sim_ann_ivfpq: scan tier plans no candidate join; join tier ships codes (r19)") {
+    // budget-admitted (the graded shape): the encoded index broadcasts
+    // and the ADC scan is map-side — no candidate join of any kind,
+    // the only joins are the exact-cosine rerank id attaches
     val plan = planOf("sim_ann_ivfpq")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"ivfpq must stay list-blocked, never all-pairs:\n$plan")
-    // exactly ONE corpus-scale candidate join, keyed on list_id and
-    // merge-pinned like the ivf tier (centroid attaches broadcast)
-    val smjList = "SortMergeJoin \\[list_id".r.findAllIn(plan).size
+    assert(plan.contains("MapPartitions"),
+      s"scan tier lost its map-side ADC kernel:\n$plan")
+    assert(!"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[list_id".r
+      .findFirstIn(plan).isDefined,
+      s"scan tier still plans a list-keyed candidate join:\n$plan")
+    // past the broadcast budget: ONE merge-pinned list_id candidate
+    // join shipping (id, list_id, codes) — never vectors
+    val joinPlan = graft.operators.Similarity.ivfPqSeededTopK(
+      graft.sources.Tables.embeddings(spark, sf001), "vec_id", "embedding",
+      k = 5, rerankC = 32, m = 4, codebookK = 16,
+      maxIndexBroadcastBytes = 0L)
+      .queryExecution.executedPlan.toString
+    val smjList = "SortMergeJoin \\[list_id".r.findAllIn(joinPlan).size
     assert(smjList == 1,
-      s"expected exactly 1 merge-pinned list_id candidate join, got $smjList:\n$plan")
-    // the candidate join ships codes, not vectors: no exchange row may
-    // carry the embedding column alongside codes
-    assert(plan.contains("codes"), s"PQ codes column missing from the plan:\n$plan")
-    assert(!plan.linesIterator.exists(l =>
+      s"join tier: expected exactly 1 merge-pinned list_id join, got $smjList:\n$joinPlan")
+    assert(joinPlan.contains("codes"),
+      s"PQ codes column missing from the join-tier plan:\n$joinPlan")
+    assert(!joinPlan.linesIterator.exists(l =>
       l.contains("Exchange") && l.contains("codes") && l.contains("vec")),
-      s"candidate exchange carries vectors next to codes:\n$plan")
+      s"candidate exchange carries vectors next to codes:\n$joinPlan")
   }
 
   test("mm_dedup_near: banded chunk join, payload bytes never enter the exchange (r19)") {
