@@ -161,7 +161,32 @@ object Bench {
     val ordered = if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
       ordered0.reverse else ordered0
     val results = ordered.map { case (name, fn) =>
+      // in soak mode (single-pass, sf1+) run a full GC at the query
+      // boundary so each query starts from the heap an isolated run
+      // would see; skipped for multi-pass sf0.1 runs where ~100 forced
+      // full GCs would cost more than the hygiene buys
+      val gcMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC",
+        if (Passes == 1) "on" else "off")
+      var passNo = 0
       val passes = (1 to Passes).map { _ =>
+        // PER-PASS teardown quiesce (r19): in GC-on multi-pass runs,
+        // pass N must not be charged with pass N−1's teardown — the
+        // same principle the per-query quiesce below documents, which
+        // never applied BETWEEN passes. On the shuffle-massive q3 at
+        // sf10 the ContextCleaner's concurrent unlinking of pass 1's
+        // SMJ spill files made warm passes 10× the cold one
+        // ([16.4, 150.8, 39.1, 50.8]) while three independent
+        // fresh-JVM draws landed 10.1–11.8 s — three rounds of
+        // "chaotic pass orderings" adjudications trace to this.
+        passNo += 1
+        if (gcMode == "on" && passNo > 1) {
+          graft.operators.Dedup.releaseIntermediates(spark)
+          System.gc()
+          val q = awaitTeardownQuiesce(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIESCE_MS", "90000").toLong)
+          if (q > 1.0)
+            System.err.println(f"[bench] (inter-pass quiesce in $name: $q%.1fs)")
+        }
         // fresh-cache per pass: operators persist intermediate projections
         // (dedup shingle sets, LSH sketches); a later pass that plan-matches
         // the cached copy inherits its MATERIALIZED size stats, which above
@@ -227,12 +252,6 @@ object Bench {
       // accumulated old-gen mass was measured as a ~2× in-suite vs
       // isolated gap on the sf10 shingle family (r10 verdict ask #2).
       graft.operators.Dedup.releaseIntermediates(spark)
-      // in soak mode (single-pass, sf1+) additionally run a full GC at
-      // the boundary so each query starts from the heap an isolated run
-      // would see; skipped for multi-pass sf0.1 runs where ~100 forced
-      // full GCs would cost more than the hygiene buys
-      val gcMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC",
-        if (Passes == 1) "on" else "off")
       if (gcMode == "on") {
         System.gc()
         // ... and wait for the session's ASYNC teardown to finish before
