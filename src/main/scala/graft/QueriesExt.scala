@@ -1180,6 +1180,44 @@ object QueriesExt {
        |FROM np LEFT JOIN dc USING (doc_id) ORDER BY np.doc_id""".stripMargin
   }
 
+  /** Paragraph keep-first TRIM ([[Dedup.paragraphTrimKeepFirst]] —
+    * r19): the curation action on `dd_paragraph`'s readout — every
+    * paragraph that near-dups an EARLIER one (within or across docs)
+    * is excised, first occurrence survives, and the corpus re-emits
+    * with kept paragraphs rejoined in order. Oracle replays the split,
+    * the exact all-pairs paragraph Jaccard, the distinct-id_b removal
+    * set and the ordered string_agg reconstruction.
+    */
+  val cuTrimParagraph: Q = (s, d) =>
+    Dedup.paragraphTrimKeepFirst(docs(s, d), "text", "doc_id",
+      paraTokens = ParagraphTokens, shingleLen = 8,
+      threshold = JaccardThreshold)
+      .orderBy("doc_id")
+  lazy val cuTrimParagraphSql: String = {
+    val P = ParagraphTokens
+    val B = 1L << 20
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |st AS (SELECT doc_id, toks,
+       |    unnest(range(0, greatest(len(toks), 1), $P)) AS start FROM t),
+       |para AS (SELECT doc_id AS doc, CAST(start // $P AS BIGINT) AS cid,
+       |    doc_id * $B + (start // $P) AS doc_id,
+       |    array_to_string(toks[start+1:start+$P], ' ') AS text
+       |  FROM st),
+       |${shingleJaccardCte(8, 1, JaccardThreshold, table = "para")},
+       |rm AS (SELECT DISTINCT id_b AS pid FROM pairs),
+       |kept AS (SELECT doc, cid, text FROM para
+       |  WHERE para.doc_id NOT IN (SELECT pid FROM rm)),
+       |np AS (SELECT doc_id AS doc,
+       |    CAST(len(range(0, greatest(len(toks), 1), $P)) AS BIGINT) AS n_paras
+       |  FROM t),
+       |ag AS (SELECT doc, string_agg(text, ' ' ORDER BY cid) AS text_trimmed,
+       |    CAST(COUNT(*) AS BIGINT) AS kept_paras FROM kept GROUP BY doc)
+       |SELECT np.doc AS doc_id, COALESCE(ag.text_trimmed, '') AS text_trimmed,
+       |  np.n_paras, COALESCE(ag.kept_paras, 0) AS kept_paras,
+       |  np.n_paras - COALESCE(ag.kept_paras, 0) AS removed_paras
+       |FROM np LEFT JOIN ag USING (doc) ORDER BY doc_id""".stripMargin
+  }
+
   /** SimHash-chunk-blocked exact near-dup, graded against the SAME exact
     * all-pairs SQL as `dd_minhash_lsh` — two independent blocking schemes
     * certified lossless against one exact metric (the pairs' Hamming

@@ -568,6 +568,17 @@ object Dedup {
       .select(col("id"),
         graft.plans.GraftFunctions.hashedCharShingles(
           col("__text"), shingleLen).as("shingles"))
+      // SHINGLE-LESS rows (text shorter than one shingle) can never
+      // verify: sortedJaccard against anything is 0.0 < threshold. But
+      // they ALL share the empty-set minhash signature, so they form
+      // one degenerate bucket in EVERY band — at sf10 paragraph
+      // granularity that was 16 k rows × 8 bands of pure waste
+      // (~10⁹ salted candidate pairs, the entire 276-CPU-min
+      // cu_trim_paragraph blowup; full-document corpora never hit it
+      // because documents are longer than a shingle). Dropping them
+      // pre-banding is result-identical for every threshold > 0
+      // (ParaStageProbe before/after + the unchanged exact oracles).
+      .filter(if (threshold > 0) size(col("shingles")) > 0 else lit(true))
       .select(col("id"), col("shingles"),
         graft.plans.GraftFunctions.minhashSigL(col("shingles"), numHashes).as("sig"))
       .transform(persistScratch)
@@ -784,6 +795,61 @@ object Dedup {
         when(col("dup_share") >= dropShare, lit("drop"))
           .when(col("dup_paras") > 0, lit("trim"))
           .otherwise(lit("keep")))
+  }
+
+  /** PARAGRAPH keep-first TRIM (r19 — the curation action on
+    * [[paragraphDupStats]]'s readout, the RefinedWeb step itself):
+    * a paragraph is REMOVED iff it near-dups any EARLIER paragraph
+    * (smaller packed para_id — min doc_id, then min chunk_id: the
+    * exactDupGroups keep-min convention lifted to near-dup), within-
+    * OR cross-document, so both corpus-level boilerplate and in-doc
+    * repetition trim; the first occurrence always survives. Emits the
+    * trimmed corpus: (doc_id, text_trimmed, n_paras, kept_paras,
+    * removed_paras) — kept paragraphs rejoined in chunk order, a doc
+    * whose every paragraph is removed keeps an empty-text row.
+    *
+    * Chain note (a~b, b~c, a!~c): b is removed for a, and c is removed
+    * for b even though b is gone — the standard first-occurrence
+    * greedy, deterministic and join-free to decide (removed = the
+    * DISTINCT id_b side of the pair list; no connected components).
+    * Scale shape: [[minhashNearDupPairs]] verbatim on the paragraph
+    * frame + one anti-join + a per-doc sort_array(collect_list) over
+    * ≤ len/paraTokens elements per doc.
+    */
+  def paragraphTrimKeepFirst(df: DataFrame, textCol: String, idCol: String,
+      paraTokens: Int = 32, shingleLen: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val ParaIdShift = 20
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val starts = sequence(lit(0),
+      greatest(size(col("__toks")), lit(1)) - 1, lit(paraTokens))
+    val paras = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("doc_id") * lit(1L << ParaIdShift) + col("chunk_id")).as("para_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(paraTokens)), " ")
+          .as("para_text"))
+    val pairs = minhashNearDupPairs(paras, "para_text", "para_id",
+      shingleLen = shingleLen, threshold = threshold)
+    val removed = pairs.select(col("id_b").as("para_id")).distinct()
+    val kept = paras.join(removed, Seq("para_id"), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("chunk_id"), col("para_text")))),
+          e => e.getField("para_text")), " ").as("text_trimmed"),
+        count(lit(1)).cast("long").as("kept_paras"))
+    val perDoc = df.select(col(idCol).as("doc_id"),
+      size(sequence(lit(0), greatest(size(toks), lit(1)) - 1, lit(paraTokens)))
+        .cast("long").as("n_paras"))
+    perDoc.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_trimmed"), lit("")).as("text_trimmed"),
+        col("n_paras"),
+        coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),
+        (col("n_paras") - coalesce(col("kept_paras"), lit(0L)))
+          .as("removed_paras"))
   }
 
   /** SimHash (64-bit) near-dup: docs whose token-level simhash differs in

@@ -241,6 +241,27 @@ class DedupSimilaritySpec extends SparkSuite {
       s"within-doc duplicate paragraphs counted as cross-doc: ${out(3)}")
   }
 
+  test("paragraph keep-first trim: first occurrence survives, chains trim greedily (r19)") {
+    // doc0 = [A, B]; doc1 = [A, C]; doc2 = [A, A]; doc3 = [D]
+    // removal = every paragraph near-dupping an EARLIER one:
+    // doc1's A (vs doc0's), doc2's BOTH As (first vs doc0's, second
+    // vs doc0's/its own first) -> doc2 trims to empty text
+    val A = "alpha bravo charlie delta"; val Bp = "echo fox golf hotel"
+    val C = "india juliet kilo lima"; val D = "mike november oscar papa"
+    val d = Seq(
+      0L -> s"$A $Bp", 1L -> s"$A $C", 2L -> s"$A $A", 3L -> D)
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphTrimKeepFirst(d, "text", "doc_id", paraTokens = 4)
+      .orderBy("doc_id")
+      .select($"doc_id", $"text_trimmed", $"n_paras", $"kept_paras", $"removed_paras")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out(0) == ((0L, s"$A $Bp", 2L, 2L, 0L)), s"got ${out(0)}")
+    assert(out(1) == ((1L, C, 2L, 1L, 1L)), s"got ${out(1)}")
+    assert(out(2) == ((2L, "", 2L, 0L, 2L)),
+      s"fully-duplicated doc must keep an empty-text row: ${out(2)}")
+    assert(out(3) == ((3L, D, 1L, 1L, 0L)), s"got ${out(3)}")
+  }
+
   test("sim_quantize_pq: codebook seeds reconstruct exactly; codes stay in range") {
     val dir = tmpDirPq()
     val out = QueriesExt.simQuantizePq(spark, dir)
