@@ -1403,11 +1403,18 @@ object Similarity {
     // fits than the raw-vector IVF scan tier (pqIndexBytes); past the
     // budget the join tier below is the 100 TB path. None from the
     // bank build = duplicate corpus ids -> join tier (parity rule).
+    // Sized on the NON-NULL count (what `assigned` actually collects
+    // and broadcasts), not rowCount(df): a corpus dense with null
+    // vectors must not be pushed to the slow join tier by rows that
+    // never enter the index (r19 advice). Memoized per frame.
     val scanCand: Option[DataFrame] =
-      if (pqIndexBytes(n, m) <= maxIndexBroadcastBytes) {
+      if (pqIndexBytes(CorpusStats.rowCount(nn), m) <= maxIndexBroadcastBytes) {
+        // rerankC and probe deliberately NOT in the key: the bank holds
+        // only (assignment, codes), which neither affects — two calls
+        // differing only in search width share one broadcast slot.
         val srcKey = s"${System.identityHashCode(spark)}|" +
           s"${df.queryExecution.analyzed.semanticHash()}|${CorpusStats.fileSignature(df)}|" +
-          s"$idCol|$vecCol|$lists|$probe|$m|$codebookK|$rerankC"
+          s"$idCol|$vecCol|$lists|$m|$codebookK"
         pqIndexBankBroadcastFor(srcKey, assigned, m).map { ibank =>
           val queries = queryFilter.fold(nn)(f => nn.filter(f(col("id"))))
             .select(col("id").as("query_id"), col("vec"))

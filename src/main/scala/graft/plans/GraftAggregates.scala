@@ -30,9 +30,21 @@ final class TopKHeap(val k: Int) extends Serializable {
   val ids = new Array[Long](k)
   var size = 0
   // "i worse than j" under (score desc, id asc); total because ids are
-  // distinct within a group in every caller
-  @inline private def worse(si: Double, ii: Long, sj: Double, ij: Long): Boolean =
-    si < sj || (si == sj && ii > ij)
+  // distinct within a group in every caller. NaN is the GREATEST score
+  // (Spark's descending-first sort order), compared explicitly rather
+  // than via primitive `<`/`==` — with those a NaN candidate is
+  // retained in ARRIVAL order and a NaN at the root blocks every
+  // replacement, so the two ANN tiers (expression vs kernel) diverge
+  // on the same input (r20, found by the ivfpq NaN parity spec).
+  // ±0.0 keeps primitive `==` semantics (id tie-break), matching the
+  // oracle's sort, where Double.compare would rank 0.0 above -0.0.
+  @inline private def worse(si: Double, ii: Long, sj: Double, ij: Long): Boolean = {
+    val ni = java.lang.Double.isNaN(si)
+    val nj = java.lang.Double.isNaN(sj)
+    if (ni != nj) nj
+    else if (ni) ii > ij
+    else si < sj || (si == sj && ii > ij)
+  }
   @inline private def swap(i: Int, j: Int): Unit = {
     val s = scores(i); scores(i) = scores(j); scores(j) = s
     val d = ids(i); ids(i) = ids(j); ids(j) = d

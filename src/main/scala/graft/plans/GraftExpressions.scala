@@ -612,7 +612,13 @@ case class PqSubspaceDists(child: Expression, cb: Array[Array[Array[Double]]])
   * with the smallest squared distance — strict `<` over an
   * i-ascending scan keeps the EARLIEST entry on exact ties, the same
   * election as sim_quantize_pq's fold and the oracle's
-  * ROW_NUMBER() OVER (ORDER BY dist ASC, cidx ASC) = 1.
+  * ROW_NUMBER() OVER (ORDER BY dist ASC, cidx ASC) = 1. NaN distances
+  * (a NaN component in the embedding makes EVERY entry's distance in
+  * that subspace NaN) lose to any finite distance and an all-NaN
+  * subspace elects entry 1 — `java.lang.Double.compare` order, which
+  * is exactly the oracle's NULLS/NaN-LAST sort with the cidx ASC tie;
+  * a `<`-only election would emit the out-of-contract code 0 and crash
+  * both ADC tiers on one NaN row (r19 advice).
   */
 case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
@@ -626,8 +632,8 @@ case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
     var j = 0
     while (j < m) {
       val kN = cb(j).length
-      var best = Double.MaxValue
-      var bestI = 0
+      var best = Double.NaN
+      var bestI = 1
       var i = 0
       while (i < kN) {
         val c = cb(j)(i)
@@ -638,7 +644,7 @@ case class PqCodes(child: Expression, cb: Array[Array[Array[Double]]])
           acc += diff * diff
           d += 1
         }
-        if (acc < best) { best = acc; bestI = i + 1 }
+        if (i == 0 || java.lang.Double.compare(acc, best) < 0) { best = acc; bestI = i + 1 }
         i += 1
       }
       codes(j) = bestI

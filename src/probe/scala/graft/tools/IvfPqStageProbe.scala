@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfPqStageProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt
     val spark = GraftSession.get(s"local[$cpus]")

@@ -1069,6 +1069,24 @@ class DedupSimilaritySpec extends SparkSuite {
     val dJoin = Similarity.ivfPqSeededTopK(dup, "vec_id", "embedding",
       k = 3, rerankC = 8, nLists = 2, nProbe = 2, maxIndexBroadcastBytes = 0L)
     assert(rows(dScan) == rows(dJoin))
+    // NaN-embedding row (r19 advice): every codebook distance in every
+    // subspace is NaN for this row, so a `<`-only election would emit
+    // the out-of-contract code 0 and crash both tiers
+    // (INVALID_ARRAY_INDEX under ANSI). PqCodes' Double.compare
+    // election must elect entry 1 instead (the oracle's NaN-last,
+    // cidx-asc order), and both tiers must still agree bit-for-bit.
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val wnan = emb.limit(12).select($"vec_id", $"embedding")
+      .unionAll(Seq((9001L, Seq.fill(dim)(Float.NaN)))
+        .toDF("vec_id", "embedding"))
+    val nScan = Similarity.ivfPqSeededTopK(wnan, "vec_id", "embedding",
+      k = 3, rerankC = 8, nLists = 1, nProbe = 1)
+    val nJoin = Similarity.ivfPqSeededTopK(wnan, "vec_id", "embedding",
+      k = 3, rerankC = 8, nLists = 1, nProbe = 1, maxIndexBroadcastBytes = 0L)
+    val ns = rows(nScan)
+    assert(ns.nonEmpty)
+    assert(ns == rows(nJoin),
+      "NaN-embedding corpus: scan and join tiers must agree bit-for-bit")
   }
 
   test("semdedup scan tier matches the join tier exactly (full, NaN, zero-norm, dup-id)") {
