@@ -91,6 +91,40 @@ class TextMultimodalSpec extends SparkSuite {
     assert(frames == Seq((1L, 0), (1L, 10), (1L, 20)))
   }
 
+  /** Reference (driver-side) block-parity signature — the independent
+    * reimplementation [[Multimodal.blockPerceptualHash]] is checked
+    * against: bit i = parity of the first md5 nibble of the i-th of 64
+    * equal byte blocks.
+    */
+  private def refPh(payload: Array[Byte]): String = {
+    val n = payload.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bits = (0 until 64).map { i =>
+      val a = (i.toLong * n / 64).toInt
+      val b = ((i + 1).toLong * n / 64).toInt
+      md.reset()
+      val d = md.digest(java.util.Arrays.copyOfRange(payload, a, b))
+      ((d(0) >> 4) & 0xf) % 2
+    }
+    (0 until 16).map { c =>
+      val v = bits(4 * c) * 8 + bits(4 * c + 1) * 4 + bits(4 * c + 2) * 2 +
+        bits(4 * c + 3)
+      "0123456789abcdef".charAt(v)
+    }.mkString
+  }
+
+  private def refHamming(a: String, b: String): Int =
+    (0 until 16).map(i => Integer.bitCount(
+      Integer.parseInt(a.substring(i, i + 1), 16) ^
+        Integer.parseInt(b.substring(i, i + 1), 16))).sum
+
+  private def mediaOf(rows: Seq[(Long, String)]) =
+    rows.toDF("media_id", "s")
+      .select($"media_id", lit("image").as("kind"),
+        $"s".cast("binary").as("payload"),
+        struct(lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames"), lit("m").as("mime")).as("meta"))
+
   test("mm_dedup_near: hexHamming64 arithmetic; identical payloads pair at 0; rollup counts (r19)") {
     // nibble-fold Hamming on crafted signatures
     val hamDf = Seq(
@@ -102,24 +136,54 @@ class TextMultimodalSpec extends SparkSuite {
       .select(graft.operators.Multimodal.hexHamming64($"a", $"b").as("h"))
       .as[Int].collect().toSeq
     assert(hamDf == Seq(0, 1, 4, 64), s"got $hamDf")
-    // signature == the codec's block-0 entropy prefix (the mm_features chain)
-    val payload = "same bytes".getBytes("UTF-8")
-    val expectedPh = graft.operators.Multimodal.StubCodec
-      .featureBlocksHex(payload, 1).substring(0, 16)
-    val media = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "same bytes"),
-      (4L, "other data")).toDF("media_id", "s")
-      .select($"media_id", lit("image").as("kind"),
-        $"s".cast("binary").as("payload"),
-        struct(lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"),
-          lit(1).as("n_frames"), lit("m").as("mime")).as("meta"))
+    // signature == the block-parity hash (reference impl above);
+    // expected pairs = brute force over the reference signatures
+    val texts = Seq((1L, "same bytes"), (2L, "same bytes"),
+      (3L, "same bytes"), (4L, "other data"))
+    val sigs = texts.map { case (id, t) => id -> refPh(t.getBytes("UTF-8")) }.toMap
+    val expected = (for {
+      (a, pa) <- sigs; (b, pb) <- sigs if a < b
+      h = refHamming(pa, pb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.contains((1L, 2L, 0)), s"fixture lost its exact pairs: $expected")
+    val media = mediaOf(texts)
     val pairs = graft.operators.Multimodal.dedupNear(media)
       .as[(Long, Long, Int)].collect().toSet
-    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)), s"got $pairs")
+    assert(pairs == expected, s"got $pairs, want $expected")
     val stats = graft.operators.Multimodal.dedupNearStats(media)
       .orderBy("media_id").as[(Long, String, Long)].collect().toSeq
-    assert(stats.map(_._3) == Seq(2L, 2L, 2L, 0L), s"got $stats")
-    assert(stats.head._2 == expectedPh,
-      s"graded ph ${stats.head._2} != codec chain $expectedPh")
+    val expNear = texts.map { case (id, _) =>
+      expected.count(p => p._1 == id || p._2 == id).toLong }
+    assert(stats.map(_._3) == expNear, s"got $stats")
+    assert(stats.head._2 == sigs(1L),
+      s"graded ph ${stats.head._2} != block-parity reference ${sigs(1L)}")
+  }
+
+  test("mm_dedup_near: planted block edits land at Hamming 1-3 and the banding finds them (r20)") {
+    // 128-byte base -> every signature block is exactly 2 bytes; edits
+    // confined to the last 2 blocks move the signature <= 2 bits
+    val base = "ab" * 64
+    val variants = ('c' to 'z').map(ch => base.dropRight(4) + (ch.toString * 4))
+    val baseSig = refPh(base.getBytes("UTF-8"))
+    val hams = variants.map(v => refHamming(baseSig, refPh(v.getBytes("UTF-8"))))
+    assert(hams.forall(_ <= 2), s"edit in 2 blocks moved > 2 bits: $hams")
+    assert(hams.exists(h => h >= 1 && h <= 3),
+      s"fixture has no pair in the 1..3 verify band: $hams")
+    val texts = (1L -> base) +: variants.zipWithIndex.map {
+      case (v, i) => (i + 2L) -> v }
+    val sigs = texts.map { case (id, t) => id -> refPh(t.getBytes("UTF-8")) }.toMap
+    val expected = (for {
+      (a, pa) <- sigs; (b, pb) <- sigs if a < b
+      h = refHamming(pa, pb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = graft.operators.Multimodal.dedupNear(mediaOf(texts))
+      .as[(Long, Long, Int)].collect().toSet
+    // banding is LOSSLESS at radius 3 (pigeonhole over 4x16-bit
+    // chunks): the banded plan must equal the brute-force pair set,
+    // which includes true near pairs at Hamming 1..3, not just 0
+    assert(got == expected, s"banded pairs != brute force: got $got, want $expected")
+    assert(got.exists(p => p._3 >= 1 && p._3 <= 3),
+      s"no pair exercised the 1..3 Hamming verify path: $got")
   }
 
   test("StubCodec resize and frame positions") {
