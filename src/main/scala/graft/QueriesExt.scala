@@ -2309,12 +2309,23 @@ object QueriesExt {
     * both argmin folds, the ADC sum in subspace order, the top-c
     * election and the exact rerank — all integer/double arithmetic
     * with pinned fold order and (value, id) tie-breaks.
+    *
+    * GEOMETRY (r20 — VERDICT r19 ask #3): m=8 subspaces × k=256
+    * entries (8-bit codes, Jégou §V's standard), rerankC=64 — its own
+    * constants, decoupled from sim_quantize_pq's m=4×k=16. The r19
+    * geometry drew recall@5 = 0.27 vs the ivf probe ceiling's 0.43;
+    * the PqSweepProbe (m, k, rerankC) sweep measured this choice AT
+    * the ceiling: sf0.01 ceiling 0.4304 → ivfpq 0.4304; sf0.1 ceiling
+    * 0.3068 → ivfpq 0.2988 (0.3064 at c=128), at equal wall
+    * (sf0.1: 1.00 s vs 1.35 s at the old geometry).
     */
-  val IvfPqRerank = 32
+  val IvfPqRerank = 64
+  val IvfPqM = 8
+  val IvfPqK = 256
   val simAnnIvfpq: Q = (s, d) =>
     Similarity.ivfPqSeededTopK(emb(s, d), "vec_id", "embedding",
       k = AnnCandK, rerankC = IvfPqRerank, nLists = 0, nProbe = 0,
-      m = PqSubspaces, codebookK = PqCodebookSize)
+      m = IvfPqM, codebookK = IvfPqK)
       .orderBy("query_id", "rank")
 
   /** The IVF-PQ encode/search CTE chain (sb…ivfpq_cand) — requires
@@ -2324,7 +2335,7 @@ object QueriesExt {
     * commute with the filter, same device as the ivf recall CTE).
     */
   private def ivfPqCtes(queryPred: String): String = {
-    val M = PqSubspaces; val K = PqCodebookSize
+    val M = IvfPqM; val K = IvfPqK
     s"""sb AS (SELECT CAST(len(embedding) // $M AS INT) AS s FROM embeddings LIMIT 1),
        |jx AS (SELECT CAST(unnest(range(1, $M + 1)) AS INT) AS j),
        |prbq AS (SELECT vec_id, list_id FROM prb WHERE $queryPred),
@@ -2509,7 +2520,7 @@ object QueriesExt {
       nLists = 0, nProbe = 0, queryFilter = Some(sampled))
     val ivfpq = Similarity.ivfPqSeededTopK(e, "vec_id", "embedding",
       k = AnnCandK, rerankC = IvfPqRerank, nLists = 0, nProbe = 0,
-      m = PqSubspaces, codebookK = PqCodebookSize,
+      m = IvfPqM, codebookK = IvfPqK,
       queryFilter = Some(sampled))
     import s.implicits._
     val out = Seq(("lsh", AnnCandK, Similarity.recallAtK(lsh, exact)),

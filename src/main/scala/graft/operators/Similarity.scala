@@ -1289,8 +1289,8 @@ object Similarity {
     * rerankC·|queries| candidate ids in both tiers.
     */
   def ivfPqSeededTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, rerankC: Int = 32, nLists: Int = 0, nProbe: Int = 0,
-      m: Int = 4, codebookK: Int = 16,
+      k: Int = 10, rerankC: Int = 64, nLists: Int = 0, nProbe: Int = 0,
+      m: Int = 8, codebookK: Int = 256,
       queryFilter: Option[Column => Column] = None,
       maxIndexBroadcastBytes: Long = 256L << 20): DataFrame =
     ivfPqFrames(df, idCol, vecCol, k, rerankC, nLists, nProbe, m,
@@ -1317,8 +1317,8 @@ object Similarity {
     probesLut: DataFrame, adc: DataFrame, cand: DataFrame, topk: DataFrame)
 
   private[graft] def ivfPqFrames(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, rerankC: Int = 32, nLists: Int = 0, nProbe: Int = 0,
-      m: Int = 4, codebookK: Int = 16,
+      k: Int = 10, rerankC: Int = 64, nLists: Int = 0, nProbe: Int = 0,
+      m: Int = 8, codebookK: Int = 256,
       queryFilter: Option[Column => Column] = None,
       maxIndexBroadcastBytes: Long = 256L << 20): Option[IvfPqFrames] = {
     import graft.functions.VectorFunctions._
