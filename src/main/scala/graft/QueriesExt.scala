@@ -254,6 +254,51 @@ object QueriesExt {
        |  pair, n
        |FROM c ORDER BY n DESC, pair ASC LIMIT $BpePairsK""".stripMargin
 
+  /** Iterated BPE merge training ([[graft.operators.BpeTrainer]] —
+    * r20, VERDICT r19 ask #5): the first [[TxBpeMergeIters]] tokenizer
+    * merge rules (Sennrich 2016 Algorithm 1), merge → re-segment →
+    * recount per iteration over the once-built word-frequency table.
+    * Graded end-to-end: the oracle replays the word-freq build, every
+    * iteration's pair count, the (n DESC, l ASC, r ASC) election and
+    * the greedy non-overlapping merge application (odd-rank-within-run
+    * window device ≡ the engine's left-to-right fold) as 8 unrolled
+    * CTE stages — the same device as `cu_pack_ffd`'s oracle.
+    */
+  val TxBpeMergeIters = 8
+  val txBpeMerges: Q = (s, d) =>
+    graft.operators.BpeTrainer.merges(docs(s, d), "text", TxBpeMergeIters)
+      .orderBy("rank")
+  lazy val txBpeMergesSql: String = {
+    val stages = (1 to TxBpeMergeIters).map { k =>
+      val p = k - 1
+      s"""c$k AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS n FROM (
+         |    SELECT wc, sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS r
+         |    FROM s$p) WHERE r IS NOT NULL GROUP BY l, r),
+         |b$k AS (SELECT l, r, n FROM c$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         |h$k AS (SELECT s.w, s.wc, s.pos, s.sym,
+         |    coalesce(s.sym = b.l AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = b.r, FALSE) AS hit,
+         |    lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nxt
+         |  FROM s$p s CROSS JOIN b$k b),
+         |i$k AS (SELECT *, CASE WHEN hit THEN pos - row_number() OVER (PARTITION BY w, hit ORDER BY pos) END AS isl FROM h$k),
+         |j$k AS (SELECT *, coalesce(hit AND (row_number() OVER (PARTITION BY w, hit, isl ORDER BY pos)) % 2 = 1, FALSE) AS mrg FROM i$k),
+         |s$k AS (SELECT w, wc, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, lag(mrg) OVER (PARTITION BY w ORDER BY pos) AS consumed FROM j$k)
+         |  WHERE NOT coalesce(consumed, FALSE))""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to TxBpeMergeIters).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l AS pair_left, r AS pair_right, l || r AS merged, n FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents) GROUP BY w),
+       |s0 AS (SELECT w, wc, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+       |  FROM wt, unnest(range(1, length(w) + 1)) u(i)),
+       |$stages
+       |SELECT * FROM (
+       |  $finalSel)
+       |ORDER BY rank""".stripMargin
+  }
+
   val txFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp64"))

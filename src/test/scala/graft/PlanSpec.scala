@@ -244,6 +244,24 @@ class PlanSpec extends SparkSuite {
       s"bpe ranking must follow a top-k, not a global sort:\n${bpe.linesIterator.take(12).mkString("\n")}")
   }
 
+  test("tx_bpe_merges: per-iteration pair count is one map-side-combined aggregate (r20)") {
+    // the trainer's per-iteration cost: pairCounts over the vocab-sized
+    // word-freq frame must plan as partial -> exchange -> final hash
+    // aggregate over the (<= alphabet^2) pair keys — no sort, no join,
+    // and exactly the two aggregate exchanges (word-freq build + pairs)
+    val wf = graft.operators.BpeTrainer.wordFreq(
+      graft.sources.Tables.documents(spark, sf001), "text")
+    val plan = graft.operators.BpeTrainer.pairCounts(wf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"pair count lost its hash aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Sort "),
+      s"pair space must aggregate hash-side, never sort:\n$plan")
+    assert(!plan.contains("Join"), s"pair counting must not join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected exactly 2 exchanges (word-freq groupBy + pair groupBy), got $exchanges:\n$plan")
+  }
+
   test("dd_semdedup: scan tier plans no pair join; over-budget keeps the cell-keyed join") {
     // budget-admitted (r14): the pair enumeration is a map-side scan of
     // the broadcast inverted file — no join node, no cartesian, and the

@@ -186,6 +186,34 @@ class TextMultimodalSpec extends SparkSuite {
       s"no pair exercised the 1..3 Hamming verify path: $got")
   }
 
+  test("tx_bpe_merges: greedy non-overlapping fold; later merges consume earlier symbols (r20)") {
+    import graft.operators.BpeTrainer
+    // the flagless left-to-right fold's edge cases (runs of matches,
+    // odd-rank survival, no-op words)
+    val folds = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("b", "a", "a", "a"), "a", "a", Seq("b", "aa", "a")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("a", "a", "b"), "a", "b", Seq("a", "ab")),
+      (Seq("x"), "a", "b", Seq("x")))
+    folds.foreach { case (in, l, r, want) =>
+      val got = Seq(Tuple1(in)).toDF("syms")
+        .select(BpeTrainer.mergeCol($"syms", l, r)).as[Seq[String]].head()
+      assert(got == want, s"merge($l,$r) on $in: got $got want $want")
+    }
+    // Sennrich 2016's worked vocabulary: low:5 lower:2 newest:6 widest:3
+    val docs = Seq(("low " * 5) + ("lower " * 2) + ("newest " * 6) +
+      ("widest " * 3)).toDF("text").withColumn("doc_id", lit(1L))
+    val rules = BpeTrainer.train(docs, "text", 4)
+    val got = rules.map(m => (m.left, m.right, m.n))
+    // iter1: es/st tie at 9 -> (e,s) by the l-asc tie-break; iter2's
+    // LEFT is iter1's merged symbol (the iterated semantics); iter3:
+    // lo/ow tie at 7 -> (l,o); iter4 merges (lo,w)
+    assert(got == Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L)), s"got $got")
+  }
+
   test("StubCodec resize and frame positions") {
     assert(Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4), 2).toSeq == Seq[Byte](1, 2))
     assert(Multimodal.StubCodec.framePositions(7, 3).toSeq == Seq(0, 3, 6))
