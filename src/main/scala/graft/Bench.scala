@@ -55,13 +55,13 @@ object Bench {
     */
   val NoopWriteKeys: Set[String] = Set(
     "cu_trim_substring", "cu_trim_substring_keep1", "cu_trim_substring_keep1q",
-    "cu_trim_paragraph", "tx_redact", "cu_chunk",
-    // dd_paragraph: not text-materializing, but its dup-count left
-    // join is 1:<=1 and count() ELIMINATES it — the whole paragraph
-    // pair pipeline never ran under the default action (r19: the
-    // count-pruned number read 0.7 s while the real pipeline was
+    "cu_trim_paragraph", "cu_trim_paragraph_struct", "tx_redact", "cu_chunk",
+    // dd_paragraph(_struct): not text-materializing, but the dup-count
+    // left join is 1:<=1 and count() ELIMINATES it — the whole
+    // paragraph pair pipeline never ran under the default action (r19:
+    // the count-pruned number read 0.7 s while the real pipeline was
     // blowing up on degenerate empty-shingle buckets)
-    "dd_paragraph")
+    "dd_paragraph", "dd_paragraph_struct")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

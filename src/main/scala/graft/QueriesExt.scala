@@ -1191,27 +1191,42 @@ object QueriesExt {
     */
   val ParagraphTokens = 32
   val ParagraphDropShare = 0.5
-  val ddParagraph: Q = (s, d) =>
-    Dedup.paragraphDupStats(docs(s, d), "text", "doc_id",
-      paraTokens = ParagraphTokens, shingleLen = 8,
-      threshold = JaccardThreshold, dropShare = ParagraphDropShare)
-      .orderBy("doc_id")
-  lazy val ddParagraphSql: String = {
+
+  /** Paragraph-split CTEs replaying [[Dedup.paragraphFrame]]'s
+    * STRUCTURAL-with-fallback splitter (r20) over source CTE `src`:
+    * `apr` = (doc_id, cid, ptext) paragraph rows, `np` = per-doc
+    * paragraph counts. Docs with a blank-line separator split on it
+    * (nonempty parts, order kept); the rest fall back to fixed
+    * `P`-token windows — same rule, same regex, both engines.
+    */
+  private def paragraphSplitCtes(src: String, P: Int): String =
+    s"""pt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+       |    list_filter(regexp_split_to_array(text, '\\n\\s*\\n'),
+       |      p -> length(trim(p)) > 0) AS fl,
+       |    regexp_matches(text, '\\n\\s*\\n') AS hassep
+       |  FROM $src),
+       |spr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS cid, fl[CAST(i AS INT)] AS ptext
+       |  FROM pt, unnest(range(1, len(fl) + 1)) u(i)
+       |  WHERE hassep AND len(fl) >= 1),
+       |wpr AS (SELECT doc_id, CAST(start // $P AS BIGINT) AS cid,
+       |    array_to_string(toks[start+1:start+$P], ' ') AS ptext
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, greatest(len(toks), 1), $P)) AS start
+       |        FROM pt WHERE NOT (hassep AND len(fl) >= 1))),
+       |apr AS (SELECT * FROM spr UNION ALL SELECT * FROM wpr),
+       |np AS (SELECT doc_id, CAST(CASE WHEN hassep AND len(fl) >= 1 THEN len(fl)
+       |    ELSE len(range(0, greatest(len(toks), 1), $P)) END AS BIGINT) AS n_paras
+       |  FROM pt)""".stripMargin
+
+  private def ddParagraphSqlOver(src: String): String = {
     val P = ParagraphTokens
     val B = 1L << 20
-    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-       |st AS (SELECT doc_id, toks,
-       |    unnest(range(0, greatest(len(toks), 1), $P)) AS start FROM t),
-       |para AS (SELECT doc_id * $B + (start // $P) AS doc_id,
-       |    array_to_string(toks[start+1:start+$P], ' ') AS text
-       |  FROM st),
+    s"""${paragraphSplitCtes(src, P)},
+       |para AS (SELECT doc_id * $B + cid AS doc_id, ptext AS text FROM apr),
        |${shingleJaccardCte(8, 1, JaccardThreshold, table = "para")},
        |cd AS (SELECT id_a, id_b FROM pairs WHERE id_a // $B <> id_b // $B),
        |dup AS (SELECT DISTINCT pid FROM (
        |    SELECT id_a AS pid FROM cd UNION ALL SELECT id_b AS pid FROM cd)),
-       |np AS (SELECT doc_id,
-       |    CAST(len(range(0, greatest(len(toks), 1), $P)) AS BIGINT) AS n_paras
-       |  FROM t),
        |dc AS (SELECT CAST(pid // $B AS BIGINT) AS doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS dup_paras FROM dup GROUP BY 1)
        |SELECT np.doc_id, np.n_paras,
@@ -1225,6 +1240,44 @@ object QueriesExt {
        |FROM np LEFT JOIN dc USING (doc_id) ORDER BY np.doc_id""".stripMargin
   }
 
+  val ddParagraph: Q = (s, d) =>
+    Dedup.paragraphDupStats(docs(s, d), "text", "doc_id",
+      paraTokens = ParagraphTokens, shingleLen = 8,
+      threshold = JaccardThreshold, dropShare = ParagraphDropShare)
+      .orderBy("doc_id")
+  lazy val ddParagraphSql: String = s"WITH ${ddParagraphSqlOver("documents")}"
+
+  /** STRUCTURED-fixture corpus for the paragraph family (r20 — VERDICT
+    * r19 ask #6): the synthetic corpus has no blank-line structure, so
+    * the graded fixture derives one — each even doc concatenated with
+    * its odd successor across a real `\n\n` boundary. The structural
+    * splitter recovers exactly those two paragraphs per doc, and
+    * doc-level near-dups of the base corpus surface as paragraph-level
+    * cross-doc dups here, so the structural path is exercised on true
+    * pairs. Oracle replays the same construction (chr(10) join) and
+    * the same split.
+    */
+  private def structuredDocs(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val a = dd.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val b = dd.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") - 1).as("doc_id"), col("text").as("__tb"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__tb")).as("text"))
+  }
+  private val structuredDocsCte: String =
+    """sdoc AS (SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0)""".stripMargin
+
+  val ddParagraphStruct: Q = (s, d) =>
+    Dedup.paragraphDupStats(structuredDocs(s, d), "text", "doc_id",
+      paraTokens = ParagraphTokens, shingleLen = 8,
+      threshold = JaccardThreshold, dropShare = ParagraphDropShare)
+      .orderBy("doc_id")
+  lazy val ddParagraphStructSql: String =
+    s"WITH $structuredDocsCte,\n${ddParagraphSqlOver("sdoc")}"
+
   /** Paragraph keep-first TRIM ([[Dedup.paragraphTrimKeepFirst]] —
     * r19): the curation action on `dd_paragraph`'s readout — every
     * paragraph that near-dups an EARLIER one (within or across docs)
@@ -1233,35 +1286,43 @@ object QueriesExt {
     * the exact all-pairs paragraph Jaccard, the distinct-id_b removal
     * set and the ordered string_agg reconstruction.
     */
+  private def cuTrimParagraphSqlOver(src: String): String = {
+    val P = ParagraphTokens
+    val B = 1L << 20
+    s"""${paragraphSplitCtes(src, P)},
+       |para AS (SELECT doc_id AS doc, cid, doc_id * $B + cid AS doc_id,
+       |    ptext AS text FROM apr),
+       |${shingleJaccardCte(8, 1, JaccardThreshold, table = "para")},
+       |rm AS (SELECT DISTINCT id_b AS pid FROM pairs),
+       |kept AS (SELECT doc, cid, text FROM para
+       |  WHERE para.doc_id NOT IN (SELECT pid FROM rm)),
+       |ag AS (SELECT doc, string_agg(text, ' ' ORDER BY cid) AS text_trimmed,
+       |    CAST(COUNT(*) AS BIGINT) AS kept_paras FROM kept GROUP BY doc)
+       |SELECT np.doc_id, COALESCE(ag.text_trimmed, '') AS text_trimmed,
+       |  np.n_paras, COALESCE(ag.kept_paras, 0) AS kept_paras,
+       |  np.n_paras - COALESCE(ag.kept_paras, 0) AS removed_paras
+       |FROM np LEFT JOIN ag ON ag.doc = np.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val cuTrimParagraph: Q = (s, d) =>
     Dedup.paragraphTrimKeepFirst(docs(s, d), "text", "doc_id",
       paraTokens = ParagraphTokens, shingleLen = 8,
       threshold = JaccardThreshold)
       .orderBy("doc_id")
-  lazy val cuTrimParagraphSql: String = {
-    val P = ParagraphTokens
-    val B = 1L << 20
-    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-       |st AS (SELECT doc_id, toks,
-       |    unnest(range(0, greatest(len(toks), 1), $P)) AS start FROM t),
-       |para AS (SELECT doc_id AS doc, CAST(start // $P AS BIGINT) AS cid,
-       |    doc_id * $B + (start // $P) AS doc_id,
-       |    array_to_string(toks[start+1:start+$P], ' ') AS text
-       |  FROM st),
-       |${shingleJaccardCte(8, 1, JaccardThreshold, table = "para")},
-       |rm AS (SELECT DISTINCT id_b AS pid FROM pairs),
-       |kept AS (SELECT doc, cid, text FROM para
-       |  WHERE para.doc_id NOT IN (SELECT pid FROM rm)),
-       |np AS (SELECT doc_id AS doc,
-       |    CAST(len(range(0, greatest(len(toks), 1), $P)) AS BIGINT) AS n_paras
-       |  FROM t),
-       |ag AS (SELECT doc, string_agg(text, ' ' ORDER BY cid) AS text_trimmed,
-       |    CAST(COUNT(*) AS BIGINT) AS kept_paras FROM kept GROUP BY doc)
-       |SELECT np.doc AS doc_id, COALESCE(ag.text_trimmed, '') AS text_trimmed,
-       |  np.n_paras, COALESCE(ag.kept_paras, 0) AS kept_paras,
-       |  np.n_paras - COALESCE(ag.kept_paras, 0) AS removed_paras
-       |FROM np LEFT JOIN ag USING (doc) ORDER BY doc_id""".stripMargin
-  }
+  lazy val cuTrimParagraphSql: String =
+    s"WITH ${cuTrimParagraphSqlOver("documents")}"
+
+  /** Keep-first trim over the structured fixture — the RefinedWeb trim
+    * action running on REAL blank-line paragraphs (see
+    * [[ddParagraphStruct]]).
+    */
+  val cuTrimParagraphStruct: Q = (s, d) =>
+    Dedup.paragraphTrimKeepFirst(structuredDocs(s, d), "text", "doc_id",
+      paraTokens = ParagraphTokens, shingleLen = 8,
+      threshold = JaccardThreshold)
+      .orderBy("doc_id")
+  lazy val cuTrimParagraphStructSql: String =
+    s"WITH $structuredDocsCte,\n${cuTrimParagraphSqlOver("sdoc")}"
 
   /** SimHash-chunk-blocked exact near-dup, graded against the SAME exact
     * all-pairs SQL as `dd_minhash_lsh` — two independent blocking schemes

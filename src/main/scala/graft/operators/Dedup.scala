@@ -736,10 +736,10 @@ object Dedup {
 
   /** PARAGRAPH-granularity near-dup rollup (r19 — the RefinedWeb/CCNet
     * tier between whole-doc minhash and exact-span substring dedup):
-    * split each document into non-overlapping `paraTokens`-token
-    * paragraphs (the synthetic corpus has no blank-line structure, so
-    * fixed token windows stand in for paragraph boundaries — a real
-    * corpus swaps the splitter, nothing downstream changes), minhash-
+    * split each document into paragraphs with [[paragraphFrame]]'s
+    * STRUCTURAL-with-fallback splitter (blank-line boundaries when the
+    * doc has them — RefinedWeb §3.2 — else non-overlapping
+    * `paraTokens`-token windows; r20, formerly windows-only), minhash-
     * band the PARAGRAPHS with the same lossless-at-threshold machinery
     * as [[minhashNearDupPairs]], keep pairs that cross documents, and
     * roll up per document: how many of its paragraphs duplicate
@@ -758,22 +758,70 @@ object Dedup {
     * Reference analog: duplicate forensics at sub-row granularity,
     * `/root/reference/tests/drift_analysis.py:141-157`.
     */
+  /** Blank-line paragraph separator (RefinedWeb §3.2's structural
+    * boundary), shared by the Spark split and the DuckDB oracle replay.
+    */
+  private[graft] val ParaSepRegex = "\\n\\s*\\n"
+
+  private def paraStructural(textCol: String): Column =
+    col(textCol).rlike(ParaSepRegex) && size(paraStructParts(textCol)) >= 1
+
+  private def paraStructParts(textCol: String): Column =
+    filter(split(col(textCol), ParaSepRegex), p => length(trim(p)) > 0)
+
+  /** Paragraph rows (doc_id, chunk_id, para_id, para_text) under the
+    * STRUCTURAL-with-fallback splitter (r20 — VERDICT r19 ask #6):
+    * docs with blank-line structure split on [[ParaSepRegex]] (empty
+    * parts dropped, order kept); docs without it fall back to the r19
+    * fixed `paraTokens`-token windows. Pure scan-side Generate on both
+    * branches — no exchange. Paragraph ids pack as
+    * doc_id·2²⁰ + chunk_id, fail-loud under ANSI past 2⁴³ doc ids.
+    */
+  private[graft] def paragraphFrame(df: DataFrame, textCol: String,
+      idCol: String, paraTokens: Int): DataFrame = {
+    val ParaIdShift = 20
+    val sdocs = df.filter(paraStructural(textCol))
+      .select(col(idCol).as("doc_id"), paraStructParts(textCol).as("__ps"))
+      .select(col("doc_id"),
+        posexplode(col("__ps")).as(Seq("chunk_id", "para_text")))
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val starts = sequence(lit(0),
+      greatest(size(col("__toks")), lit(1)) - 1, lit(paraTokens))
+    val wdocs = df.filter(!paraStructural(textCol))
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(paraTokens)), " ")
+          .as("para_text"))
+    sdocs.unionByName(wdocs)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        // multiply (not shiftleft): ANSI overflow THROWS past 2^43 ids
+        // instead of silently aliasing paragraphs across documents
+        (col("doc_id") * lit(1L << ParaIdShift) + col("chunk_id")).as("para_id"),
+        col("para_text"))
+  }
+
+  /** Per-doc paragraph counts under the same splitter as
+    * [[paragraphFrame]] (structural docs count their nonempty parts;
+    * fallback docs count token windows, an empty doc counting 1).
+    */
+  private def paragraphCounts(df: DataFrame, textCol: String,
+      idCol: String, paraTokens: Int): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    df.select(col(idCol).as("doc_id"),
+      when(paraStructural(textCol), size(paraStructParts(textCol)))
+        .otherwise(size(sequence(lit(0),
+          greatest(size(toks), lit(1)) - 1, lit(paraTokens))))
+        .cast("long").as("n_paras"))
+  }
+
   def paragraphDupStats(df: DataFrame, textCol: String, idCol: String,
       paraTokens: Int = 32, shingleLen: Int = 8, threshold: Double = 0.5,
       dropShare: Double = 0.5): DataFrame = {
     val ParaIdShift = 20
-    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val starts = sequence(lit(0),
-      greatest(size(col("__toks")), lit(1)) - 1, lit(paraTokens))
-    val paras = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .select(col("doc_id"), col("__toks"),
-        posexplode(starts).as(Seq("chunk_id", "__start")))
-      .select(
-        // multiply (not shiftleft): ANSI overflow THROWS past 2^43 ids
-        // instead of silently aliasing paragraphs across documents
-        (col("doc_id") * lit(1L << ParaIdShift) + col("chunk_id")).as("para_id"),
-        array_join(slice(col("__toks"), col("__start") + 1, lit(paraTokens)), " ")
-          .as("para_text"))
+    val paras = paragraphFrame(df, textCol, idCol, paraTokens)
+      .select(col("para_id"), col("para_text"))
     val pairs = minhashNearDupPairs(paras, "para_text", "para_id",
       shingleLen = shingleLen, threshold = threshold)
     val crossDoc = pairs.filter(
@@ -783,9 +831,7 @@ object Dedup {
       .union(crossDoc.select(col("id_b").as("pid"))).distinct()
       .groupBy(shiftrightunsigned(col("pid"), ParaIdShift).as("doc_id"))
       .agg(count(lit(1)).cast("long").as("dup_paras"))
-    val perDoc = df.select(col(idCol).as("doc_id"),
-      size(sequence(lit(0), greatest(size(toks), lit(1)) - 1, lit(paraTokens)))
-        .cast("long").as("n_paras"))
+    val perDoc = paragraphCounts(df, textCol, idCol, paraTokens)
     perDoc.join(dupParas, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_paras"),
         coalesce(col("dup_paras"), lit(0L)).as("dup_paras"))
@@ -819,17 +865,7 @@ object Dedup {
   def paragraphTrimKeepFirst(df: DataFrame, textCol: String, idCol: String,
       paraTokens: Int = 32, shingleLen: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val ParaIdShift = 20
-    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val starts = sequence(lit(0),
-      greatest(size(col("__toks")), lit(1)) - 1, lit(paraTokens))
-    val paras = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .select(col("doc_id"), col("__toks"),
-        posexplode(starts).as(Seq("chunk_id", "__start")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        (col("doc_id") * lit(1L << ParaIdShift) + col("chunk_id")).as("para_id"),
-        array_join(slice(col("__toks"), col("__start") + 1, lit(paraTokens)), " ")
-          .as("para_text"))
+    val paras = paragraphFrame(df, textCol, idCol, paraTokens)
     val pairs = minhashNearDupPairs(paras, "para_text", "para_id",
       shingleLen = shingleLen, threshold = threshold)
     val removed = pairs.select(col("id_b").as("para_id")).distinct()
@@ -840,9 +876,7 @@ object Dedup {
           sort_array(collect_list(struct(col("chunk_id"), col("para_text")))),
           e => e.getField("para_text")), " ").as("text_trimmed"),
         count(lit(1)).cast("long").as("kept_paras"))
-    val perDoc = df.select(col(idCol).as("doc_id"),
-      size(sequence(lit(0), greatest(size(toks), lit(1)) - 1, lit(paraTokens)))
-        .cast("long").as("n_paras"))
+    val perDoc = paragraphCounts(df, textCol, idCol, paraTokens)
     perDoc.join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_trimmed"), lit("")).as("text_trimmed"),

@@ -262,6 +262,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out(3) == ((3L, D, 1L, 1L, 0L)), s"got ${out(3)}")
   }
 
+  test("paragraph splitter: blank-line structure splits structurally, else token windows (r20)") {
+    // doc0 has real \n\n boundaries -> 3 structural paragraphs (the
+    // empty middle part from the double separator is dropped, order
+    // kept); doc1 is flat -> 4-token windows; doc2 shares doc0's
+    // SECOND structural paragraph, so the structural path feeds the
+    // pair stage
+    val p1 = "alpha bravo charlie delta"; val p2 = "echo fox golf hotel"
+    val p3 = "india juliet kilo lima"
+    val d = Seq(
+      0L -> s"$p1\n\n$p2\n\n \n\n$p3",
+      1L -> s"mike november oscar papa quebec romeo sierra tango",
+      2L -> s"$p2\n\nuniform victor whiskey xray").toDF("doc_id", "text")
+    val paras = Dedup.paragraphFrame(d, "text", "doc_id", paraTokens = 4)
+      .orderBy("para_id")
+      .select($"doc_id", $"chunk_id", $"para_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(paras.filter(_._1 == 0L).map(p => (p._2, p._3)) ==
+      Seq((0L, p1), (1L, p2), (2L, p3)),
+      s"structural split wrong: ${paras.filter(_._1 == 0L)}")
+    assert(paras.filter(_._1 == 1L).map(_._3) ==
+      Seq("mike november oscar papa", "quebec romeo sierra tango"),
+      s"flat doc must fall back to token windows: ${paras.filter(_._1 == 1L)}")
+    val out = Dedup.paragraphDupStats(d, "text", "doc_id", paraTokens = 4)
+      .select($"doc_id", $"n_paras", $"dup_paras", $"action")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 3L, 1L, "trim")), s"got ${out(0)}")
+    assert(out(1) == ((1L, 2L, 0L, "keep")), s"got ${out(1)}")
+    assert(out(2) == ((2L, 2L, 1L, "drop")),
+      s"structural paragraph dup must count cross-doc: ${out(2)}")
+  }
+
   test("sim_quantize_pq: codebook seeds reconstruct exactly; codes stay in range") {
     val dir = tmpDirPq()
     val out = QueriesExt.simQuantizePq(spark, dir)
