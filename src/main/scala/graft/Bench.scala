@@ -449,7 +449,8 @@ object Bench {
       case m =>
         val pick = Seq("cdc_events_per_sec", "propagation_ms",
           "stateful_latest_events_per_sec", "neardup_docs_per_sec",
-          "substring_gate_docs_per_sec", "failed")
+          "paragraph_gate_docs_per_sec", "substring_gate_docs_per_sec",
+          "failed")
           .flatMap(k => m.get(k).map(v => s""""$k":${fmt(v, 0)}"""))
         s""""streaming":{${pick.mkString(",")}},"""
     }

@@ -149,6 +149,24 @@ object BenchStreaming {
     }.toSeq
     ndq.stop()
 
+    // ---- paragraph_gate: the paragraph-split edition of the stateful
+    // banded indexer (StreamParagraphGate — split -> banding -> state
+    // over packed paragraph ids), same doc sample and chunking as
+    // stream_neardup so the two rates are comparable
+    val pgStream = MemoryStream[(Long, String)]
+    val pgOut = graft.streaming.StreamParagraphGate.paragraphHits(
+      pgStream.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      paraTokens = QueriesExt.ParagraphTokens,
+      prePartition = spark.sparkContext.defaultParallelism)
+    val pgq = pgOut.writeStream.format("noop")
+      .option("checkpointLocation", s"$tmp/ckpt_pg")
+      .outputMode("append").start()
+    val pgMs = docs.grouped(ndBatch).map { chunk =>
+      pgStream.addData(chunk.toIndexedSeq)
+      timeMs(pgq.processAllAvailable())._2
+    }.toSeq
+    pgq.stop()
+
     // ---- substring_gate: foreachBatch span-precise ingest gate —
     // the second half of the doc sample streams against the first
     // half as the accepted corpus (the live-admission shape; the
@@ -176,6 +194,8 @@ object BenchStreaming {
         (nEvents / math.max(1e-9, slMs.sum / 1e3)),
       "neardup_docs" -> nDocs.toDouble,
       "neardup_docs_per_sec" -> (nDocs / math.max(1e-9, ndMs.sum / 1e3)),
+      "paragraph_gate_docs_per_sec" ->
+        (nDocs / math.max(1e-9, pgMs.sum / 1e3)),
       "substring_gate_docs_per_sec" ->
         (sgDocs.length / math.max(1e-9, sgMs.sum / 1e3)))
   }

@@ -177,6 +177,77 @@ class StreamNearDupSpec extends SparkSuite {
       s"redelivered unindexed doc re-emitted ${after - before} pairs")
   }
 
+  // paragraph gate fixture: doc10 = [pA, pB] (structural), doc11 flat
+  // (window fallback), doc12's SECOND paragraph near-dups doc10's first
+  private val pgBase =
+    "the quick brown fox jumps over the lazy dog and runs far away home " * 4
+  private val pgDocs = Seq(
+    10L -> s"$pgBase\n\ncompletely different content about spark catalyst optimizer rules and tungsten codegen working hard",
+    11L -> "flat unrelated words nothing matches here at all in any way",
+    12L -> ("zebra yak xylophone wombat vulture unicorn\n\n" +
+      pgBase.replace("quick", "rapid")))
+
+  test("paragraph gate: structural split feeds the banded state; batch parity (r20)") {
+    import graft.streaming.StreamParagraphGate
+    import graft.streaming.StreamParagraphGate.ParagraphHit
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamParagraphGate.paragraphHits(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("paragate")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(pgDocs(0), pgDocs(1)) // index doc10's paragraphs
+    q.processAllAvailable()
+    stream.addData(pgDocs(2), pgDocs(2)) // hit + same-batch redelivery
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("paragate").as[ParagraphHit].collect()
+      .map(h => (h.doc_a, h.chunk_a, h.doc_b, h.chunk_b)).toSet
+    assert(hits == Set((10L, 0L, 12L, 1L)),
+      s"expected exactly the cross-doc paragraph hit, got $hits")
+    // batch parity: the streamed hit set equals the batch paragraph
+    // pair list over the union of all streamed docs
+    val batch = graft.operators.Dedup.paragraphFrame(
+      pgDocs.toDF("doc_id", "text"), "text", "doc_id", paraTokens = 32)
+    val batchPairs = graft.operators.Dedup.minhashNearDupPairs(
+      batch.select($"para_id", $"para_text"), "para_text", "para_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map { case (a, b) =>
+        (a >>> 20, a & 0xFFFFFL, b >>> 20, b & 0xFFFFFL) }.toSet
+    assert(hits == batchPairs, s"stream/batch divergence: $hits vs $batchPairs")
+  }
+
+  test("paragraph gate: bucket state survives a checkpointed restart (r20)") {
+    import graft.streaming.StreamParagraphGate
+    import graft.streaming.StreamParagraphGate.ParagraphHit
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("paragate_ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val collected = new scala.collection.mutable.ArrayBuffer[ParagraphHit]()
+    def start() = StreamParagraphGate.paragraphHits(
+      stream.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ParagraphHit], _: Long) =>
+        val rows = batch.collect()
+        collected.synchronized { collected ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    stream.addData(pgDocs(0), pgDocs(1))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    stream.addData(pgDocs(2)) // near-dups a PRE-restart paragraph
+    q2.processAllAvailable()
+    q2.stop()
+    val hits = collected.synchronized {
+      collected.map(h => (h.doc_a, h.chunk_a, h.doc_b, h.chunk_b)).toSet }
+    assert(hits == Set((10L, 0L, 12L, 1L)),
+      s"paragraph bucket state lost across restart: $hits")
+  }
+
   test("bucket state survives a checkpointed query restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmpDir("neardup_ckpt")
