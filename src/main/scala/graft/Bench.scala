@@ -109,6 +109,28 @@ object Bench {
     n
   }
 
+  /** JIT code-cache occupancy gauge for the per-query stderr line
+    * (in-suite-aging forensics, r20): a long suite compiles hundreds of
+    * unique whole-stage-codegen classes, and a saturated code cache
+    * silently disables the JIT — late queries then run partially
+    * interpreted, which is indistinguishable from "session aging" in
+    * the timings alone. Non-empty only when any CodeHeap pool is past
+    * 80% so quiet runs stay quiet.
+    */
+  private def codeCacheGauge: String = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName == "CodeCache")
+    val hot = pools.flatMap { p =>
+      val u = p.getUsage
+      if (u != null && u.getMax > 0 && u.getUsed * 5 > u.getMax * 4)
+        Some(f"${p.getName}: ${u.getUsed / 1048576}%d/${u.getMax / 1048576}%dMB")
+      else None
+    }
+    if (hot.isEmpty) "" else hot.mkString("  [codecache ", ", ", "]")
+  }
+
   /** Block until the bench JVM's background teardown work goes quiet,
     * returning the seconds waited. At a soak query boundary the ONLY
     * threads with work are teardown (ContextCleaner draining the
@@ -327,7 +349,7 @@ object Bench {
         if (quiesced > 1.0)
           System.err.println(f"[bench] (teardown quiesce after $name: $quiesced%.1fs)")
       }
-      System.err.println(f"[bench] $name%-22s $sec%8.2fs  (passes: ${passes.map(p => f"$p%.2f").mkString(", ")})")
+      System.err.println(f"[bench] $name%-22s $sec%8.2fs  (passes: ${passes.map(p => f"$p%.2f").mkString(", ")})$codeCacheGauge")
       (name, sec, passes)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
