@@ -3387,8 +3387,10 @@ object QueriesExt {
     * 4×16-bit-chunk banding (lossless at the graded Hamming ≤ 3 by
     * pigeonhole), nibble-fold Hamming verify. The graded corpus PLANTS
     * near pairs (VERDICT r19 ask #4): every `MmPlantMod`-th doc gets a
-    * derived variant row whose last ceil(n/32) bytes (≤ 2 signature
-    * blocks) are overwritten — at sf0.01 that is 30 planted pairs at
+    * derived variant row whose last ceil(n/32) bytes (≤ 3 signature
+    * blocks when the edited range straddles block boundaries — r20
+    * ADVICE #3; still inside the radius-3 verify) are overwritten — at
+    * sf0.01 that is 30 planted pairs at
     * Hamming {0: 6, 1: 15, 2: 9} against a ≥ 20 floor for unrelated
     * pairs, so the radius-3 verify path fires on true near pairs in
     * grading instead of only on byte-identical payloads. The oracle is
@@ -3401,8 +3403,18 @@ object QueriesExt {
   val MmPlantMod = 17
   val MmPlantIdOffset = 1000000000L
   private def mediaWithPlants(s: SparkSession, d: String): DataFrame = {
-    val base = mediaFrom(docs(s, d))
-    val v = docs(s, d).filter(col("doc_id") % MmPlantMod === 0)
+    // fail-loud id-space guard (r20 ADVICE #3): a real doc_id ≥ the
+    // plant offset would alias a planted media_id — refuse per row
+    // (both engines alias identically so grading would stay green and
+    // hide it; the guard turns the silent overlap into an error, the
+    // same device as the paragraph family's ANSI-multiply packing)
+    val guarded = docs(s, d).withColumn("doc_id",
+      when(col("doc_id") < MmPlantIdOffset && col("doc_id") >= 0, col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit(s"mm plant id overflow: doc_id out of [0, $MmPlantIdOffset): "),
+          col("doc_id").cast("string")))))
+    val base = mediaFrom(guarded)
+    val v = guarded.filter(col("doc_id") % MmPlantMod === 0)
       .withColumn("__n", length(col("text")))
       .withColumn("__g", floor((col("__n") + lit(31)) / 32.0).cast("int"))
       .select(

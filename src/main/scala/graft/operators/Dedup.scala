@@ -773,28 +773,33 @@ object Dedup {
     * STRUCTURAL-with-fallback splitter (r20 — VERDICT r19 ask #6):
     * docs with blank-line structure split on [[ParaSepRegex]] (empty
     * parts dropped, order kept); docs without it fall back to the r19
-    * fixed `paraTokens`-token windows. Pure scan-side Generate on both
-    * branches — no exchange. Paragraph ids pack as
-    * doc_id·2²⁰ + chunk_id, fail-loud under ANSI past 2⁴³ doc ids.
+    * fixed `paraTokens`-token windows. Pure scan-side Generate — no
+    * exchange. Paragraph ids pack as doc_id·2²⁰ + chunk_id, fail-loud
+    * under ANSI past 2⁴³ doc ids.
+    *
+    * ONE source scan (r21, guide §2.3/§6): both branches fuse into a
+    * single when()-selected paragraph ARRAY inside one projection, so
+    * the source is scanned once (the r20 two-filter union scanned it
+    * twice — and for the structured-fixture corpora, whose source is a
+    * self-JOIN, re-executed the join twice) and the split regex runs
+    * once per row under codegen subexpression elimination instead of
+    * once in each branch's filter plus again in its projection.
+    * Row-for-row identical output: posexplode positions equal the old
+    * branch chunk_ids (both 0-based), union order never mattered (every
+    * consumer keys on para_id).
     */
   private[graft] def paragraphFrame(df: DataFrame, textCol: String,
       idCol: String, paraTokens: Int): DataFrame = {
     val ParaIdShift = 20
-    val sdocs = df.filter(paraStructural(textCol))
-      .select(col(idCol).as("doc_id"), paraStructParts(textCol).as("__ps"))
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val winParts = transform(
+      sequence(lit(0), greatest(size(toks), lit(1)) - 1, lit(paraTokens)),
+      s => array_join(slice(toks, s + 1, lit(paraTokens)), " "))
+    df.select(col(idCol).as("doc_id"),
+        when(paraStructural(textCol), paraStructParts(textCol))
+          .otherwise(winParts).as("__ps"))
       .select(col("doc_id"),
         posexplode(col("__ps")).as(Seq("chunk_id", "para_text")))
-    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val starts = sequence(lit(0),
-      greatest(size(col("__toks")), lit(1)) - 1, lit(paraTokens))
-    val wdocs = df.filter(!paraStructural(textCol))
-      .select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .select(col("doc_id"), col("__toks"),
-        posexplode(starts).as(Seq("chunk_id", "__start")))
-      .select(col("doc_id"), col("chunk_id"),
-        array_join(slice(col("__toks"), col("__start") + 1, lit(paraTokens)), " ")
-          .as("para_text"))
-    sdocs.unionByName(wdocs)
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         // multiply (not shiftleft): ANSI overflow THROWS past 2^43 ids
         // instead of silently aliasing paragraphs across documents

@@ -21,7 +21,17 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-SCALA_LIB=$(ls "$HOME"/.cache/coursier/v1/https/*/artifactory/maven-all/org/scala-lang/scala-library/2.13.*/scala-library-2.13.*.jar 2>/dev/null | sort | tail -1 || true)
+# scala-library lookup: artifactory-mirror layout first, then the
+# standard repo1.maven.org coursier layout (r20 ADVICE — the hardcoded
+# mirror glob missed on a stock cache and the probe died at runtime
+# with NoClassDefFoundError instead of a clear message)
+SCALA_LIB=$(ls "$HOME"/.cache/coursier/v1/https/*/artifactory/maven-all/org/scala-lang/scala-library/2.13.*/scala-library-2.13.*.jar \
+  "$HOME"/.cache/coursier/v1/https/repo1.maven.org/maven2/org/scala-lang/scala-library/2.13.*/scala-library-2.13.*.jar \
+  /opt/spark/jars/scala-library-2.13.*.jar 2>/dev/null | sort | tail -1 || true)
+if [ -z "$SCALA_LIB" ]; then
+  echo "run_probe.sh: no scala-library 2.13 jar found (coursier cache or /opt/spark/jars)" >&2
+  exit 3
+fi
 exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
